@@ -1,0 +1,86 @@
+"""Test configuration: CPU platform, 8 virtual devices, float64 parity mode.
+
+Must set XLA flags before jax initializes — keep this at the very top.
+"""
+
+import os
+
+# Force CPU: the ambient environment routes jax to a remote TPU tunnel
+# (JAX_PLATFORMS=axon), which would turn every eager op into a network
+# round-trip. Tests run on a virtual 8-device CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The ambient sitecustomize force-registers the axon TPU backend and sets
+# jax_platforms="axon,cpu" *after* env vars are read — override it back.
+jax.config.update("jax_platforms", "cpu")
+
+# Double precision on CPU so parity tests can assert <=1e-6 (and much tighter)
+# against NumPy float64 oracles. TPU runs stay in complex64 (bench path).
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from xmris_tpu import ATTRS, COORDS, DIMS, XmrArray  # noqa: E402
+
+
+@pytest.fixture
+def empty_da() -> XmrArray:
+    """Worst-case input: no coords, no attrs, anonymous dims."""
+    return XmrArray(np.zeros((8,)), dims=("dim_0",))
+
+
+@pytest.fixture
+def valid_fid_da() -> XmrArray:
+    """A 2048-point complex FID with physical coords and required attrs."""
+    n = 2048
+    sw = 5000.0
+    t = np.arange(n) / sw
+    data = np.exp(-50.0 * t) * np.exp(1j * 2 * np.pi * 120.0 * t)
+    return XmrArray(
+        data.astype(np.complex128),
+        dims=(DIMS.time,),
+        coords={COORDS.time: (DIMS.time, t, {"units": "s"})},
+        attrs={
+            ATTRS.reference_frequency: 127.6261421,
+            ATTRS.carrier_ppm: 4.7,
+        },
+        name="fid",
+    )
+
+
+@pytest.fixture
+def valid_spectrum_da(valid_fid_da) -> XmrArray:
+    return valid_fid_da.xmr.to_spectrum()
+
+
+@pytest.fixture
+def multi_dim_da() -> XmrArray:
+    """A 4x4 voxel grid of 256-pt FIDs (16-voxel MRSI phantom)."""
+    rng = np.random.default_rng(7)
+    n = 256
+    sw = 4000.0
+    t = np.arange(n) / sw
+    freqs = rng.uniform(-500, 500, size=(4, 4))
+    amps = rng.uniform(0.5, 2.0, size=(4, 4))
+    data = amps[..., None] * np.exp(
+        (1j * 2 * np.pi * freqs[..., None] - 30.0) * t[None, None, :]
+    )
+    return XmrArray(
+        data.astype(np.complex128),
+        dims=(DIMS.x, DIMS.y, DIMS.time),
+        coords={
+            COORDS.time: (DIMS.time, t, {"units": "s"}),
+            DIMS.x: np.arange(4),
+            DIMS.y: np.arange(4),
+        },
+        attrs={ATTRS.reference_frequency: 120.0, ATTRS.carrier_ppm: 0.0},
+        name="mrsi",
+    )

@@ -1,0 +1,15 @@
+"""Fitting & simulation layer: Eq.6 simulator + batched AMARES LM fitter."""
+
+from xmris_tpu.fitting.simulation import simulate_fid, simulate_fid_raw
+
+
+def __getattr__(name):
+    # Lazy import: the fitter pulls in the LM engine; keep base import light.
+    if name == "fit_amares":
+        from xmris_tpu.fitting.amares import fit_amares
+
+        return fit_amares
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["fit_amares", "simulate_fid", "simulate_fid_raw"]

@@ -1,0 +1,443 @@
+"""Spectral phasing: manual phase application and automatic phase search.
+
+TPU-native rebuild of ``src/xmris/processing/phasing.py``:
+
+* ``phase``: zero/first-order correction in **degrees**, phase array
+  ``p0 + p1 * (coord - pivot) / (max - min)`` applied as ``da * exp(+1j*phi)``
+  with default pivot at the global maximum-magnitude coordinate and lineage
+  attrs (reference ``phasing.py:10-96``).
+* Scoring objectives: ACME entropy-of-derivative with negative-area penalty
+  (``phasing.py:100-122``), peak-minima balance (``:125-139``), and ROI
+  positivity (``:142-157``) — implemented as pure JAX kernels so the whole
+  search jits and vmaps.
+* ``autophase``: ``mode="single"`` optimizes on the 1-D slice containing the
+  global maximum and applies the result globally (reference ``:219-290``);
+  ``mode="all"`` — unimplemented in the reference — runs an independent
+  XLA-compiled differential-evolution search *per voxel* in a single vmapped
+  launch, the idiomatic TPU formulation.
+
+Optimizer choices: ``optimizer="de"`` (default) uses the XLA-compiled
+differential evolution in :mod:`xmris_tpu.ops.optim`; ``optimizer="scipy"``
+reproduces the reference's exact ``scipy.optimize.differential_evolution``
+trajectory (strategy best1bin, tol 0.01, seed 42) on a NumPy objective for
+bit-level reproduction runs.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmris_tpu.core.array import XmrArray
+from xmris_tpu.core.config import ATTRS, DIMS
+from xmris_tpu.core.utils import _check_dims
+from xmris_tpu.ops.fid import apodize_exp, to_fid, to_spectrum
+from xmris_tpu.ops.optim import differential_evolution
+from xmris_tpu.runtime.config import matching_dtypes
+
+# ---------------------------------------------------------------------------
+# Raw kernels
+# ---------------------------------------------------------------------------
+
+
+def phase_factor_raw(coords, p0_deg, p1_deg, pivot, x_range):
+    """Complex phase factor ``exp(1j * (p0 + p1*(x-pivot)/range))`` (radians
+    from degrees).  ``coords`` may be host numpy or a traced jnp array."""
+    xp = jnp if isinstance(coords, jax.Array) or any(
+        isinstance(v, jax.Array) for v in (p0_deg, p1_deg, pivot)
+    ) else np
+    p0_rad = xp.deg2rad(p0_deg)
+    p1_rad = xp.deg2rad(p1_deg)
+    if isinstance(x_range, (int, float)) and x_range == 0:
+        phi = p0_rad
+    else:
+        phi = p0_rad + p1_rad * ((coords - pivot) / x_range)
+    return xp.exp(1.0j * phi)
+
+
+def _phased_real(data, coords, p0, p1, pivot, x_range):
+    """Real part of the phased 1-D spectrum (traced)."""
+    phi = jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((coords - pivot) / x_range)
+    return jnp.real(data) * jnp.cos(phi) - jnp.imag(data) * jnp.sin(phi)
+
+
+def acme_score_raw(real_data):
+    """ACME objective: entropy of |first derivative| + negative-area penalty,
+    normalized by length and the maximum of the real part.
+
+    Formula parity with reference ``phasing.py:100-122`` wherever
+    ``max(real) > 0`` — i.e. every physically sensible spectrum.  The
+    reference divides by the *signed* maximum, which makes the objective
+    diverge to ``-inf`` as a fully-negative spectrum's maximum crosses zero;
+    scipy's stochastic search rarely lands in that needle-thin basin, but the
+    XLA-compiled optimizer reliably finds it.  Candidates in the degenerate
+    region are therefore scored ``+inf`` (rejected); the ``optimizer="scipy"``
+    path keeps the raw formula for bit-level reference reproduction.
+    """
+    ds1 = jnp.abs((real_data[1:] - real_data[:-1]) / 2.0)
+    p1_prob = ds1 / jnp.sum(ds1)
+    p1_prob = jnp.where(p1_prob == 0, 1.0, p1_prob)
+    h1s = jnp.sum(-p1_prob * jnp.log(p1_prob))
+
+    as_ = real_data - jnp.abs(real_data)
+    sumas = jnp.sum(as_)
+    pfun = jnp.where(sumas < 0, jnp.sum((as_ / 2.0) ** 2), 0.0)
+
+    denom = jnp.max(real_data)
+    score = (h1s + 1000.0 * pfun) / real_data.shape[-1] / denom
+    return jnp.where(denom > 0, score, jnp.inf)
+
+
+def peak_minima_score_raw(real_data, target_idx, index_width):
+    """|min(left flank) - min(right flank)| around the target peak.
+
+    Masked formulation (identical to slicing) so ``target_idx`` may be traced
+    — required for vmapped per-voxel autophase.  Parity: ``phasing.py:125-139``.
+    """
+    n = real_data.shape[-1]
+    idx = jnp.arange(n)
+    start = jnp.maximum(0, target_idx - index_width)
+    end = jnp.minimum(n, target_idx + index_width)
+
+    big = jnp.asarray(jnp.inf, real_data.dtype)
+    left_mask = (idx >= start) & (idx < target_idx)
+    right_mask = (idx >= target_idx) & (idx < end)
+    at_target = real_data[target_idx]
+
+    mina = jnp.where(
+        jnp.any(left_mask), jnp.min(jnp.where(left_mask, real_data, big)), at_target
+    )
+    minb = jnp.where(
+        jnp.any(right_mask), jnp.min(jnp.where(right_mask, real_data, big)), at_target
+    )
+    return jnp.abs(mina - minb)
+
+
+def roi_positivity_score_raw(real_data, target_idx, index_width):
+    """Negative-signal penalty minus positive-signal reward within the ROI.
+
+    Parity: ``phasing.py:142-157``.
+    """
+    n = real_data.shape[-1]
+    idx = jnp.arange(n)
+    start = jnp.maximum(0, target_idx - index_width)
+    end = jnp.minimum(n, target_idx + index_width)
+    roi_mask = (idx >= start) & (idx < end)
+
+    pos_reward = jnp.sum(jnp.where(roi_mask & (real_data > 0), real_data, 0.0))
+    neg_penalty = jnp.sum(jnp.where(roi_mask & (real_data < 0), -real_data, 0.0)) * 5.0
+    return neg_penalty - pos_reward
+
+
+_SCORES = {
+    "acme": lambda data, ti, iw: acme_score_raw(data),
+    "peak_minima": peak_minima_score_raw,
+    "positivity": roi_positivity_score_raw,
+}
+
+
+# ---------------------------------------------------------------------------
+# NumPy objective (scipy-trajectory reproduction + test oracle)
+# ---------------------------------------------------------------------------
+
+
+def _np_objective(method, data, coords, pivot, x_range, target_idx, index_width):
+    def objective(ph):
+        p0 = ph[0]
+        p1 = ph[1] if len(ph) > 1 else 0.0
+        phi = np.radians(p0) + np.radians(p1) * ((coords - pivot) / x_range)
+        d = np.real(data * np.exp(1.0j * phi))
+        if method == "acme":
+            ds1 = np.abs((d[1:] - d[:-1]) / 2.0)
+            p = ds1 / np.sum(ds1)
+            p[p == 0] = 1
+            h1s = np.sum(-p * np.log(p))
+            as_ = d - np.abs(d)
+            pfun = np.sum((as_ / 2) ** 2) if np.sum(as_) < 0 else 0.0
+            return (h1s + 1000 * pfun) / d.shape[-1] / np.max(d)
+        start = max(0, target_idx - index_width)
+        end = min(len(d), target_idx + index_width)
+        if method == "peak_minima":
+            mina = np.min(d[start:target_idx]) if start < target_idx else d[target_idx]
+            minb = np.min(d[target_idx:end]) if end > target_idx else d[target_idx]
+            return np.abs(mina - minb)
+        if method == "positivity":
+            roi = d[start:end]
+            return np.sum(np.abs(roi[roi < 0])) * 5.0 - np.sum(roi[roi > 0])
+        raise ValueError(f"Unknown method {method!r}")
+
+    return objective
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def phase(
+    da: XmrArray,
+    dim: str = DIMS.frequency,
+    p0: float = 0.0,
+    p1: float = 0.0,
+    pivot: float | None = None,
+) -> XmrArray:
+    """Apply zero- and first-order phase correction (degrees) to a spectrum.
+
+    ``p1`` is the total phase twist across the full coordinate range, anchored
+    at ``pivot`` (default: the coordinate of the global maximum magnitude).
+    Phase parameters are appended to ``attrs`` to preserve lineage, and a
+    warning is raised when phasing in a different coordinate space than a
+    previous phase operation.
+    """
+    _check_dims(da, dim, "phase")
+
+    values = da.values
+    coords = da.coords[dim].values.astype(np.float64)
+
+    if pivot is None:
+        flat_idx = int(np.argmax(np.abs(values)))
+        dim_axis = da.get_axis_num(dim)
+        target_idx = np.unravel_index(flat_idx, da.shape)[dim_axis]
+        pivot = float(coords[target_idx])
+
+    x_min = float(coords.min())
+    x_max = float(coords.max())
+    x_range = x_max - x_min
+
+    factor = phase_factor_raw(coords, float(p0), float(p1), float(pivot), x_range)
+    _, cplx = matching_dtypes(da.dtype)
+    factor = np.asarray(factor, dtype=cplx)
+
+    w = XmrArray(factor, (dim,))
+    da_phased = (da * w).transpose(*da.dims)
+    da_phased.name = da.name
+    da_phased.attrs = da.attrs.copy()
+
+    if ATTRS.phase_pivot_coord in da_phased.attrs:
+        old_coord = da_phased.attrs[ATTRS.phase_pivot_coord]
+        if old_coord != dim:
+            warnings.warn(
+                f"Applying phase in '{dim}', but previous phase operations "
+                f"were recorded in '{old_coord}'. Ensure your pivot value "
+                f"({pivot}) matches the current dimension's units."
+            )
+
+    da_phased.attrs[ATTRS.phase_p0] = p0
+    da_phased.attrs[ATTRS.phase_p1] = p1
+    da_phased.attrs[ATTRS.phase_pivot] = pivot
+    da_phased.attrs[ATTRS.phase_pivot_coord] = dim
+    return da_phased
+
+
+def autophase(
+    da: XmrArray,
+    dim: str = DIMS.frequency,
+    method: str = "acme",
+    mode: str = "single",
+    peak_width: float = 0.5,
+    target_coord: float | None = None,
+    p0_only: bool = False,
+    lb: float = 0.0,
+    temp_time_dim: str = DIMS.time,
+    optimizer: str = "de",
+    seed: int = 42,
+    **kwargs,
+) -> XmrArray:
+    """Automatically find and apply phase correction.
+
+    Parameters mirror the reference API; additional TPU-native controls:
+
+    * ``optimizer="de"`` (default): XLA-compiled differential evolution with a
+      vmapped population — the entire search runs on device.
+    * ``optimizer="scipy"``: the reference's exact scipy differential
+      evolution (best1bin, tol 0.01, seeded) on a NumPy objective, for
+      bit-level reproduction of reference results.  Single mode only.
+    * ``mode="all"``: per-voxel independent searches, vmapped across the
+      entire grid in one launch (reference raises NotImplementedError here).
+
+    Bounds: p0 in [-180, 180] degrees; p1 in [-4000, 4000] degrees unless
+    ``p0_only`` locks p1 = 0.
+    """
+    _check_dims(da, dim, "autophase")
+    kwargs.setdefault("disp", False)
+
+    if mode not in ("single", "all"):
+        raise ValueError("Mode must be 'single' or 'all'.")
+    if method not in _SCORES:
+        raise ValueError("Method must be 'acme', 'peak_minima', or 'positivity'")
+
+    coords = da.coords[dim].values.astype(np.float64)
+    x_range = float(coords.max() - coords.min())
+    step_size = float(np.abs(coords[1] - coords[0]))
+    index_width = max(1, int(round((peak_width / 2.0) / step_size)))
+
+    if mode == "all":
+        return _autophase_all(
+            da, dim, method, target_coord, p0_only, index_width, seed, lb,
+            temp_time_dim,
+        )
+
+    # ---- mode == "single" ----
+    values = da.values
+    flat_idx = int(np.argmax(np.abs(values)))
+    unraveled = np.unravel_index(flat_idx, da.shape)
+    dim_axis = da.get_axis_num(dim)
+
+    if target_coord is not None:
+        target_idx = int(np.argmin(np.abs(coords - target_coord)))
+        pivot = float(target_coord)
+    else:
+        target_idx = int(unraveled[dim_axis])
+        pivot = float(coords[target_idx])
+
+    slice_dict = {d: int(unraveled[i]) for i, d in enumerate(da.dims) if d != dim}
+    opt_da = da.isel(slice_dict)
+
+    if lb > 0:
+        temp_fid = to_fid(opt_da, dim=dim, out_dim=temp_time_dim)
+        temp_apodized = apodize_exp(temp_fid, dim=temp_time_dim, lb=lb)
+        work_da = to_spectrum(temp_apodized, dim=temp_time_dim, out_dim=dim)
+    else:
+        work_da = opt_da
+
+    bounds_list = [(-180.0, 180.0)] if p0_only else [(-180.0, 180.0), (-4000.0, 4000.0)]
+
+    if optimizer == "scipy":
+        import scipy.optimize
+
+        objective = _np_objective(
+            method, work_da.values, coords, pivot, x_range, target_idx, index_width
+        )
+        opt = scipy.optimize.differential_evolution(
+            objective,
+            bounds=bounds_list,
+            strategy="best1bin",
+            tol=0.01,
+            seed=seed,
+            disp=kwargs.get("disp"),
+        )
+        p0_opt = float(opt.x[0])
+        p1_opt = float(opt.x[1]) if not p0_only else 0.0
+    elif optimizer == "de":
+        data_j = jnp.asarray(work_da.values)
+        coords_j = jnp.asarray(coords, dtype=matching_dtypes(data_j.dtype)[0])
+        score = _SCORES[method]
+
+        def objective(ph):
+            p0 = ph[0]
+            p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
+            d = _phased_real(data_j, coords_j, p0, p1, pivot, x_range)
+            return score(d, target_idx, index_width)
+
+        result = differential_evolution(
+            objective,
+            jnp.asarray(bounds_list),
+            seed=seed,
+            tol=0.01,
+            polish_iters=60,
+        )
+        x = np.asarray(result.x)
+        p0_opt = float(x[0])
+        p1_opt = float(x[1]) if not p0_only else 0.0
+    else:
+        raise ValueError("optimizer must be 'de' or 'scipy'.")
+
+    return phase(da, dim=dim, p0=p0_opt, p1=p1_opt, pivot=pivot)
+
+
+def _autophase_all(
+    da: XmrArray,
+    dim: str,
+    method: str,
+    target_coord: float | None,
+    p0_only: bool,
+    index_width: int,
+    seed: int,
+    lb: float,
+    temp_time_dim: str,
+) -> XmrArray:
+    """Per-voxel autophase: one DE search per 1-D spectrum, vmapped.
+
+    The reference declares this unimplemented (``phasing.py:219-222``); on TPU
+    it is the natural formulation — every voxel's population evaluates in the
+    same XLA launch.
+    """
+    if lb > 0:
+        work = to_spectrum(
+            apodize_exp(to_fid(da, dim=dim, out_dim=temp_time_dim), dim=temp_time_dim, lb=lb),
+            dim=temp_time_dim,
+            out_dim=dim,
+        )
+    else:
+        work = da
+
+    dim_axis = da.get_axis_num(dim)
+    coords = np.asarray(da.coords[dim].values, dtype=np.float64)
+    x_range = float(coords.max() - coords.min())
+
+    # Flatten to (n_voxels, n_points)
+    order = [d for d in da.dims if d != dim] + [dim]
+    work_t = work.transpose(*order)
+    n_points = da.sizes[dim]
+    rows = jnp.asarray(work_t.values).reshape(-1, n_points)
+    n_voxels = rows.shape[0]
+
+    real_dtype, _ = matching_dtypes(rows.dtype)
+    coords_j = jnp.asarray(coords, dtype=real_dtype)
+
+    if target_coord is not None:
+        pivots = jnp.full((n_voxels,), float(target_coord), dtype=real_dtype)
+        t_idx = jnp.full((n_voxels,), int(np.argmin(np.abs(coords - target_coord))))
+    else:
+        t_idx = jnp.argmax(jnp.abs(rows), axis=1)
+        pivots = coords_j[t_idx]
+
+    bounds = (
+        jnp.asarray([(-180.0, 180.0)])
+        if p0_only
+        else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
+    )
+    score = _SCORES[method]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_voxels)
+
+    @jax.jit
+    def solve_all(rows, pivots, t_idx, keys):
+        def solve_one(row, pivot, ti, key):
+            def objective(ph):
+                p0 = ph[0]
+                p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
+                d = _phased_real(row, coords_j, p0, p1, pivot, x_range)
+                return score(d, ti, index_width)
+
+            res = differential_evolution(
+                objective, bounds, seed=key, tol=0.01, polish_iters=60
+            )
+            return res.x
+
+        return jax.vmap(solve_one)(rows, pivots, t_idx, keys)
+
+    solutions = solve_all(rows, pivots, t_idx, keys)  # (n_voxels, 1 or 2)
+    p0s = solutions[:, 0]
+    p1s = solutions[:, 1] if not p0_only else jnp.zeros_like(p0s)
+
+    # Apply per-voxel phase to the *original* data (not the lb-smoothed copy).
+    orig_rows = jnp.asarray(da.transpose(*order).values).reshape(-1, n_points)
+    phi = jnp.deg2rad(p0s)[:, None] + jnp.deg2rad(p1s)[:, None] * (
+        (coords_j[None, :] - pivots[:, None]) / x_range
+    )
+    phased = orig_rows * jnp.exp(1.0j * phi.astype(matching_dtypes(orig_rows.dtype)[0]))
+
+    # Restore the original layout.
+    voxel_shape = tuple(da.sizes[d] for d in order[:-1])
+    phased_nd = phased.reshape(voxel_shape + (n_points,))
+    out_t = da.transpose(*order).copy(data=phased_nd)
+    out = out_t.transpose(*da.dims)
+    out.attrs = da.attrs.copy()
+    out.attrs[ATTRS.phase_p0] = np.asarray(p0s).reshape(voxel_shape)
+    out.attrs[ATTRS.phase_p1] = np.asarray(p1s).reshape(voxel_shape)
+    out.attrs[ATTRS.phase_pivot] = np.asarray(pivots).reshape(voxel_shape)
+    out.attrs[ATTRS.phase_pivot_coord] = dim
+    return out
