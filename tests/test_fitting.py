@@ -1,0 +1,301 @@
+"""Fitting engine tests: simulator parity, prior parsing, batched LM accuracy.
+
+The headline oracle is the reference docs' seeded 31P phantom
+(``docs/notebooks/fitting/pyamares.md``): PCr amplitudes 10..50 across 5
+voxels, ATP constant at 5.0 — the fitted amplitudes must recover the truth.
+"""
+
+import numpy as np
+import pytest
+
+import xmris_tpu as xmt
+from xmris_tpu import DIMS, XmrArray
+from xmris_tpu.fitting.prior import load_prior_knowledge
+
+PK_CSV = """Index,PCr,ATP
+Initial Values,,
+amplitude,10.0,5.0
+chemicalshift,0.0,-7.5
+linewidth,15.0,20.0
+phase,0,0
+g,0,0
+Bounds,,
+amplitude,"(0, ","(0, "
+chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"
+linewidth,"(5.0, 30.0)","(10.0, 40.0)"
+phase,"(-180, 180)","(-180, 180)"
+g,"(0, 1)","(0, 1)"
+"""
+
+
+@pytest.fixture
+def pk_file(tmp_path):
+    p = tmp_path / "pk.csv"
+    p.write_text(PK_CSV)
+    return p
+
+
+def make_phantom(n_voxels=5, n_points=1024, sw=10000.0, mhz=120.0, noise=0.5):
+    """The reference notebook's seeded 31P phantom (rng seed 42)."""
+    dt = 1.0 / sw
+    time = np.arange(n_points) * dt
+    data = np.zeros((n_voxels, n_points), dtype=complex)
+    rng = np.random.default_rng(seed=42)
+    for v in range(n_voxels):
+        amp_pcr = 10.0 * (v + 1)
+        fid_pcr = amp_pcr * np.exp(-15.0 * np.pi * time)
+        fid_atp = (
+            5.0
+            * np.exp(-20.0 * np.pi * time)
+            * np.exp(1j * 2 * np.pi * (-7.5 * mhz) * time)
+        )
+        noise_c = rng.normal(0, noise, n_points) + 1j * rng.normal(0, noise, n_points)
+        data[v, :] = fid_pcr + fid_atp + noise_c
+    return XmrArray(
+        data,
+        dims=("voxel", DIMS.time),
+        coords={"voxel": np.arange(n_voxels), DIMS.time: (DIMS.time, time)},
+        attrs={"MHz": mhz, "sw": sw},
+    )
+
+
+class TestSimulator:
+    def test_eq6_formula_parity(self):
+        """simulate_fid must match a direct Eq.6 evaluation."""
+        fid = xmt.simulate_fid(
+            amplitudes=[2.0, 1.0],
+            frequencies=[100.0, -250.0],
+            spectral_width=5000.0,
+            n_points=512,
+            dampings=[30.0, 50.0],
+            phases=[0.3, -0.1],
+            lineshape_g=[0.0, 0.4],
+        )
+        t = np.arange(512) / 5000.0
+        expected = np.zeros(512, dtype=complex)
+        for a, f, d, p, g in [
+            (2.0, 100.0, 30.0, 0.3, 0.0),
+            (1.0, -250.0, 50.0, -0.1, 0.4),
+        ]:
+            expected += (
+                a
+                * np.exp(1j * p)
+                * np.exp(-d * (1 - g + g * t) * t)
+                * np.exp(1j * 2 * np.pi * f * t)
+            )
+        np.testing.assert_allclose(fid.values, expected, rtol=1e-12)
+
+    def test_ppm_to_hz_conversion(self):
+        fid = xmt.simulate_fid(
+            amplitudes=[1.0],
+            chemical_shifts=[5.7],
+            reference_frequency=100.0,
+            carrier_ppm=4.7,
+            spectral_width=2000.0,
+            n_points=1024,
+            dampings=10.0,
+        )
+        spec = fid.xmr.to_spectrum()
+        peak_hz = spec.coords[DIMS.frequency].values[
+            int(np.argmax(np.abs(spec.values)))
+        ]
+        # (5.7 - 4.7) * 100 MHz = 100 Hz
+        assert abs(peak_hz - 100.0) < 2000.0 / 1024
+
+    def test_noise_snr(self):
+        fid = xmt.simulate_fid(
+            amplitudes=[10.0],
+            frequencies=[0.0],
+            spectral_width=5000.0,
+            n_points=4096,
+            dampings=1.0,
+            target_snr=20.0,
+            seed=0,
+        )
+        ideal = xmt.simulate_fid(
+            amplitudes=[10.0],
+            frequencies=[0.0],
+            spectral_width=5000.0,
+            n_points=4096,
+            dampings=1.0,
+        )
+        noise = fid.values - ideal.values
+        sig = np.mean(np.abs(ideal.values[:10]))
+        measured_snr = sig / np.std(noise)
+        assert measured_snr == pytest.approx(20.0, rel=0.15)
+        assert fid.attrs["target_snr"] == 20.0
+
+    def test_requires_frequency_info(self):
+        with pytest.raises(ValueError, match="frequencies"):
+            xmt.simulate_fid(amplitudes=[1.0])
+        with pytest.raises(ValueError, match="reference_frequency"):
+            xmt.simulate_fid(amplitudes=[1.0], chemical_shifts=[1.0])
+        with pytest.raises(ValueError, match="not both"):
+            xmt.simulate_fid(
+                amplitudes=[1.0], frequencies=[1.0], chemical_shifts=[1.0]
+            )
+
+
+class TestPriorKnowledge:
+    def test_parse_basic(self, pk_file):
+        pk = load_prior_knowledge(pk_file)
+        assert pk.metabolites == ["PCr", "ATP"]
+        assert pk.n_peaks == 2
+        assert pk.n_free == 10
+        assert "PCr.amplitude" in pk.free_labels
+
+    def test_bounds(self, pk_file):
+        pk = load_prior_knowledge(pk_file)
+        i = pk.free_labels.index("PCr.amplitude")
+        assert pk.lower[i] == 0.0 and np.isinf(pk.upper[i])
+        j = pk.free_labels.index("ATP.chemicalshift")
+        assert (pk.lower[j], pk.upper[j]) == (-8.0, -7.0)
+
+    def test_fixed_parameter(self, tmp_path):
+        csv = PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed")
+        p = tmp_path / "pk_fixed.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        assert pk.n_free == 8  # both g parameters pinned
+        assert not any("g" in lab.split(".")[1] for lab in pk.free_labels)
+
+    def test_tied_parameter(self, tmp_path):
+        csv = PK_CSV.replace(
+            "amplitude,10.0,5.0", 'amplitude,10.0,0.5*PCr'
+        )
+        p = tmp_path / "pk_tied.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        assert pk.n_free == 9
+        # ATP amplitude maps to PCr amplitude slot with factor 0.5
+        atp_amp_flat = 1 * 5 + 0
+        pcr_slot = pk.free_labels.index("PCr.amplitude")
+        assert pk.pmap.idx[atp_amp_flat] == pcr_slot
+        assert pk.pmap.scale[atp_amp_flat] == 0.5
+
+    def test_empty_file_raises(self, tmp_path):
+        p = tmp_path / "empty.csv"
+        p.write_text("Index\n")
+        with pytest.raises(ValueError, match="no metabolite"):
+            load_prior_knowledge(p)
+
+
+class TestFitAmares:
+    def test_31p_phantom_amplitude_recovery(self, pk_file):
+        """The reference docs' headline example: PCr gradient + constant ATP."""
+        da = make_phantom()
+        ds = da.xmr.fit_amares(pk_file, num_workers=1)
+
+        amp = ds["amplitude"]
+        assert amp.dims == ("voxel", "Metabolite")
+        pcr = amp.sel({"Metabolite": "PCr"}).values
+        atp = amp.sel({"Metabolite": "ATP"}).values
+
+        np.testing.assert_allclose(pcr, 10.0 * np.arange(1, 6), rtol=0.05)
+        np.testing.assert_allclose(atp, np.full(5, 5.0), rtol=0.25)
+
+    def test_output_dataset_structure(self, pk_file):
+        da = make_phantom(n_voxels=2)
+        ds = da.xmr.fit_amares(pk_file)
+        for name in ("raw_data", "fit_data", "residuals"):
+            assert ds[name].dims == ("voxel", DIMS.time)
+        for name in ("amplitude", "chem_shift", "linewidth", "phase", "crlb", "snr"):
+            assert ds[name].dims == ("voxel", "Metabolite")
+        np.testing.assert_allclose(
+            ds["residuals"].values,
+            ds["raw_data"].values - ds["fit_data"].values,
+        )
+        assert ds.attrs["fit_method"] == "leastsq"
+        assert "prior_knowledge_file" in ds.attrs
+        assert ds["fit_converged"].values.all()
+
+    def test_fit_quality(self, pk_file):
+        """Residuals after the fit should be noise-level."""
+        da = make_phantom(n_voxels=3)
+        ds = da.xmr.fit_amares(pk_file)
+        res_std = np.std(ds["residuals"].values.real)
+        assert res_std == pytest.approx(0.5, rel=0.2)  # injected noise sigma
+
+    def test_crlb_reasonable(self, pk_file):
+        da = make_phantom()
+        ds = da.xmr.fit_amares(pk_file)
+        crlb = ds["crlb"].values
+        assert np.all(crlb > 0)
+        assert np.all(crlb < 50)
+        # stronger PCr signal => lower relative CRLB in later voxels
+        pcr_crlb = ds["crlb"].sel({"Metabolite": "PCr"}).values
+        assert pcr_crlb[-1] < pcr_crlb[0]
+
+    def test_chem_shift_recovery(self, pk_file):
+        da = make_phantom()
+        ds = da.xmr.fit_amares(pk_file)
+        atp_cs = ds["chem_shift"].sel({"Metabolite": "ATP"}).values
+        np.testing.assert_allclose(atp_cs, -7.5, atol=0.05)
+
+    def test_linewidth_recovery(self, pk_file):
+        # Noise sigma=0.5 induces genuine ~10-15% linewidth variance (verified
+        # against scipy.least_squares, which lands on identical optima).
+        da = make_phantom()
+        ds = da.xmr.fit_amares(pk_file)
+        np.testing.assert_allclose(
+            ds["linewidth"].sel({"Metabolite": "PCr"}).values, 15.0, rtol=0.2
+        )
+
+    def test_matches_scipy_least_squares_optimum(self, pk_file):
+        """The batched LM must land on the same bounded-LS optimum as scipy."""
+        from scipy.optimize import least_squares
+
+        da = make_phantom(n_voxels=1)
+        ds = da.xmr.fit_amares(pk_file, initialize_with_lm=False, max_iter=200)
+
+        y = np.asarray(da.values)[0]
+        t = da.coords[DIMS.time].values
+
+        def resid(th):
+            m = np.zeros_like(y)
+            for i in range(2):
+                a, cs, lw, ph, g = th[5 * i : 5 * i + 5]
+                m = m + (
+                    a
+                    * np.exp(1j * np.deg2rad(ph))
+                    * np.exp(-np.pi * lw * (1 - g + g * t) * t)
+                    * np.exp(1j * 2 * np.pi * cs * 120.0 * t)
+                )
+            r = y - m
+            return np.concatenate([r.real, r.imag])
+
+        th0 = [10, 0, 15, 0, 0, 5, -7.5, 20, 0, 0]
+        lb = [0, -0.5, 5, -180, 0, 0, -8, 10, -180, 0]
+        ub = [np.inf, 0.5, 30, 180, 1, np.inf, -7, 40, 180, 1]
+        sol = least_squares(resid, th0, bounds=(lb, ub))
+
+        # The (amplitude, linewidth, g) subspace has a nearly flat valley at
+        # this SNR; the robust parity statement is the achieved cost plus the
+        # well-conditioned parameters.
+        scipy_cost = float(np.sum(sol.fun**2))
+        r = ds["residuals"].values
+        our_cost = float(np.sum(r.real**2 + r.imag**2))
+        assert our_cost == pytest.approx(scipy_cost, rel=1e-3)
+
+        ours_amp = ds["amplitude"].values[0]  # (1, Metabolite) -> (Metabolite,)
+        np.testing.assert_allclose(ours_amp, [sol.x[0], sol.x[5]], rtol=0.02)
+        np.testing.assert_allclose(
+            ds["chem_shift"].values[0], [sol.x[1], sol.x[6]], atol=0.01
+        )
+
+    def test_1d_input(self, pk_file):
+        da = make_phantom(n_voxels=1).isel({"voxel": 0})
+        ds = da.xmr.fit_amares(pk_file)
+        assert ds["amplitude"].dims == ("Metabolite",)
+        assert ds["raw_data"].dims == (DIMS.time,)
+
+    def test_missing_dim_raises(self, pk_file):
+        da = make_phantom().rename({"time": "zeit"})
+        with pytest.raises(ValueError, match="missing"):
+            da.xmr.fit_amares(pk_file)
+
+    def test_missing_mhz_raises(self, pk_file):
+        da = make_phantom()
+        da.attrs.pop("MHz")
+        with pytest.raises(ValueError, match="MHz"):
+            da.xmr.fit_amares(pk_file)

@@ -1,0 +1,126 @@
+"""Fused pipeline parity + multi-device sharding tests (8 virtual CPU devices)."""
+
+import jax
+import numpy as np
+import pytest
+
+import xmris_tpu as xmt
+from xmris_tpu import ATTRS, COORDS, DIMS, XmrArray
+from xmris_tpu.parallel import PipelineConfig, make_mesh, mrsi_pipeline, shard_voxels
+
+
+def make_grid(nx=4, ny=2, n=256, sw=4000.0, seed=11):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sw
+    freqs = rng.uniform(-1000, 1000, size=(nx, ny))
+    amps = rng.uniform(1.0, 5.0, size=(nx, ny))
+    data = amps[..., None] * np.exp(
+        (1j * 2 * np.pi * freqs[..., None] - 30.0) * t[None, None, :]
+    )
+    data += rng.normal(0, 1e-3, data.shape) + 1j * rng.normal(0, 1e-3, data.shape)
+    return XmrArray(
+        data,
+        dims=(DIMS.x, DIMS.y, DIMS.time),
+        coords={COORDS.time: (DIMS.time, t)},
+        attrs={ATTRS.reference_frequency: 100.0, ATTRS.carrier_ppm: 0.0},
+    )
+
+
+class TestFusedPipelineParity:
+    def test_matches_op_chain_no_autophase(self):
+        da = make_grid()
+        cfg = PipelineConfig(zero_fill_to=512, lb=5.0, autophase="none")
+        fused = mrsi_pipeline(da, cfg=cfg)
+        chained = (
+            da.xmr.zero_fill(target_points=512)
+            .xmr.apodize_exp(lb=5.0)
+            .xmr.to_spectrum()
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.values), chained.values, rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            fused.coords[DIMS.frequency].values,
+            chained.coords[DIMS.frequency].values,
+        )
+
+    def test_matches_op_chain_lg(self):
+        da = make_grid()
+        cfg = PipelineConfig(zero_fill_to=512, lb=2.0, gb=8.0, autophase="none")
+        fused = mrsi_pipeline(da, cfg=cfg)
+        chained = (
+            da.xmr.zero_fill(target_points=512)
+            .xmr.apodize_lg(lb=2.0, gb=8.0)
+            .xmr.to_spectrum()
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.values), chained.values, rtol=1e-10, atol=1e-12
+        )
+
+    def test_single_autophase_matches_op_chain(self):
+        da = make_grid(nx=2, ny=2)
+        cfg = PipelineConfig(zero_fill_to=512, lb=3.0, autophase="single")
+        fused = mrsi_pipeline(da, cfg=cfg)
+        chained = (
+            da.xmr.zero_fill(target_points=512)
+            .xmr.apodize_exp(lb=3.0)
+            .xmr.to_spectrum()
+            .xmr.autophase()
+        )
+        # Optimizers may settle sub-degree apart; compare phased spectra loosely
+        num = np.max(np.abs(np.asarray(fused.values) - chained.values))
+        den = np.max(np.abs(chained.values))
+        assert num / den < 0.05
+        assert ATTRS.phase_p0 in fused.attrs
+
+    def test_autophase_all_shapes(self):
+        da = make_grid(nx=2, ny=2, n=128)
+        cfg = PipelineConfig(zero_fill_to=256, lb=3.0, autophase="all", p0_only=True)
+        fused = mrsi_pipeline(da, cfg=cfg)
+        assert np.shape(fused.attrs[ATTRS.phase_p0]) == (2, 2)
+        assert fused.sizes[DIMS.frequency] == 256
+
+    def test_lineage_attrs(self):
+        da = make_grid(nx=2, ny=1)
+        cfg = PipelineConfig(zero_fill_to=512, lb=4.0, autophase="none")
+        out = mrsi_pipeline(da, cfg=cfg)
+        assert out.attrs[ATTRS.zero_fill_target] == 512
+        assert out.attrs[ATTRS.apodization_lb] == 4.0
+        assert out.attrs[ATTRS.reference_frequency] == 100.0
+
+
+class TestSharding:
+    def test_eight_device_mesh(self):
+        assert len(jax.devices()) >= 8
+
+    def test_sharded_matches_single_device(self):
+        da = make_grid(nx=8, ny=2)
+        cfg = PipelineConfig(zero_fill_to=512, lb=5.0, autophase="single")
+        mesh = make_mesh(8)
+        out_sharded = mrsi_pipeline(da, cfg=cfg, mesh=mesh)
+        out_single = mrsi_pipeline(da, cfg=cfg, mesh=make_mesh(1))
+        np.testing.assert_allclose(
+            np.asarray(out_sharded.values),
+            np.asarray(out_single.values),
+            rtol=1e-8,
+            atol=1e-10,
+        )
+
+    def test_shard_voxels_placement(self):
+        mesh = make_mesh(8)
+        arr = shard_voxels(np.zeros((16, 64), dtype=np.complex128), mesh)
+        assert len(arr.sharding.device_set) == 8
+
+    def test_raw_pipeline_output_keeps_sharding(self):
+        from xmris_tpu.parallel.pipeline import spectral_pipeline_raw
+
+        mesh = make_mesh(8)
+        rows = shard_voxels(np.ones((16, 128), dtype=np.complex128), mesh)
+        t = np.arange(256) / 4000.0
+        weight = np.exp(-np.pi * 5.0 * t)
+        freqs = np.fft.fftshift(np.fft.fftfreq(256, d=t[1] - t[0]))
+        cfg = PipelineConfig(zero_fill_to=256, lb=5.0, autophase="none")
+        spec, _ = spectral_pipeline_raw(rows, weight, freqs, cfg)
+        assert spec.shape == (16, 256)
+        # output still distributed over all 8 devices
+        assert len(spec.sharding.device_set) == 8

@@ -1,0 +1,25 @@
+"""Scale-out layer: device meshes, sharded batched pipelines."""
+
+from xmris_tpu.parallel.mesh import (
+    GRID_AXIS,
+    make_mesh,
+    replicated,
+    shard_voxels,
+    voxel_sharding,
+)
+from xmris_tpu.parallel.pipeline import (
+    PipelineConfig,
+    mrsi_pipeline,
+    spectral_pipeline_raw,
+)
+
+__all__ = [
+    "GRID_AXIS",
+    "PipelineConfig",
+    "make_mesh",
+    "mrsi_pipeline",
+    "replicated",
+    "shard_voxels",
+    "spectral_pipeline_raw",
+    "voxel_sharding",
+]
