@@ -57,15 +57,22 @@ def main() -> None:
     fids, weight, freqs = make_inputs()
     cfg = PipelineConfig(zero_fill_to=ZERO_FILL, lb=5.0, autophase="single")
 
+    # Execution witness: a scalar float readback forces the full computation
+    # to finish (block_until_ready alone is not a reliable fence through the
+    # remote-TPU relay, and complex host readback is unsupported there).
+    @jax.jit
+    def checksum(a):
+        return jnp.sum(jnp.real(a)) + jnp.sum(jnp.imag(a))
+
     # Warmup / compile
     spec, _ = spectral_pipeline_raw(fids, weight, freqs, cfg)
-    spec.block_until_ready()
+    float(checksum(spec))
 
     times = []
     for _ in range(5):
         start = time.perf_counter()
         spec, _ = spectral_pipeline_raw(fids, weight, freqs, cfg)
-        spec.block_until_ready()
+        float(checksum(spec))
         times.append(time.perf_counter() - start)
 
     elapsed = float(np.median(times))

@@ -1,0 +1,5 @@
+"""Image reconstruction: Cartesian k-space -> image space."""
+
+from xmris_tpu.recon.kspace import kspace_to_image, rss_combine, rss_reconstruct
+
+__all__ = ["kspace_to_image", "rss_combine", "rss_reconstruct"]
