@@ -1,0 +1,179 @@
+"""Vendor layer tests: digital filter math + real Bruker scanner data.
+
+End-to-end oracle: ``tests/data/nspect_slab_1H`` from the reference repo —
+real Bruker AVANCE NEO 3T data with hand-curated ground truth (water at
+4.680 ppm / -2.58 Hz).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+import xmris_tpu as xmt
+from xmris_tpu import ATTRS, DIMS, XmrArray
+from xmris_tpu.interop.io import load_dataarray, load_npz, save_npz
+from xmris_tpu.vendor.bruker import build_fid, remove_digital_filter, reshape_bruker_raw
+
+BRUKER_NC = pathlib.Path("/root/reference/tests/data/nspect_slab_1H/rawdatajob0.nc")
+
+
+class TestRemoveDigitalFilter:
+    def make_delayed_fid(self, delay_pts=20, n=512, sw=4000.0):
+        """A synthetic FID preceded by `delay_pts` of filter transient."""
+        t = np.arange(n) / sw
+        clean = np.exp((1j * 2 * np.pi * 200.0 - 30.0) * t)
+        shifted = np.concatenate([np.zeros(delay_pts, complex), clean[: n - delay_pts]])
+        return XmrArray(
+            shifted, dims=(DIMS.time,), coords={DIMS.time: t}
+        ), clean
+
+    def test_integer_delay_removed(self):
+        da, clean = self.make_delayed_fid(delay_pts=20)
+        out = remove_digital_filter(da, group_delay=20.0)
+        assert out.sizes[DIMS.time] == 512  # keep_length pads zeros
+        np.testing.assert_allclose(
+            out.values[: 512 - 20], clean[: 512 - 20], atol=1e-12
+        )
+        np.testing.assert_array_equal(out.values[512 - 20 :], 0)
+
+    def test_keep_length_false_truncates(self):
+        da, _ = self.make_delayed_fid(delay_pts=20)
+        out = remove_digital_filter(da, group_delay=20.0, keep_length=False)
+        assert out.sizes[DIMS.time] == 492
+
+    def test_time_coord_rezeroed(self):
+        da, _ = self.make_delayed_fid()
+        out = remove_digital_filter(da, group_delay=20.0, keep_length=False)
+        assert out.coords[DIMS.time].values[0] == 0.0
+
+    def test_fractional_delay_is_phase_ramp(self):
+        # pure fractional delay: applies exp(+j*2*pi*f*frac) in freq domain
+        n = 256
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=n) + 1j * rng.normal(size=n)
+        da = XmrArray(data, dims=(DIMS.time,), coords={DIMS.time: np.arange(n) / 1e3})
+        frac = 0.37
+        out = remove_digital_filter(da, group_delay=frac)
+        freqs = np.fft.fftfreq(n)
+        expected = np.fft.ifft(np.fft.fft(data) * np.exp(1j * 2 * np.pi * freqs * frac))
+        np.testing.assert_allclose(out.values, expected, rtol=1e-10)
+
+    def test_zero_delay_noop(self):
+        da, _ = self.make_delayed_fid()
+        out = remove_digital_filter(da, group_delay=0.0)
+        np.testing.assert_array_equal(out.values, da.values)
+
+    def test_lineage(self):
+        da, _ = self.make_delayed_fid()
+        out = remove_digital_filter(da, group_delay=20.5)
+        assert out.attrs["digital_filter_removed"] is True
+        assert out.attrs["group_delay_removed"] == 20.5
+
+
+class TestReshapeBuild:
+    def test_reshape_time_fastest(self):
+        params = {"PVM_SpecMatrix": 4, "PVM_NAverages": 3}
+        flat = np.arange(12.0)
+        data, dims = reshape_bruker_raw(flat, params)
+        assert dims == [DIMS.time, "averages"]
+        assert data.shape == (4, 3)
+        # Bruker order: time fastest => first average is the first 4 samples
+        np.testing.assert_array_equal(data[:, 0], [0, 1, 2, 3])
+
+    def test_reshape_missing_matrix(self):
+        with pytest.raises(ValueError, match="PVM_SpecMatrix"):
+            reshape_bruker_raw(np.zeros(4), {})
+
+    def test_reshape_bad_size(self):
+        with pytest.raises(ValueError, match="Cannot reshape"):
+            reshape_bruker_raw(np.zeros(7), {"PVM_SpecMatrix": 4, "PVM_NAverages": 3})
+
+    def test_build_fid_coords_attrs(self):
+        params = {
+            "PVM_SpecSWH": 5000.0,
+            "PVM_RepetitionTime": 1000.0,
+            "PVM_FrqRef": 127.6,
+            "PVM_FrqWorkPpm": 4.7,
+            "groupDelay": 76.125,
+        }
+        data = np.zeros((8, 2), complex)
+        da = build_fid(data, [DIMS.time, "averages"], params)
+        np.testing.assert_allclose(
+            da.coords[DIMS.time].values, np.arange(8) / 5000.0
+        )
+        assert da.attrs[ATTRS.reference_frequency] == 127.6
+        assert da.attrs[ATTRS.carrier_ppm] == 4.7
+        assert da.attrs["bruker_group_delay"] == 76.125
+
+    def test_build_fid_requires_time(self):
+        with pytest.raises(ValueError, match="time"):
+            build_fid(np.zeros((4,)), ["averages"], {"PVM_SpecSWH": 1.0})
+
+
+@pytest.mark.skipif(not BRUKER_NC.exists(), reason="Bruker fixture not present")
+class TestRealBrukerData:
+    """Full ingest pipeline on real scanner data vs hand-curated ground truth."""
+
+    @pytest.fixture(scope="class")
+    def spectrum_ppm(self):
+        raw = load_dataarray(BRUKER_NC)
+        assert raw.dims == ("raw", "component")
+        cplx = raw.xmr.to_complex()
+        data, dims = reshape_bruker_raw(cplx.values, cplx.attrs)
+        fid = build_fid(data, dims, cplx.attrs)
+        fid = fid.xmr.remove_digital_filter(
+            group_delay=float(fid.attrs["bruker_group_delay"])
+        )
+        # average the repeated acquisitions, then transform
+        fid_avg = fid.mean(dim="averages")
+        fid_avg.attrs = fid.attrs
+        spec = fid_avg.xmr.to_spectrum().xmr.autophase()
+        return spec.xmr.to_ppm()
+
+    def test_water_peak_position_ppm(self, spectrum_ppm):
+        ppm = spectrum_ppm.coords[DIMS.chemical_shift].values
+        peak_ppm = ppm[int(np.argmax(np.abs(spectrum_ppm.values)))]
+        # ground_truth.toml: water_main at 4.680 ppm
+        assert peak_ppm == pytest.approx(4.680, abs=0.02)
+
+    def test_water_peak_position_hz(self, spectrum_ppm):
+        hz = spectrum_ppm.coords[DIMS.frequency].values
+        peak_hz = hz[int(np.argmax(np.abs(spectrum_ppm.values)))]
+        # ground_truth.toml: water_main at -2.58 Hz
+        assert peak_hz == pytest.approx(-2.58, abs=2.5)
+
+    def test_phased_spectrum_mostly_absorptive(self, spectrum_ppm):
+        vals = spectrum_ppm.values
+        # After autophase the water peak's real part carries the signal.
+        # Real scanner data has intrinsic dispersion mixing at the peak bin
+        # (~0.85 is the ceiling for every method incl. the Bruker console's
+        # own phase), so assert dominance rather than purity.
+        peak_idx = int(np.argmax(np.abs(vals)))
+        assert abs(vals[peak_idx].real) / abs(vals[peak_idx]) > 0.8
+
+    def test_amplitude_scale(self, spectrum_ppm):
+        # ground_truth.toml water amplitude ~8.8e7 refers to the console's
+        # fft/n display convention; our ortho spectrum converts via 1/sqrt(n).
+        n = spectrum_ppm.sizes[DIMS.chemical_shift]
+        peak_display = float(np.max(np.abs(spectrum_ppm.values))) / np.sqrt(n)
+        assert peak_display == pytest.approx(8.8e7, rel=0.25)
+
+
+class TestNativeIO:
+    def test_npz_roundtrip(self, valid_fid_da, tmp_path):
+        p = tmp_path / "fid.npz"
+        save_npz(valid_fid_da, p)
+        back = load_npz(p)
+        np.testing.assert_array_equal(back.values, valid_fid_da.values)
+        assert back.dims == valid_fid_da.dims
+        assert back.attrs == valid_fid_da.attrs
+        np.testing.assert_array_equal(
+            back.coords[DIMS.time].values, valid_fid_da.coords[DIMS.time].values
+        )
+
+    def test_load_dataarray_rejects_hdf5(self, tmp_path):
+        p = tmp_path / "fake.nc"
+        p.write_bytes(b"\x89HDF\r\n")
+        with pytest.raises(ValueError, match="classic netCDF-3"):
+            load_dataarray(p)

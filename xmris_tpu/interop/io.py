@@ -1,0 +1,145 @@
+"""Array I/O: netCDF (classic) loading and native .npz round-trips.
+
+The reference relies on xarray's netCDF stack (``xr.load_dataarray``) to read
+scanner exports like ``tests/data/nspect_slab_1H/rawdatajob0.nc``.  Here the
+classic-netCDF path goes through SciPy (always available), and a native
+``.npz`` format provides lossless XmrArray round-trips (the checkpoint/resume
+complement to attrs-based lineage).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from xmris_tpu.core.array import Coord, XmrArray
+
+
+def _decode_attr(val):
+    if isinstance(val, bytes):
+        return val.decode("utf-8", "replace")
+    if isinstance(val, np.generic):
+        return val.item()
+    return val
+
+
+def load_dataarray(path: str | Path, variable: str | None = None) -> XmrArray:
+    """Load a DataArray-like variable from a classic (netCDF-3) file.
+
+    Reads xarray-written single-variable files (the Bruker raw exports the
+    reference ships); attrs attach from the variable, coordinate variables
+    become labeled coords.  HDF5-backed netCDF-4 files require h5py/netCDF4
+    and raise a clear error when absent.
+    """
+    path = Path(path)
+    magic = path.open("rb").read(4)
+    if magic[:3] != b"CDF":
+        raise ValueError(
+            f"{path} is not a classic netCDF-3 file (magic {magic!r}). "
+            "netCDF-4/HDF5 files need the optional netCDF4 or h5netcdf package."
+        )
+
+    from scipy.io import netcdf_file
+
+    f = netcdf_file(str(path), "r", mmap=False)
+    try:
+        dim_names = set(f.dimensions)
+        # Candidate data variables: not pure coordinate variables
+        candidates = {
+            name: var
+            for name, var in f.variables.items()
+            if variable is None or name == variable
+        }
+        if variable is None:
+            data_vars = {
+                n: v
+                for n, v in candidates.items()
+                if n not in dim_names and len(v.shape) >= 1
+            }
+            # Prefer xarray's unnamed-variable sentinel, else largest variable
+            if "__xarray_dataarray_variable__" in data_vars:
+                name = "__xarray_dataarray_variable__"
+            elif data_vars:
+                name = max(data_vars, key=lambda n: int(np.prod(data_vars[n].shape)))
+            else:
+                raise ValueError(f"No data variables found in {path}.")
+        else:
+            if variable not in candidates:
+                raise KeyError(f"Variable {variable!r} not found in {path}.")
+            name = variable
+
+        var = f.variables[name]
+        dims = tuple(var.dimensions)
+        data = np.array(var[:])
+        attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
+        attrs.pop("_FillValue", None)
+
+        coords: dict[str, Coord] = {}
+        for d in dims:
+            if d in f.variables and d != name:
+                cvar = f.variables[d]
+                cvals = np.array(cvar[:])
+                # Fixed-width char coords (e.g. 'realimag') decode to strings
+                if cvals.dtype.kind in ("S", "c") and cvals.ndim == 2:
+                    cvals = np.array(
+                        [b"".join(row).decode() for row in cvals], dtype=object
+                    )
+                coords[d] = Coord(d, cvals, dict(cvar._attributes))
+
+        out = XmrArray(data, dims=dims, attrs=attrs, name=None)
+        out.coords = coords
+        return out
+    finally:
+        f.close()
+
+
+def save_npz(da: XmrArray, path: str | Path) -> None:
+    """Lossless native serialization of an XmrArray to ``.npz``."""
+    coord_meta = {
+        cname: {"dim": c.dim, "attrs": c.attrs} for cname, c in da.coords.items()
+    }
+    arrays = {f"coord::{cname}": c.values for cname, c in da.coords.items()}
+    np.savez(
+        path,
+        data=da.values,
+        __meta__=np.frombuffer(
+            json.dumps(
+                {
+                    "dims": list(da.dims),
+                    "attrs": _jsonable(da.attrs),
+                    "name": da.name,
+                    "coords": coord_meta,
+                }
+            ).encode(),
+            dtype=np.uint8,
+        ),
+        **arrays,
+    )
+
+
+def load_npz(path: str | Path) -> XmrArray:
+    """Load an XmrArray previously saved with :func:`save_npz`."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        out = XmrArray(
+            z["data"], dims=tuple(meta["dims"]), attrs=meta["attrs"], name=meta["name"]
+        )
+        coords = {}
+        for cname, cm in meta["coords"].items():
+            coords[cname] = Coord(cm["dim"], z[f"coord::{cname}"], cm["attrs"])
+        out.coords = coords
+        return out
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, np.generic):
+        return obj.item()
+    return obj
