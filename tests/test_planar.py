@@ -1,0 +1,119 @@
+"""Planar-complex engine tests: matmul-DFT parity vs numpy FFT."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmris_tpu.ops.kernels.dft import (
+    _factorize,
+    dft_planar,
+    fft_ortho_planar,
+    ifft_ortho_planar,
+    plan_dft,
+)
+from xmris_tpu.parallel.pipeline import PipelineConfig, spectral_pipeline_raw
+from xmris_tpu.parallel.planar_pipeline import spectral_pipeline_planar_raw
+
+
+def rand_planar(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=shape), rng.normal(size=shape)
+
+
+class TestFactorization:
+    def test_balanced(self):
+        assert _factorize(2048) == (64, 32)
+        assert _factorize(1024) == (32, 32)
+        assert _factorize(100) == (10, 10)
+
+    def test_prime_falls_back(self):
+        n1, n2 = _factorize(13)
+        assert n1 * n2 == 13
+
+    def test_plan_cached(self):
+        assert plan_dft(256) is plan_dft(256)
+
+
+class TestDFTParity:
+    @pytest.mark.parametrize("n", [16, 100, 256, 1024, 2048, 13])
+    def test_forward_matches_numpy(self, n):
+        xr, xi = rand_planar((4, n), seed=n)
+        outr, outi = dft_planar(jnp.asarray(xr), jnp.asarray(xi), n, ortho=True)
+        expected = np.fft.fft(xr + 1j * xi, axis=-1, norm="ortho")
+        np.testing.assert_allclose(np.asarray(outr), expected.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(outi), expected.imag, atol=1e-9)
+
+    @pytest.mark.parametrize("n", [64, 1024])
+    def test_inverse_matches_numpy(self, n):
+        xr, xi = rand_planar((3, n), seed=n + 1)
+        outr, outi = ifft_ortho_planar(jnp.asarray(xr), jnp.asarray(xi))
+        expected = np.fft.ifft(xr + 1j * xi, axis=-1, norm="ortho")
+        np.testing.assert_allclose(np.asarray(outr), expected.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(outi), expected.imag, atol=1e-9)
+
+    def test_roundtrip(self):
+        xr, xi = rand_planar((2, 512))
+        fr, fi = fft_ortho_planar(jnp.asarray(xr), jnp.asarray(xi))
+        br, bi = ifft_ortho_planar(fr, fi)
+        np.testing.assert_allclose(np.asarray(br), xr, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-9)
+
+    def test_float32_accuracy(self):
+        # The TPU path runs float32: relative accuracy should be ~1e-6
+        xr, xi = rand_planar((2, 2048))
+        outr, outi = dft_planar(
+            jnp.asarray(xr, jnp.float32), jnp.asarray(xi, jnp.float32), 2048
+        )
+        expected = np.fft.fft(xr + 1j * xi, axis=-1, norm="ortho")
+        scale = np.max(np.abs(expected))
+        err = np.max(
+            np.abs((np.asarray(outr) + 1j * np.asarray(outi)) - expected)
+        )
+        assert err / scale < 5e-6
+
+
+class TestPlanarPipelineParity:
+    def test_matches_complex_pipeline(self):
+        rng = np.random.default_rng(5)
+        n_vox, n_time, zf = 8, 256, 512
+        t = np.arange(n_time) / 4000.0
+        fids = (
+            rng.uniform(1, 4, (n_vox, 1))
+            * np.exp((1j * 2 * np.pi * rng.uniform(-1e3, 1e3, (n_vox, 1)) - 30) * t)
+        )
+        fids += rng.normal(0, 1e-3, fids.shape) + 1j * rng.normal(0, 1e-3, fids.shape)
+
+        t_full = np.arange(zf) / 4000.0
+        weight = np.exp(-np.pi * 5.0 * t_full)
+        freqs = np.fft.fftshift(np.fft.fftfreq(zf, d=t[1] - t[0]))
+
+        cfg = PipelineConfig(zero_fill_to=zf, lb=5.0, autophase="single")
+        spec_c, (p0_c, p1_c, piv_c) = spectral_pipeline_raw(
+            jnp.asarray(fids), jnp.asarray(weight), jnp.asarray(freqs), cfg
+        )
+        re, im, (p0_p, p1_p, piv_p) = spectral_pipeline_planar_raw(
+            jnp.asarray(fids.real),
+            jnp.asarray(fids.imag),
+            jnp.asarray(weight),
+            jnp.asarray(freqs),
+            cfg,
+        )
+        planar = np.asarray(re) + 1j * np.asarray(im)
+        complexp = np.asarray(spec_c)
+        # identical DE seeds and identical math => same optimum
+        assert float(p0_c) == pytest.approx(float(p0_p), abs=1e-6)
+        np.testing.assert_allclose(planar, complexp, atol=1e-8)
+
+    def test_no_autophase_mode(self):
+        xr, xi = rand_planar((4, 128), seed=9)
+        weight = np.ones(128)
+        freqs = np.fft.fftshift(np.fft.fftfreq(128))
+        cfg = PipelineConfig(zero_fill_to=128, lb=0.0, autophase="none")
+        re, im, _ = spectral_pipeline_planar_raw(
+            jnp.asarray(xr), jnp.asarray(xi), jnp.asarray(weight), jnp.asarray(freqs), cfg
+        )
+        expected = np.fft.fftshift(
+            np.fft.fft(xr + 1j * xi, axis=-1, norm="ortho"), axes=-1
+        )
+        np.testing.assert_allclose(np.asarray(re), expected.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(im), expected.imag, atol=1e-9)

@@ -1,0 +1,112 @@
+"""Planar (split real/imag) variant of the fused MRSI spectral pipeline.
+
+Numerically identical to :func:`xmris_tpu.parallel.pipeline.spectral_pipeline_raw`
+but with no complex dtype anywhere on device: the FFT runs as MXU matmuls
+(:mod:`xmris_tpu.ops.kernels.dft`), apodization/phase factors are real
+cos/sin pairs, and the in-graph ACME differential-evolution autophase
+operates on the real plane directly.  This is the default TPU execution path:
+it keeps the transform on the systolic array and avoids backends with
+incomplete complex lowering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from xmris_tpu.ops.kernels.dft import dft_planar
+from xmris_tpu.ops.optim import differential_evolution
+from xmris_tpu.ops.phasing import acme_score_raw
+from xmris_tpu.parallel.pipeline import PipelineConfig
+
+
+def _phased_real_planar(re, im, coords, p0, p1, pivot, x_range):
+    phi = jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((coords - pivot) / x_range)
+    return re * jnp.cos(phi) - im * jnp.sin(phi)
+
+
+def _apply_phase_planar(re, im, phi):
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    return re * c - im * s, re * s + im * c
+
+
+def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig):
+    mag2 = re * re + im * im
+    flat_idx = jnp.argmax(mag2)
+    n_freq = re.shape[-1]
+    voxel_idx = flat_idx // n_freq
+    freq_idx = flat_idx % n_freq
+    pivot = freqs[freq_idx]
+    x_range = freqs[-1] - freqs[0]
+
+    row_re = jax.lax.dynamic_index_in_dim(re, voxel_idx, axis=0, keepdims=False)
+    row_im = jax.lax.dynamic_index_in_dim(im, voxel_idx, axis=0, keepdims=False)
+
+    def objective(ph):
+        p0 = ph[0]
+        p1 = ph[1] if not cfg.p0_only else jnp.asarray(0.0, ph.dtype)
+        d = _phased_real_planar(row_re, row_im, freqs, p0, p1, pivot, x_range)
+        return acme_score_raw(d)
+
+    bounds = (
+        jnp.asarray([(-180.0, 180.0)])
+        if cfg.p0_only
+        else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
+    )
+    result = differential_evolution(
+        objective,
+        bounds,
+        seed=cfg.de_seed,
+        popsize=cfg.de_popsize,
+        maxiter=cfg.de_maxiter,
+        tol=0.01,
+        polish_iters=60,
+    )
+    p0 = result.x[0]
+    p1 = result.x[1] if not cfg.p0_only else jnp.asarray(0.0, result.x.dtype)
+
+    phi = (jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((freqs - pivot) / x_range)).astype(
+        re.dtype
+    )
+    re, im = _apply_phase_planar(re, im, phi[None, :])
+    return re, im, p0, p1, pivot
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineConfig):
+    """Fused pipeline on planar (B, n_time) float batches.
+
+    Same contract as ``spectral_pipeline_raw`` but inputs/outputs are
+    (real, imag) pairs; returns ``(spec_re, spec_im, (p0, p1, pivot))``.
+    """
+    b, n_time = fids_re.shape
+
+    if cfg.zero_fill_to > n_time:
+        pad = ((0, 0), (0, cfg.zero_fill_to - n_time))
+        fids_re = jnp.pad(fids_re, pad)
+        fids_im = jnp.pad(fids_im, pad)
+
+    w = weight[None, :].astype(fids_re.dtype)
+    fids_re = fids_re * w
+    fids_im = fids_im * w
+
+    spec_re, spec_im = dft_planar(fids_re, fids_im, cfg.zero_fill_to, ortho=True)
+    shift = cfg.zero_fill_to // 2
+    spec_re = jnp.roll(spec_re, shift, axis=-1)
+    spec_im = jnp.roll(spec_im, shift, axis=-1)
+
+    if cfg.autophase == "single":
+        spec_re, spec_im, p0, p1, pivot = _autophase_single_planar(
+            spec_re, spec_im, freqs, cfg
+        )
+    elif cfg.autophase == "all":
+        raise NotImplementedError(
+            "Planar per-voxel autophase lands with the planar LM engine; use "
+            "autophase='single' or the complex pipeline on CPU."
+        )
+    else:
+        zero = jnp.zeros((), fids_re.dtype)
+        p0 = p1 = pivot = zero
+    return spec_re, spec_im, (p0, p1, pivot)
