@@ -169,7 +169,9 @@ class XmrisSpectrumCoordsMixin:
         hz_coords = self._obj.coords[dim].values
 
         ppm_coords = carrier_ppm + (hz_coords / mhz)
-        shift_coord = as_coord(DIMS.chemical_shift, dim, ppm_coords)
+        # COORDS.chemical_shift carries the ppm unit (the reference passed the
+        # unit-less DIMS term here and so never attached units).
+        shift_coord = as_coord(COORDS.chemical_shift, dim, ppm_coords)
 
         obj = self._obj.assign_coords({DIMS.chemical_shift: shift_coord})
         return obj.swap_dims({dim: DIMS.chemical_shift})
