@@ -1,0 +1,126 @@
+"""Pallas LM kernel tests (interpret mode on CPU; exact math parity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmris_tpu.fitting.lm import (
+    eq6_basis_planar,
+    eq6_jacobian_planar,
+    external_to_internal,
+    hashable_pmap,
+    lm_fit_batched_pallas,
+    lm_fit_batched_planar,
+)
+from xmris_tpu.fitting.prior import load_prior_knowledge
+from xmris_tpu.ops.kernels.lm_pallas import eq6_normal_equations_pallas
+
+MHZ = 120.0
+
+
+def sane_grids(b, k, seed=0):
+    rng = np.random.default_rng(seed)
+    cols = []
+    for _ in range(b):
+        peaks = []
+        for _ in range(k):
+            peaks.extend(
+                [
+                    rng.uniform(1, 30),
+                    rng.uniform(-8, 1),
+                    rng.uniform(5, 40),
+                    rng.uniform(-90, 90),
+                    rng.uniform(0, 1),
+                ]
+            )
+        cols.append(peaks)
+    return np.asarray(cols, dtype=np.float32)
+
+
+class TestNormalEquationsKernel:
+    @pytest.mark.parametrize("n_t,k", [(256, 2), (512, 3)])
+    def test_matches_xla_reference(self, n_t, k):
+        b = 5
+        rng = np.random.default_rng(n_t)
+        grids = sane_grids(b, k, seed=n_t)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+
+        cost, g, h = eq6_normal_equations_pallas(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
+        )
+
+        tj = jnp.asarray(t)
+        for i in range(b):
+            grid = jnp.asarray(grids[i].reshape(k, 5))
+            m_re, m_im, b_re, b_im = eq6_basis_planar(tj, grid, MHZ)
+            jre = eq6_jacobian_planar(tj, grid, b_re, b_im, MHZ)[0].reshape(n_t, -1)
+            jim = eq6_jacobian_planar(tj, grid, b_re, b_im, MHZ)[1].reshape(n_t, -1)
+            rre = yre[i] - np.asarray(m_re)
+            rim = yim[i] - np.asarray(m_im)
+            c_ref = float(np.sum(rre**2 + rim**2))
+            g_ref = np.asarray(jre).T @ rre + np.asarray(jim).T @ rim
+            h_ref = (
+                np.asarray(jre).T @ np.asarray(jre)
+                + np.asarray(jim).T @ np.asarray(jim)
+            )
+            assert float(cost[i]) == pytest.approx(c_ref, rel=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(g[i]), g_ref, rtol=1e-4, atol=1e-3 * np.abs(g_ref).max()
+            )
+            np.testing.assert_allclose(
+                np.asarray(h[i]), h_ref, rtol=1e-4, atol=1e-3 * np.abs(h_ref).max()
+            )
+
+    def test_batch_padding(self):
+        # batch not divisible by the tile: padding rows must not leak
+        b, n_t, k = 3, 128, 1
+        rng = np.random.default_rng(1)
+        grids = sane_grids(b, k)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+        cost, g, h = eq6_normal_equations_pallas(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
+        )
+        assert cost.shape == (3,)
+        assert g.shape == (3, 5)
+        assert h.shape == (3, 5, 5)
+        assert np.isfinite(np.asarray(cost)).all()
+
+
+class TestPallasLMDriver:
+    def test_converges_like_xla_driver(self, tmp_path):
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom()
+        fids = np.asarray(da.transpose("voxel", "time").values).astype(np.complex64)
+        t = jnp.asarray((np.arange(1024) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r_xla = lm_fit_batched_planar(re, im, *args, max_iter=40)
+        r_pal = lm_fit_batched_pallas(
+            re, im, *args, max_iter=40, v_tile=1, interpret=True
+        )
+        # Same optima basin: amplitudes agree to a few percent, costs close
+        np.testing.assert_allclose(
+            np.asarray(r_pal.x_free[:, 0]),
+            np.asarray(r_xla.x_free[:, 0]),
+            rtol=0.05,
+        )
+        assert np.all(np.asarray(r_pal.cost) < np.asarray(r_xla.cost) * 1.1)
+        assert np.asarray(r_pal.converged).all()

@@ -58,6 +58,7 @@ def fit_amares(
     verbose: bool = False,
     max_iter: int = 60,
     chunk_size: int = 4096,
+    engine: str = "auto",
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -66,7 +67,11 @@ def fit_amares(
     ``initialize_with_lm=True`` runs a second refinement pass seeded from the
     first solution (the analog of lmfit's LM initializer).  ``max_iter`` and
     ``chunk_size`` control the batched solver (chunking bounds the Jacobian
-    workspace: ``chunk_size * n_time * n_free`` complex elements).
+    workspace: ``chunk_size * n_time * n_free`` elements per plane).
+
+    ``engine`` selects the device solver: ``"xla"`` (vmapped planar LM),
+    ``"pallas"`` (fused normal-equations kernel, Jacobians never leave VMEM),
+    or ``"auto"`` (pallas on TPU, xla elsewhere).
     """
     if dim not in da.dims:
         raise ValueError(f"Dimension '{dim}' missing in DataArray.")
@@ -123,14 +128,36 @@ def fit_amares(
     u0_j = jnp.asarray(u0)
 
     # 5. Batched bounded LM over voxel chunks
+    if engine == "auto":
+        import jax as _jax
+
+        engine = "pallas" if _jax.default_backend() == "tpu" else "xla"
+
+    def run_lm(re_c, im_c, u_init, iters):
+        if engine == "pallas":
+            import jax as _jax
+
+            from xmris_tpu.fitting.lm import lm_fit_batched_pallas
+
+            return lm_fit_batched_pallas(
+                re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
+                pmap_static, mhz, max_iter=iters,
+                interpret=_jax.default_backend() != "tpu",
+            )
+        from xmris_tpu.fitting.lm import lm_fit_batched_planar
+
+        return lm_fit_batched_planar(
+            re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
+            pmap_static, mhz, max_iter=iters,
+        )
+
     t_before = time.perf_counter()
     x_parts, conv_parts = [], []
     for start in range(0, n_spectra, chunk_size):
-        chunk = jnp.asarray(fid_arrs[start : start + chunk_size])
-        res = lm_fit_batched(
-            chunk, t_j, u0_j, lower_j, upper_j, kind_j, pmap_static, mhz,
-            max_iter=max_iter,
-        )
+        chunk_np = fid_arrs[start : start + chunk_size]
+        re_c = jnp.asarray(np.ascontiguousarray(chunk_np.real))
+        im_c = jnp.asarray(np.ascontiguousarray(chunk_np.imag))
+        res = run_lm(re_c, im_c, u0_j, max_iter)
         x = res.x_free
         if initialize_with_lm:
             # Refinement pass: restart every voxel from its own optimum with a
@@ -139,10 +166,7 @@ def fit_amares(
             u_refined = jnp.asarray(
                 external_to_internal(np.asarray(x), pk.lower, pk.upper, pk.kind)
             )
-            res2 = lm_fit_batched(
-                chunk, t_j, u_refined, lower_j, upper_j,
-                kind_j, pmap_static, mhz, max_iter=max(max_iter // 2, 10),
-            )
+            res2 = run_lm(re_c, im_c, u_refined, max(max_iter // 2, 10))
             better = res2.cost < res.cost
             x = jnp.where(better[:, None], res2.x_free, x)
             conv = res.converged | res2.converged
@@ -289,17 +313,27 @@ def fit_amares(
 
 
 def _reconstruct_batch(x_free, t_j, pk: PriorKnowledge, mhz: float):
-    """Time-domain model reconstruction for a batch of solutions."""
+    """Time-domain model reconstruction for a batch of solutions.
+
+    Planar on device (no complex dtype); combined to complex on the host.
+    """
     import jax
 
-    pmap = pk.pmap
+    from xmris_tpu.fitting.lm import eq6_basis_planar
 
-    def one(x):
-        grid = expand_params(x, _as_jax_pmap(pmap))
-        model, _ = eq6_model_and_basis(t_j, grid, mhz)
-        return model
+    pmap = _as_jax_pmap(pk.pmap)
 
-    return jax.vmap(one)(x_free)
+    @jax.jit
+    def run(xs):
+        def one(x):
+            grid = expand_params(x, pmap)
+            m_re, m_im, _, _ = eq6_basis_planar(t_j, grid, mhz)
+            return m_re, m_im
+
+        return jax.vmap(one)(xs)
+
+    m_re, m_im = run(x_free)
+    return np.asarray(m_re) + 1j * np.asarray(m_im)
 
 
 def _as_jax_pmap(pmap):

@@ -1,21 +1,26 @@
-"""Batched bounded Levenberg-Marquardt for AMARES Eq.6 models.
+"""Batched bounded Levenberg-Marquardt for AMARES Eq.6 models (planar core).
 
 This is the TPU-native replacement for the reference's per-voxel
 pyAMARES/lmfit fits shipped through a joblib process pool
 (``src/xmris/fitting/amares.py:118-204``): instead of one Python LM per
 process, ONE XLA program runs the full LM iteration for every voxel in the
 batch simultaneously — model evaluation, analytic Jacobian, normal equations
-(``Re(J^H J)`` via batched matmuls on the MXU), damped Cholesky solve, and
-accept/reject — with fixed trip count and per-voxel convergence masks.
+as batched real matmuls on the MXU, damped solve, and accept/reject — with a
+fixed trip count and per-voxel convergence masks.
+
+All device math is **planar**: complex FIDs are carried as (real, imag)
+float planes, so no complex dtype ever reaches the accelerator (same design
+as :mod:`xmris_tpu.ops.kernels.dft`).  The complex->planar split happens on
+the host at the API boundary.
 
 Bounds use the MINPACK/lmfit parameter transform (``x = lo + (sin u + 1)/2 *
 (hi - lo)`` for two-sided bounds, shifted-hyperbola for one-sided), so the
-internal optimization is unconstrained and differentiable, matching lmfit's
-``leastsq`` behavior the reference inherits.
+internal optimization is unconstrained, matching lmfit's ``leastsq`` behavior
+the reference inherits.
 
 The Jacobian is analytic: every Eq.6 partial is a cheap reweighting of the
-per-peak basis ``B_k = a_k e^{i phi_k} E_k(t)``, so the full (2*n_time x P)
-Jacobian costs ~one model evaluation instead of P finite-difference passes.
+per-peak basis ``B_k = a_k e^{i phi_k} E_k(t)``, so the full Jacobian costs
+about one model evaluation instead of P finite-difference passes.
 
 Failure semantics mirror the reference's NaN-masking contract
 (``amares.py:91-115``): voxels whose solve goes non-finite keep iterating on
@@ -54,15 +59,14 @@ def external_to_internal(x, lower, upper, kind):
     hi = np.where(np.isfinite(upper), upper, 0.0)
     x = np.asarray(x, dtype=np.float64)
 
-    # two-sided: u = arcsin(2*(x-lo)/(hi-lo) - 1)
     frac = np.clip(
-        np.where(hi > lo, (x - lo) / np.where(hi > lo, hi - lo, 1.0), 0.5), 1e-8, 1 - 1e-8
+        np.where(hi > lo, (x - lo) / np.where(hi > lo, hi - lo, 1.0), 0.5),
+        1e-8,
+        1 - 1e-8,
     )
     u_both = np.arcsin(2.0 * frac - 1.0)
-    # lower only: x = lo - 1 + sqrt(u^2+1)  =>  u = sqrt((x-lo+1)^2 - 1)
     v = np.maximum(x - lo + 1.0, 1.0 + 1e-12)
     u_lower = np.sqrt(v * v - 1.0)
-    # upper only: x = hi + 1 - sqrt(u^2+1)  =>  u = sqrt((hi-x+1)^2 - 1)
     w = np.maximum(hi - x + 1.0, 1.0 + 1e-12)
     u_upper = np.sqrt(w * w - 1.0)
 
@@ -72,8 +76,7 @@ def external_to_internal(x, lower, upper, kind):
 
 
 def internal_to_external_jax(u, lower, upper, kind):
-    """Traced map from internal coordinates to bounded external values,
-    plus the diagonal Jacobian dx/du (for the chain rule)."""
+    """Traced bounded transform + its diagonal Jacobian dx/du."""
     lo = jnp.where(jnp.isfinite(lower), lower, 0.0)
     hi = jnp.where(jnp.isfinite(upper), upper, 0.0)
 
@@ -99,7 +102,7 @@ def internal_to_external_jax(u, lower, upper, kind):
 
 
 # ---------------------------------------------------------------------------
-# Eq.6 model + analytic Jacobian in physical parameter space
+# Eq.6 model + analytic Jacobian, planar arithmetic
 # ---------------------------------------------------------------------------
 
 
@@ -125,11 +128,10 @@ def expand_params(x_free, pmap: ParamMap):
     return full.reshape(pmap.n_peaks, 5)
 
 
-def eq6_model_and_basis(t, grid, mhz: float):
-    """Model FID and the per-peak complex basis B_k = a_k e^{i phi} E_k(t).
+def eq6_basis_planar(t, grid, mhz: float):
+    """Per-peak planar basis B_k = a_k e^{i phi} E_k(t) and the planar model.
 
-    grid: (K, 5) physical parameters [amp, cs_ppm, lw_hz, phase_deg, g].
-    Returns (model (n_t,) complex, basis (n_t, K) complex, decay_args).
+    Returns (m_re, m_im, b_re, b_im) with b_* of shape (n_t, K).
     """
     amp = grid[:, 0]
     f_hz = grid[:, 1] * mhz
@@ -137,23 +139,25 @@ def eq6_model_and_basis(t, grid, mhz: float):
     phi = jnp.deg2rad(grid[:, 3])
     g = grid[:, 4]
 
-    t_col = t[:, None]  # (n_t, 1)
-    damp_arg = d * (1.0 - g + g * t_col) * t_col  # (n_t, K)
+    t_col = t[:, None]
+    envelope = amp * jnp.exp(-d * (1.0 - g + g * t_col) * t_col)
     angle = 2.0 * jnp.pi * f_hz * t_col + phi
-    basis = amp * jnp.exp(-damp_arg) * (jnp.cos(angle) + 1j * jnp.sin(angle))
-    model = jnp.sum(basis, axis=1)
-    return model, basis
+    b_re = envelope * jnp.cos(angle)
+    b_im = envelope * jnp.sin(angle)
+    return jnp.sum(b_re, axis=1), jnp.sum(b_im, axis=1), b_re, b_im
 
 
-def eq6_jacobian_physical(t, grid, basis, mhz: float):
-    """Analytic complex Jacobian d(model)/d(physical params), (n_t, K, 5).
+def eq6_jacobian_planar(t, grid, b_re, b_im, mhz: float):
+    """Analytic planar Jacobian d(model)/d(physical params), two (n_t, K, 5)
+    planes.  Every partial reweights the basis:
 
-    Every partial reweights the basis:
-      d/d amp   = B_k / a_k
-      d/d cs    = i*2*pi*MHz*t * B_k
-      d/d lw    = -pi*(1-g+g*t)*t * B_k
-      d/d phase = i*(pi/180) * B_k
-      d/d g     = -d*(t^2 - t) * B_k
+      d/d amp   = B_k / a_k                    (real factor)
+      d/d cs    = i * 2*pi*MHz*t * B_k          (i * real factor)
+      d/d lw    = -pi*(1-g+g*t)*t * B_k         (real factor)
+      d/d phase = i * (pi/180) * B_k            (i * real factor)
+      d/d g     = -d*(t^2 - t) * B_k            (real factor)
+
+    where multiplying by ``i*c`` maps planes (re, im) -> (-c*im, c*re).
     """
     amp = grid[:, 0]
     d = jnp.pi * grid[:, 2]
@@ -161,12 +165,41 @@ def eq6_jacobian_physical(t, grid, basis, mhz: float):
     t_col = t[:, None]
 
     safe_amp = jnp.where(amp == 0, 1.0, amp)
-    j_amp = basis / safe_amp
-    j_cs = (1j * 2.0 * jnp.pi * mhz) * t_col * basis
-    j_lw = -jnp.pi * (1.0 - g + g * t_col) * t_col * basis
-    j_ph = (1j * jnp.pi / 180.0) * basis
-    j_g = -d * (t_col * t_col - t_col) * basis
-    return jnp.stack([j_amp, j_cs, j_lw, j_ph, j_g], axis=2)  # (n_t, K, 5)
+    w_cs = 2.0 * jnp.pi * mhz * t_col
+    w_lw = -jnp.pi * (1.0 - g + g * t_col) * t_col
+    w_ph = jnp.pi / 180.0
+    w_g = -d * (t_col * t_col - t_col)
+
+    j_re = jnp.stack(
+        [b_re / safe_amp, -w_cs * b_im, w_lw * b_re, -w_ph * b_im, w_g * b_re],
+        axis=2,
+    )
+    j_im = jnp.stack(
+        [b_im / safe_amp, w_cs * b_re, w_lw * b_im, w_ph * b_re, w_g * b_im],
+        axis=2,
+    )
+    return j_re, j_im  # (n_t, K, 5) each
+
+
+@functools.lru_cache(maxsize=64)
+def _scatter_matrix(pmap_static, n_free: int) -> np.ndarray:
+    """Dense (K*5, F) matrix folding scale factors + free-slot routing.
+
+    Turns the physical->free column reduction into a single matmul (MXU)
+    instead of an XLA scatter, which is slow on TPU.
+    """
+    idx = np.asarray(pmap_static[0])
+    scale = np.asarray(pmap_static[1])
+    s = np.zeros((len(idx), n_free), dtype=np.float64)
+    for j, (slot, sc) in enumerate(zip(idx, scale)):
+        if slot >= 0:
+            s[j, slot] += sc
+    return s
+
+
+def _fold_free_columns(flat, smat):
+    """(n_t, K*5) physical-param columns -> (n_t, F) free columns (matmul)."""
+    return jnp.matmul(flat, smat, preferred_element_type=flat.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -181,108 +214,141 @@ class LMResult(NamedTuple):
     converged: jax.Array  # (B,) bool
 
 
-def _residual_jacobian(u, y, t, pmap, lower, upper, kind, mhz):
-    """Complex residual r = y - model and complex Jacobian w.r.t. internal u."""
-    x, dxdu = internal_to_external_jax(u, lower, upper, kind)
-    grid = expand_params(x, pmap)
-    model, basis = eq6_model_and_basis(t, grid, mhz)
-    jac_phys = eq6_jacobian_physical(t, grid, basis, mhz)  # (n_t, K, 5)
-
-    # Chain: d model / d u_f = sum_j jac_phys[j] * scale[j] * dxdu[f] [idx[j]==f]
-    n_free = u.shape[0]
-    flat = jac_phys.reshape(jac_phys.shape[0], -1)  # (n_t, K*5)
-    scaled = flat * pmap.scale[None, :]
-    seg = jnp.where(pmap.idx >= 0, pmap.idx, n_free)  # route fixed to a dump slot
-    # scatter-add columns into free slots
-    jac_u = jnp.zeros((flat.shape[0], n_free + 1), dtype=flat.dtype)
-    jac_u = jac_u.at[:, seg].add(scaled)
-    jac_u = jac_u[:, :n_free] * dxdu[None, :]
-    r = y - model
-    return r, jac_u, model
+def _pmap_jax(pmap_static, dtype=None) -> ParamMap:
+    return ParamMap(
+        idx=jnp.asarray(pmap_static[0]),
+        scale=jnp.asarray(pmap_static[1], dtype),
+        offset=jnp.asarray(pmap_static[2], dtype),
+        n_peaks=pmap_static[3],
+    )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pmap_static", "max_iter", "mhz")
-)
-def lm_fit_batched(
-    fids,  # (B, n_t) complex
+@functools.partial(jax.jit, static_argnames=("pmap_static", "max_iter", "mhz"))
+def lm_fit_batched_planar(
+    fids_re,  # (B, n_t) real
+    fids_im,  # (B, n_t) real
     t,  # (n_t,) float
     u0,  # (F,) shared or (B, F) per-voxel initial internal params
     lower,
     upper,
     kind,
-    pmap_static,  # hashable ParamMap-like tuple (see hashable_pmap)
+    pmap_static,  # hashable ParamMap tuple (see hashable_pmap)
     mhz: float,
     max_iter: int = 50,
     lam0: float = 1e-3,
     ftol: float = 1e-10,
 ):
-    """Run bounded LM on every row of ``fids`` in one compiled program."""
-    pmap = ParamMap(
-        idx=jnp.asarray(pmap_static[0]),
-        scale=jnp.asarray(pmap_static[1]),
-        offset=jnp.asarray(pmap_static[2]),
-        n_peaks=pmap_static[3],
-    )
-    real_dtype = jnp.real(fids).dtype
+    """Run bounded LM on every row of the planar batch in one program."""
+    real_dtype = fids_re.dtype
+    pmap = _pmap_jax(pmap_static, real_dtype)
     t = t.astype(real_dtype)
     lower = lower.astype(real_dtype)
     upper = upper.astype(real_dtype)
     u0 = u0.astype(real_dtype)
     if u0.ndim == 1:
-        u0 = jnp.broadcast_to(u0[None, :], (fids.shape[0], u0.shape[0]))
+        u0 = jnp.broadcast_to(u0[None, :], (fids_re.shape[0], u0.shape[0]))
+    n_free = u0.shape[-1]
+    smat = jnp.asarray(_scatter_matrix(pmap_static, n_free), real_dtype)
 
-    def solve_one(y, u0):
-        def cost_of(u):
-            x, _ = internal_to_external_jax(u, lower, upper, kind)
+    def solve_one(y_re, y_im, u_init):
+        def evaluate(u):
+            """Full state at u: bounded params, basis planes, model, cost."""
+            x, dxdu, = internal_to_external_jax(u, lower, upper, kind)[:2]
             grid = expand_params(x, pmap)
-            model, _ = eq6_model_and_basis(t, grid, mhz)
-            r = y - model
-            return jnp.sum(jnp.real(r) ** 2 + jnp.imag(r) ** 2)
-
-        def step(carry, _):
-            u, cost, lam, n_acc, done = carry
-            r, jac, _ = _residual_jacobian(u, y, t, pmap, lower, upper, kind, mhz)
-            # Normal equations in real arithmetic via complex products:
-            # H = Re(J^H J), g = Re(J^H r)
-            h = jnp.real(jac.conj().T @ jac)
-            grad = jnp.real(jac.conj().T @ r)
-            diag = jnp.diagonal(h)
-            damped = h + lam * jnp.diag(jnp.maximum(diag, 1e-12))
-            # Solve; guard non-finite systems
-            delta = jnp.linalg.solve(
-                damped + 1e-12 * jnp.eye(h.shape[0], dtype=h.dtype), grad
+            m_re, m_im, b_re, b_im = eq6_basis_planar(t, grid, mhz)
+            cost = jnp.sum((y_re - m_re) ** 2 + (y_im - m_im) ** 2)
+            return dict(
+                u=u, dxdu=dxdu, grid=grid, m_re=m_re, m_im=m_im,
+                b_re=b_re, b_im=b_im, cost=cost,
             )
-            u_new = u + delta
-            new_cost = cost_of(u_new)
-            ok = jnp.isfinite(new_cost) & (new_cost < cost)
-            improved = ok & ~done
-            rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-300)
-            u = jnp.where(improved, u_new, u)
-            cost_out = jnp.where(improved, new_cost, cost)
-            lam = jnp.where(improved, lam * 0.33, lam * 2.5)
-            lam = jnp.clip(lam, 1e-12, 1e12)
-            n_acc = n_acc + improved.astype(jnp.int32)
-            done = done | (improved & (rel_drop < ftol))
-            return (u, cost_out, lam, n_acc, done), None
 
-        init_cost = cost_of(u0)
-        carry0 = (
-            u0,
-            init_cost,
+        def cond(carry):
+            st, lam, n_acc, done, i = carry
+            return (i < max_iter) & ~done
+
+        def step(carry):
+            st, lam, n_acc, done, i = carry
+            # Jacobian from the basis carried with the accepted state — one
+            # transcendental-heavy basis evaluation per iteration total.
+            j_re_p, j_im_p = eq6_jacobian_planar(
+                t, st["grid"], st["b_re"], st["b_im"], mhz
+            )
+            j_re = _fold_free_columns(
+                j_re_p.reshape(j_re_p.shape[0], -1), smat
+            ) * st["dxdu"][None, :]
+            j_im = _fold_free_columns(
+                j_im_p.reshape(j_im_p.shape[0], -1), smat
+            ) * st["dxdu"][None, :]
+
+            r_re = y_re - st["m_re"]
+            r_im = y_im - st["m_im"]
+
+            # Normal equations: H = J_re^T J_re + J_im^T J_im (MXU matmuls)
+            h = jnp.matmul(j_re.T, j_re, preferred_element_type=real_dtype)
+            h = h + jnp.matmul(j_im.T, j_im, preferred_element_type=real_dtype)
+            grad = j_re.T @ r_re + j_im.T @ r_im
+
+            diag = jnp.diagonal(h)
+            damped = h + lam * jnp.diag(jnp.maximum(diag, 1e-12)) + 1e-12 * jnp.eye(
+                h.shape[0], dtype=h.dtype
+            )
+            chol = jnp.linalg.cholesky(damped)
+            delta = jax.scipy.linalg.cho_solve((chol, True), grad)
+
+            trial = evaluate(st["u"] + delta)
+            ok = jnp.isfinite(trial["cost"]) & (trial["cost"] < st["cost"])
+            rel_drop = (st["cost"] - trial["cost"]) / jnp.maximum(st["cost"], 1e-300)
+
+            st_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), trial, st
+            )
+            lam = jnp.clip(jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12)
+            n_acc = n_acc + ok.astype(jnp.int32)
+            # Converged only when the improvement vanishes in the near-Gauss-
+            # Newton regime (small damping) — a tiny drop under heavy damping
+            # just means the trust region is small, not that we are done.
+            done = done | (ok & (rel_drop < ftol) & (lam < lam0))
+            return (st_new, lam, n_acc, done, i + 1)
+
+        st0 = evaluate(u_init)
+        carry = (
+            st0,
             jnp.asarray(lam0, real_dtype),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
         )
-        (u, cost, lam, n_acc, done), _ = jax.lax.scan(
-            step, carry0, None, length=max_iter
-        )
-        x_final, _ = internal_to_external_jax(u, lower, upper, kind)
-        converged = jnp.isfinite(cost) & (n_acc > 0)
-        return x_final, cost, n_acc, converged
+        st, _, n_acc, _, _ = jax.lax.while_loop(cond, step, carry)
+        x_final, _ = internal_to_external_jax(st["u"], lower, upper, kind)
+        converged = jnp.isfinite(st["cost"]) & (n_acc > 0)
+        return x_final, st["cost"], n_acc, converged
 
-    x, cost, n_iter, conv = jax.vmap(solve_one)(fids, u0)
+    x, cost, n_iter, conv = jax.vmap(solve_one)(fids_re, fids_im, u0)
     return LMResult(x_free=x, cost=cost, n_iter=n_iter, converged=conv)
+
+
+def lm_fit_batched(
+    fids,  # (B, n_t) complex (host or device)
+    t,
+    u0,
+    lower,
+    upper,
+    kind,
+    pmap_static,
+    mhz: float,
+    max_iter: int = 50,
+    lam0: float = 1e-3,
+    ftol: float = 1e-10,
+):
+    """Complex-input convenience wrapper: splits planes on the host and runs
+    the planar core (keeps complex dtypes off the device)."""
+    f = np.asarray(fids)
+    re = jnp.asarray(np.ascontiguousarray(f.real))
+    im = jnp.asarray(np.ascontiguousarray(f.imag))
+    return lm_fit_batched_planar(
+        re, im, t, u0, lower, upper, kind, pmap_static, mhz,
+        max_iter=max_iter, lam0=lam0, ftol=ftol,
+    )
 
 
 def hashable_pmap(pmap: ParamMap):
@@ -301,43 +367,177 @@ def hashable_pmap(pmap: ParamMap):
 
 
 @functools.partial(jax.jit, static_argnames=("pmap_static", "mhz"))
-def crlb_batched(fids, t, x_free, lower, upper, kind, pmap_static, mhz: float):
+def crlb_batched_planar(
+    fids_re, fids_im, t, x_free, lower, upper, kind, pmap_static, mhz: float
+):
     """Cramer-Rao lower bounds (standard deviations) of the free parameters.
 
-    sigma^2 is estimated from the final residuals (per real channel); the
-    covariance is ``sigma^2 * Re(J^H J)^-1`` evaluated at the optimum —
-    matching the standard AMARES CRLB definition (identity prior matrix).
+    sigma^2 comes from the final residuals (per real channel); the covariance
+    is ``sigma^2 * (J_re^T J_re + J_im^T J_im)^-1`` at the optimum — the
+    standard AMARES CRLB with an identity prior matrix.
     """
-    pmap = ParamMap(
-        idx=jnp.asarray(pmap_static[0]),
-        scale=jnp.asarray(pmap_static[1]),
-        offset=jnp.asarray(pmap_static[2]),
-        n_peaks=pmap_static[3],
-    )
-    real_dtype = jnp.real(fids).dtype
+    real_dtype = fids_re.dtype
+    pmap = _pmap_jax(pmap_static, real_dtype)
     t = t.astype(real_dtype)
+    x_free = x_free.astype(real_dtype)
+    n_free = x_free.shape[-1]
+    smat = jnp.asarray(_scatter_matrix(pmap_static, n_free), real_dtype)
 
-    def one(y, x):
-        # Jacobian w.r.t. the *external* free params (identity transform).
+    def one(y_re, y_im, x):
         grid = expand_params(x, pmap)
-        model, basis = eq6_model_and_basis(t, grid, mhz)
-        jac_phys = eq6_jacobian_physical(t, grid, basis, mhz)
-        flat = jac_phys.reshape(jac_phys.shape[0], -1) * pmap.scale[None, :]
-        n_free = x.shape[0]
-        seg = jnp.where(pmap.idx >= 0, pmap.idx, n_free)
-        jac = jnp.zeros((flat.shape[0], n_free + 1), dtype=flat.dtype)
-        jac = jac.at[:, seg].add(flat)[:, :n_free]
+        m_re, m_im, b_re, b_im = eq6_basis_planar(t, grid, mhz)
+        j_re_p, j_im_p = eq6_jacobian_planar(t, grid, b_re, b_im, mhz)
+        j_re = _fold_free_columns(j_re_p.reshape(j_re_p.shape[0], -1), smat)
+        j_im = _fold_free_columns(j_im_p.reshape(j_im_p.shape[0], -1), smat)
 
-        r = y - model
-        n_res = 2.0 * t.shape[0]
-        dof = jnp.maximum(n_res - n_free, 1.0)
-        sigma2 = jnp.sum(jnp.real(r) ** 2 + jnp.imag(r) ** 2) / dof
+        r2 = jnp.sum((y_re - m_re) ** 2 + (y_im - m_im) ** 2)
+        dof = jnp.maximum(2.0 * t.shape[0] - n_free, 1.0)
+        sigma2 = r2 / dof
 
-        h = jnp.real(jac.conj().T @ jac)
-        cov = sigma2 * jnp.linalg.inv(
-            h + 1e-12 * jnp.eye(n_free, dtype=h.dtype)
-        )
+        h = j_re.T @ j_re + j_im.T @ j_im
+        cov = sigma2 * jnp.linalg.inv(h + 1e-12 * jnp.eye(n_free, dtype=h.dtype))
         return jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 0.0)), sigma2
 
-    sds, sigma2 = jax.vmap(one)(fids, x_free)
+    sds, sigma2 = jax.vmap(one)(fids_re, fids_im, x_free)
     return sds, sigma2
+
+
+def crlb_batched(fids, t, x_free, lower, upper, kind, pmap_static, mhz: float):
+    """Complex-input wrapper over :func:`crlb_batched_planar`."""
+    f = np.asarray(fids)
+    re = jnp.asarray(np.ascontiguousarray(f.real))
+    im = jnp.asarray(np.ascontiguousarray(f.imag))
+    return crlb_batched_planar(
+        re, im, t, x_free, lower, upper, kind, pmap_static, mhz
+    )
+
+
+# Backwards-compatible aliases for the complex-facing model helpers used by
+# the simulator path (CPU-side only).
+def eq6_model_and_basis(t, grid, mhz: float):
+    """Complex model + basis (host/CPU convenience; device code uses planar)."""
+    m_re, m_im, b_re, b_im = eq6_basis_planar(t, grid, mhz)
+    return m_re + 1j * m_im, b_re + 1j * b_im
+
+
+# ---------------------------------------------------------------------------
+# Pallas-accelerated LM driver (TPU hot path)
+# ---------------------------------------------------------------------------
+
+
+def _expand_params_batched(x, pmap_static, dtype):
+    """(B, F) free vectors -> (B, K*5) physical grids (traced, batched)."""
+    idx = jnp.asarray(pmap_static[0])
+    scale = jnp.asarray(pmap_static[1], dtype)
+    offset = jnp.asarray(pmap_static[2], dtype)
+    safe_idx = jnp.maximum(idx, 0)
+    gathered = x[:, safe_idx]
+    return offset[None, :] + jnp.where(idx[None, :] >= 0, scale[None, :] * gathered, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pmap_static", "max_iter", "mhz", "v_tile", "interpret"),
+)
+def lm_fit_batched_pallas(
+    fids_re,
+    fids_im,
+    t,
+    u0,
+    lower,
+    upper,
+    kind,
+    pmap_static,
+    mhz: float,
+    max_iter: int = 50,
+    lam0: float = 1e-3,
+    ftol: float = 1e-10,
+    v_tile: int = 8,
+    interpret: bool = False,
+):
+    """Bounded LM with the fused Pallas normal-equations kernel.
+
+    One kernel evaluation per iteration for the whole batch: the kernel
+    returns (cost, g, H) at the trial point; rejected steps reuse the carried
+    accepted-state H/g and only re-damp, so no extra model evaluations are
+    spent on failed steps.  Semantics match :func:`lm_fit_batched_planar`.
+    """
+    from xmris_tpu.ops.kernels.lm_pallas import eq6_normal_equations_pallas
+
+    real_dtype = jnp.float32  # the kernel is float32
+    fids_re = fids_re.astype(real_dtype)
+    fids_im = fids_im.astype(real_dtype)
+    t = t.astype(real_dtype)
+    lower = lower.astype(real_dtype)
+    upper = upper.astype(real_dtype)
+    u0 = u0.astype(real_dtype)
+    b = fids_re.shape[0]
+    if u0.ndim == 1:
+        u0 = jnp.broadcast_to(u0[None, :], (b, u0.shape[0]))
+    n_free = u0.shape[-1]
+    n_peaks = pmap_static[3]
+    smat = jnp.asarray(_scatter_matrix(pmap_static, n_free), real_dtype)
+
+    def full_eval(u):
+        x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
+                                           kind[None, :])
+        grids = _expand_params_batched(x, pmap_static, real_dtype)
+        cost, g_phys, h_phys = eq6_normal_equations_pallas(
+            grids, fids_re, fids_im, t,
+            n_peaks=n_peaks, mhz=mhz, v_tile=v_tile, interpret=interpret,
+        )
+        g = jnp.einsum("bp,pf->bf", g_phys, smat) * dxdu
+        h = jnp.einsum("pf,bpq,qh->bfh", smat, h_phys, smat)
+        h = h * dxdu[:, :, None] * dxdu[:, None, :]
+        return cost, g, h
+
+    def cond(carry):
+        _, _, _, _, _, _, done, i = carry
+        return (i < max_iter) & ~jnp.all(done)
+
+    def step(carry):
+        u, cost, g, h, lam, n_acc, done, i = carry
+        diag = jnp.diagonal(h, axis1=1, axis2=2)
+        damped = h + (
+            lam[:, None, None] * jnp.maximum(diag, 1e-12)[:, None, :]
+            * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
+        ) + 1e-12 * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
+        chol = jnp.linalg.cholesky(damped)
+        delta = jax.scipy.linalg.cho_solve((chol, True), g[:, :, None])[:, :, 0]
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        u_t = u + delta
+
+        cost_t, g_t, h_t = full_eval(u_t)
+        ok = jnp.isfinite(cost_t) & (cost_t < cost) & ~done
+        rel_drop = (cost - cost_t) / jnp.maximum(cost, 1e-30)
+
+        sel = lambda new, old: jnp.where(
+            ok.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+        u = sel(u_t, u)
+        cost = jnp.where(ok, cost_t, cost)
+        g = sel(g_t, g)
+        h = sel(h_t, h)
+        lam = jnp.clip(jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12)
+        n_acc = n_acc + ok.astype(jnp.int32)
+        # See the planar driver: only stop in the near-Gauss-Newton regime.
+        done = done | (ok & (rel_drop < ftol) & (lam < lam0))
+        return (u, cost, g, h, lam, n_acc, done, i + 1)
+
+    cost0, g0, h0 = full_eval(u0)
+    carry0 = (
+        u0,
+        cost0,
+        g0,
+        h0,
+        jnp.full((b,), lam0, real_dtype),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.asarray(0, jnp.int32),
+    )
+    u, cost, _, _, _, n_acc, _, _ = jax.lax.while_loop(cond, step, carry0)
+    x_final, _ = internal_to_external_jax(
+        u, lower[None, :], upper[None, :], kind[None, :]
+    )
+    converged = jnp.isfinite(cost) & (n_acc > 0)
+    return LMResult(x_free=x_final, cost=cost, n_iter=n_acc, converged=converged)

@@ -188,6 +188,17 @@ def load_prior_knowledge(path: str | Path) -> PriorKnowledge:
 
             lo, hi = b if isinstance(b, tuple) else (-np.inf, np.inf)
             init_val = float(np.clip(init_val, lo, hi))
+            # Nudge initial values off exact bounds: the MINPACK bound
+            # transform has zero slope at the edge, which freezes the
+            # parameter and ill-conditions the first LM steps (lmfit has the
+            # same pathology).
+            if np.isfinite(lo) and np.isfinite(hi) and hi > lo:
+                margin = 1e-3 * (hi - lo)
+                init_val = float(np.clip(init_val, lo + margin, hi - margin))
+            elif np.isfinite(lo) and init_val <= lo:
+                init_val = lo + max(1e-3, abs(lo) * 1e-3)
+            elif np.isfinite(hi) and init_val >= hi:
+                init_val = hi - max(1e-3, abs(hi) * 1e-3)
             slot = len(init_free)
             slot_of[(metab, pname)] = slot
             idx[j] = slot
