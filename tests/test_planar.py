@@ -117,3 +117,31 @@ class TestPlanarPipelineParity:
         )
         np.testing.assert_allclose(np.asarray(re), expected.real, atol=1e-9)
         np.testing.assert_allclose(np.asarray(im), expected.imag, atol=1e-9)
+
+
+class TestPlanarAutophaseAll:
+    def test_matches_complex_all_mode(self):
+        rng = np.random.default_rng(7)
+        n_vox, n_time, zf = 4, 256, 256
+        t = np.arange(n_time) / 4000.0
+        fids = (
+            rng.uniform(3, 8, (n_vox, 1))
+            * np.exp((1j * 2 * np.pi * rng.uniform(-800, 800, (n_vox, 1)) - 25) * t)
+        )
+        fids += rng.normal(0, 1e-3, fids.shape) + 1j * rng.normal(0, 1e-3, fids.shape)
+        weight = np.ones(zf)
+        freqs = np.fft.fftshift(np.fft.fftfreq(zf, d=t[1] - t[0]))
+        cfg = PipelineConfig(
+            zero_fill_to=zf, lb=0.0, autophase="all", p0_only=True, de_maxiter=100
+        )
+        spec_c, (p0_c, _, _) = spectral_pipeline_raw(
+            jnp.asarray(fids), jnp.asarray(weight), jnp.asarray(freqs), cfg
+        )
+        re, im, (p0_p, _, _) = spectral_pipeline_planar_raw(
+            jnp.asarray(fids.real), jnp.asarray(fids.imag),
+            jnp.asarray(weight), jnp.asarray(freqs), cfg,
+        )
+        np.testing.assert_allclose(np.asarray(p0_p), np.asarray(p0_c), atol=0.2)
+        np.testing.assert_allclose(
+            np.asarray(re) + 1j * np.asarray(im), np.asarray(spec_c), atol=1e-4
+        )

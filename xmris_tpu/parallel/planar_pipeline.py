@@ -74,6 +74,51 @@ def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig):
     return re, im, p0, p1, pivot
 
 
+def _autophase_all_planar(re, im, freqs, cfg: PipelineConfig):
+    """In-jit per-voxel ACME autophase, vmapped over the planar batch."""
+    x_range = freqs[-1] - freqs[0]
+    n_voxels = re.shape[0]
+    t_idx = jnp.argmax(re * re + im * im, axis=1)
+    pivots = freqs[t_idx]
+    keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)
+
+    bounds = (
+        jnp.asarray([(-180.0, 180.0)])
+        if cfg.p0_only
+        else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
+    )
+
+    def solve_one(row_re, row_im, pivot, key):
+        def objective(ph):
+            p0 = ph[0]
+            p1 = ph[1] if not cfg.p0_only else jnp.asarray(0.0, ph.dtype)
+            return acme_score_raw(
+                _phased_real_planar(row_re, row_im, freqs, p0, p1, pivot, x_range)
+            )
+
+        res = differential_evolution(
+            objective,
+            bounds,
+            seed=key,
+            popsize=cfg.de_popsize,
+            maxiter=cfg.de_maxiter,
+            tol=0.01,
+            polish_iters=60,
+        )
+        return res.x
+
+    xs = jax.vmap(solve_one)(re, im, pivots, keys)
+    p0s = xs[:, 0]
+    p1s = xs[:, 1] if not cfg.p0_only else jnp.zeros_like(p0s)
+
+    phi = (
+        jnp.deg2rad(p0s)[:, None]
+        + jnp.deg2rad(p1s)[:, None] * ((freqs[None, :] - pivots[:, None]) / x_range)
+    ).astype(re.dtype)
+    re, im = _apply_phase_planar(re, im, phi)
+    return re, im, p0s, p1s, pivots
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineConfig):
     """Fused pipeline on planar (B, n_time) float batches.
@@ -102,9 +147,8 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
             spec_re, spec_im, freqs, cfg
         )
     elif cfg.autophase == "all":
-        raise NotImplementedError(
-            "Planar per-voxel autophase lands with the planar LM engine; use "
-            "autophase='single' or the complex pipeline on CPU."
+        spec_re, spec_im, p0, p1, pivot = _autophase_all_planar(
+            spec_re, spec_im, freqs, cfg
         )
     else:
         zero = jnp.zeros((), fids_re.dtype)
