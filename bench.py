@@ -172,7 +172,53 @@ def run_complex(fids, weight, freqs, cfg, iters=5):
     return float(np.median(times))
 
 
+def run_recon_bench(iters=10):
+    """BASELINE config 3: 8-coil 256x256 centered iFFT + RSS combine."""
+    from xmris_tpu.recon.kspace import rss_reconstruct_planar_raw, rss_reconstruct_raw
+
+    rng = np.random.default_rng(0)
+    k = (
+        rng.normal(size=(8, 256, 256)) + 1j * rng.normal(size=(8, 256, 256))
+    ).astype(np.complex64)
+
+    planar = jax.default_backend() != "cpu"
+    if planar:
+        re = jnp.asarray(np.ascontiguousarray(k.real))
+        im = jnp.asarray(np.ascontiguousarray(k.imag))
+        run = lambda: rss_reconstruct_planar_raw(re, im, axes=(1, 2), coil_axis=0)
+    else:
+        kj = jnp.asarray(k)
+        run = lambda: rss_reconstruct_raw(kj, axes=(1, 2), coil_axis=0)
+
+    float(jnp.sum(run()))  # compile + witness
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        float(jnp.sum(run()))
+        times.append(time.perf_counter() - start)
+    elapsed = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "k-space recons/sec (8-coil 256x256 centered iFFT + RSS; "
+                    f"{'planar' if planar else 'complex'} on {jax.default_backend()})"
+                ),
+                "value": round(1.0 / elapsed, 2),
+                "unit": "recons/s",
+                "vs_baseline": round((1.0 / elapsed) / 1.0, 3),
+            }
+        )
+    )
+
+
 def main() -> None:
+    import os
+
+    if os.environ.get("XMT_BENCH_CONFIG", "pipeline") == "recon":
+        run_recon_bench()
+        return
+
     fids, weight, freqs = make_inputs()
     cfg = PipelineConfig(zero_fill_to=ZERO_FILL, lb=5.0, autophase="single")
 

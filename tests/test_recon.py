@@ -91,3 +91,21 @@ class TestRSS:
         np.testing.assert_allclose(
             np.asarray(out_raw), out_labeled.values, rtol=1e-8, atol=1e-10
         )
+
+
+class TestPlanarRecon:
+    def test_planar_matches_complex(self):
+        from xmris_tpu.recon.kspace import rss_reconstruct_planar_raw
+
+        da, _, _ = make_kspace(n=32, n_coils=4)
+        k = np.asarray(da.values)
+        ref = np.asarray(rss_reconstruct_raw(k, axes=(1, 2), coil_axis=0))
+        planar = np.asarray(
+            rss_reconstruct_planar_raw(
+                np.ascontiguousarray(k.real),
+                np.ascontiguousarray(k.imag),
+                axes=(1, 2),
+                coil_axis=0,
+            )
+        )
+        np.testing.assert_allclose(planar, ref, rtol=1e-8, atol=1e-10)

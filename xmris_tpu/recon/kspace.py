@@ -30,6 +30,31 @@ def rss_reconstruct_raw(kspace, axes: tuple[int, ...], coil_axis: int):
     return jnp.sqrt(jnp.sum(jnp.real(img * jnp.conj(img)), axis=coil_axis))
 
 
+@functools.partial(jax.jit, static_argnames=("axes", "coil_axis"))
+def rss_reconstruct_planar_raw(k_re, k_im, axes: tuple[int, ...], coil_axis: int):
+    """Planar (split real/imag) Cartesian recon: the TPU execution path.
+
+    Applies the centered inverse DFT axis by axis as MXU matmuls
+    (:func:`xmris_tpu.ops.kernels.dft.dft_planar`) — no complex dtype on
+    device — then combines coils by root-sum-of-squares.
+    """
+    from xmris_tpu.ops.kernels.dft import dft_planar
+
+    ndim = k_re.ndim
+    axes = tuple(a % ndim for a in axes)
+    re = jnp.fft.ifftshift(k_re, axes=axes)
+    im = jnp.fft.ifftshift(k_im, axes=axes)
+    for ax in axes:
+        re = jnp.moveaxis(re, ax, -1)
+        im = jnp.moveaxis(im, ax, -1)
+        re, im = dft_planar(re, im, re.shape[-1], inverse=True, ortho=True)
+        re = jnp.moveaxis(re, -1, ax)
+        im = jnp.moveaxis(im, -1, ax)
+    re = jnp.fft.fftshift(re, axes=axes)
+    im = jnp.fft.fftshift(im, axes=axes)
+    return jnp.sqrt(jnp.sum(re * re + im * im, axis=coil_axis))
+
+
 def kspace_to_image(
     da: XmrArray,
     dims: list[str] | None = None,
