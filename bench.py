@@ -20,6 +20,7 @@ voxels in < 1 s on one v5e chip); > 1.0 beats the target.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -212,8 +213,55 @@ def run_recon_bench(iters=10):
     )
 
 
+def supervise() -> None:
+    """Run the measurement in a watchdog subprocess.
+
+    The remote-TPU relay can wedge indefinitely (requests hang rather than
+    fail).  The supervisor gives the accelerator run a hard deadline and
+    falls back to a CPU measurement so the benchmark always reports.
+    """
+    import os
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    env = dict(os.environ, XMT_BENCH_WORKER="1")
+
+    def attempt(extra_env, timeout_s):
+        try:
+            proc = subprocess.run(
+                [sys.executable, here],
+                env={**env, **extra_env},
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return line
+        return None
+
+    line = attempt({}, timeout_s=900)
+    if line is None:
+        line = attempt({"JAX_PLATFORMS": "cpu", "XMT_FORCE_CPU": "1"}, timeout_s=900)
+    if line is None:
+        line = json.dumps(
+            {
+                "metric": "MRSI pipeline benchmark (backend unavailable)",
+                "value": 0.0,
+                "unit": "voxels/s",
+                "vs_baseline": 0.0,
+            }
+        )
+    print(line)
+
+
 def main() -> None:
     import os
+
+    if os.environ.get("XMT_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 
     if os.environ.get("XMT_BENCH_CONFIG", "pipeline") == "recon":
         run_recon_bench()
@@ -258,4 +306,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+
+    if os.environ.get("XMT_BENCH_WORKER"):
+        main()
+    else:
+        supervise()

@@ -502,8 +502,11 @@ def lm_fit_batched_pallas(
             lam[:, None, None] * jnp.maximum(diag, 1e-12)[:, None, :]
             * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
         ) + 1e-12 * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
-        chol = jnp.linalg.cholesky(damped)
-        delta = jax.scipy.linalg.cho_solve((chol, True), g[:, :, None])[:, :, 0]
+        # Unrolled tiny-SPD solve: XLA's batched cholesky dominates the whole
+        # LM iteration on TPU (see ops/kernels/spd.py).
+        from xmris_tpu.ops.kernels.spd import spd_solve_small
+
+        delta = spd_solve_small(damped, g)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         u_t = u + delta
 
