@@ -265,3 +265,22 @@ class TestToPpmEndToEnd:
         out = multi_dim_da.xmr.to_spectrum().xmr.to_ppm()
         assert out.dims == (DIMS.x, DIMS.y, DIMS.chemical_shift)
         assert out.sizes[DIMS.chemical_shift] == 256
+
+
+class TestProcessingNamespaceAlias:
+    """Imports that translate 1:1 from the reference's module layout."""
+
+    def test_module_aliases(self):
+        from xmris_tpu.processing import fid, fourier, phasing, utils
+
+        assert fid.to_spectrum is xmt.to_spectrum
+        assert fourier.fftc is xmt.fftc
+        assert phasing.autophase is xmt.autophase
+        assert utils.to_complex is xmt.to_complex
+
+    def test_function_reexports(self):
+        from xmris_tpu.processing import baseline_als, to_spectrum, zero_fill
+
+        assert to_spectrum is xmt.to_spectrum
+        assert zero_fill is xmt.zero_fill
+        assert baseline_als is xmt.baseline_als

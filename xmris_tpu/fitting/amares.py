@@ -35,11 +35,8 @@ from xmris_tpu import __version__ as _xmt_version
 from xmris_tpu.core.array import Coord, XmrArray, XmrDataset
 from xmris_tpu.fitting.lm import (
     crlb_batched,
-    eq6_model_and_basis,
-    expand_params,
     external_to_internal,
     hashable_pmap,
-    lm_fit_batched,
 )
 from xmris_tpu.fitting.prior import PriorKnowledge, load_prior_knowledge
 
@@ -319,7 +316,7 @@ def _reconstruct_batch(x_free, t_j, pk: PriorKnowledge, mhz: float):
     """
     import jax
 
-    from xmris_tpu.fitting.lm import eq6_basis_planar
+    from xmris_tpu.fitting.lm import eq6_basis_planar, expand_params
 
     pmap = _as_jax_pmap(pk.pmap)
 

@@ -211,7 +211,8 @@ class LMResult(NamedTuple):
     x_free: jax.Array  # (B, F) final external free parameters
     cost: jax.Array  # (B,) final sum-of-squares
     n_iter: jax.Array  # (B,) accepted steps
-    converged: jax.Array  # (B,) bool
+    converged: jax.Array  # (B,) bool (finite cost + at least one accept)
+    done: jax.Array  # (B,) bool (ftol convergence in the near-GN regime)
 
 
 def _pmap_jax(pmap_static, dtype=None) -> ParamMap:
@@ -318,13 +319,13 @@ def lm_fit_batched_planar(
             jnp.asarray(False),
             jnp.asarray(0, jnp.int32),
         )
-        st, _, n_acc, _, _ = jax.lax.while_loop(cond, step, carry)
+        st, _, n_acc, done, _ = jax.lax.while_loop(cond, step, carry)
         x_final, _ = internal_to_external_jax(st["u"], lower, upper, kind)
         converged = jnp.isfinite(st["cost"]) & (n_acc > 0)
-        return x_final, st["cost"], n_acc, converged
+        return x_final, st["cost"], n_acc, converged, done
 
-    x, cost, n_iter, conv = jax.vmap(solve_one)(fids_re, fids_im, u0)
-    return LMResult(x_free=x, cost=cost, n_iter=n_iter, converged=conv)
+    x, cost, n_iter, conv, done = jax.vmap(solve_one)(fids_re, fids_im, u0)
+    return LMResult(x_free=x, cost=cost, n_iter=n_iter, converged=conv, done=done)
 
 
 def lm_fit_batched(
@@ -538,9 +539,11 @@ def lm_fit_batched_pallas(
         jnp.zeros((b,), bool),
         jnp.asarray(0, jnp.int32),
     )
-    u, cost, _, _, _, n_acc, _, _ = jax.lax.while_loop(cond, step, carry0)
+    u, cost, _, _, _, n_acc, done, _ = jax.lax.while_loop(cond, step, carry0)
     x_final, _ = internal_to_external_jax(
         u, lower[None, :], upper[None, :], kind[None, :]
     )
     converged = jnp.isfinite(cost) & (n_acc > 0)
-    return LMResult(x_free=x_final, cost=cost, n_iter=n_acc, converged=converged)
+    return LMResult(
+        x_free=x_final, cost=cost, n_iter=n_acc, converged=converged, done=done
+    )
