@@ -108,45 +108,20 @@ def run_fit_planar(fids, iters=3, chunk_size=4096, max_iter=40):
 
     solver = lm_fit_batched_pallas if use_pallas else lm_fit_batched_planar
 
-    def _bucket(n):
-        """Two fixed straggler buckets only — each distinct batch shape costs
-        a (slow, remote) Mosaic compile, so bound the shape set hard."""
-        return 1024 if n <= 1024 else chunk_size
-
+    # NOTE: a two-phase straggler-compaction variant measured faster per
+    # iteration but each extra batch shape costs a multi-minute remote Mosaic
+    # compile, blowing the bench deadline. Single-phase keeps one shape.
     def one_pass():
-        """Two-phase fit: short pass for every voxel, long pass compacted to
-        the stragglers only (identical final accuracy, ~2x fewer device
-        iterations than a flat max_iter run)."""
         sink = 0.0
-        for ci, (re, im) in enumerate(chunks):
+        for re, im in chunks:
             res = solver(
                 re, im, t, u0, lower, upper, kind, pmap_static, MHZ,
-                max_iter=14,
+                max_iter=max_iter,
             )
-            x = np.asarray(res.x_free)
-            done = np.asarray(res.done)
-            if not done.all():
-                sel = np.nonzero(~done)[0]
-                nb = _bucket(len(sel))
-                sel = sel[:nb]
-                pad = np.zeros(nb - len(sel), dtype=sel.dtype)
-                idx = np.concatenate([sel, pad])
-                u_restart = external_to_internal(
-                    x[idx], np.asarray(lower), np.asarray(upper), np.asarray(kind)
-                ).astype(np.float32)
-                res2 = solver(
-                    re[jnp.asarray(idx)], im[jnp.asarray(idx)], t,
-                    jnp.asarray(u_restart), lower, upper, kind, pmap_static,
-                    MHZ, max_iter=max_iter - 14,
-                )
-                x2 = np.asarray(res2.x_free)
-                better = np.asarray(res2.cost)[: len(sel)] <= np.asarray(res.cost)[sel]
-                x[sel[better]] = x2[: len(sel)][better]
-            xs = jnp.asarray(x)
             sds, _ = crlb_batched_planar(
-                re, im, t, xs, lower, upper, kind, pmap_static, MHZ
+                re, im, t, res.x_free, lower, upper, kind, pmap_static, MHZ
             )
-            sink += float(jnp.sum(xs)) + float(jnp.sum(sds))
+            sink += float(jnp.sum(res.x_free)) + float(jnp.sum(sds))
         return sink
 
     one_pass()  # compile + witness
@@ -296,6 +271,15 @@ def main() -> None:
 
     if os.environ.get("XMT_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+
+    # Persist compiled executables across processes: remote Mosaic compiles
+    # take minutes, and the benchmark shapes are fixed.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_xmt")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     if os.environ.get("XMT_BENCH_CONFIG", "pipeline") == "recon":
         run_recon_bench()

@@ -124,3 +124,29 @@ class TestPallasLMDriver:
         )
         assert np.all(np.asarray(r_pal.cost) < np.asarray(r_xla.cost) * 1.1)
         assert np.asarray(r_pal.converged).all()
+
+
+class TestFitAmaresEngines:
+    def test_pallas_engine_through_accessor(self, tmp_path):
+        """fit_amares(engine='pallas') runs in interpret mode off-TPU."""
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        da = make_phantom(n_voxels=2, n_points=512)
+        ds = da.xmr.fit_amares(p, engine="pallas", max_iter=30)
+        pcr = ds["amplitude"].sel({"Metabolite": "PCr"}).values
+        np.testing.assert_allclose(pcr, [10.0, 20.0], rtol=0.1)
+        assert ds["fit_converged"].values.all()
+
+    def test_engines_agree(self, tmp_path):
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        da = make_phantom(n_voxels=2, n_points=512)
+        ds_x = da.xmr.fit_amares(p, engine="xla", max_iter=30)
+        ds_p = da.xmr.fit_amares(p, engine="pallas", max_iter=30)
+        np.testing.assert_allclose(
+            ds_p["amplitude"].values, ds_x["amplitude"].values, rtol=0.05
+        )
