@@ -93,16 +93,32 @@ def run_fit_planar(fids, iters=3, chunk_size=4096, max_iter=40):
     pk = load_prior_knowledge(pk_path)
 
     pmap_static = hashable_pmap(pk.pmap)
-    u0 = jnp.asarray(external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind))
     lower = jnp.asarray(pk.lower)
     upper = jnp.asarray(pk.upper)
     kind = jnp.asarray(pk.kind)
     t = jnp.asarray((np.arange(N_TIME) / SW).astype(np.float32))
 
+    # Per-voxel amplitude-scaled initial values (see fit_amares)
+    n_spec = fids.shape[0]
+    x0 = np.broadcast_to(pk.init_free[None, :], (n_spec, pk.n_free)).copy()
+    amp_slots = [
+        int(pk.pmap.idx[k * 5])
+        for k in range(pk.n_peaks)
+        if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
+    ]
+    prior_total = float(np.sum(np.abs(pk.init_free[amp_slots])))
+    factor = np.clip(np.abs(fids[:, 0]) / prior_total, 0.1, 100.0)
+    x0[:, amp_slots] *= factor[:, None]
+    u0_all = external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(np.float32)
+
     re_h = np.ascontiguousarray(fids.real.astype(np.float32))
     im_h = np.ascontiguousarray(fids.imag.astype(np.float32))
     chunks = [
-        (jnp.asarray(re_h[s : s + chunk_size]), jnp.asarray(im_h[s : s + chunk_size]))
+        (
+            jnp.asarray(re_h[s : s + chunk_size]),
+            jnp.asarray(im_h[s : s + chunk_size]),
+            jnp.asarray(u0_all[s : s + chunk_size]),
+        )
         for s in range(0, re_h.shape[0], chunk_size)
     ]
 
@@ -113,7 +129,7 @@ def run_fit_planar(fids, iters=3, chunk_size=4096, max_iter=40):
     # compile, blowing the bench deadline. Single-phase keeps one shape.
     def one_pass():
         sink = 0.0
-        for re, im in chunks:
+        for re, im, u0 in chunks:
             res = solver(
                 re, im, t, u0, lower, upper, kind, pmap_static, MHZ,
                 max_iter=max_iter,

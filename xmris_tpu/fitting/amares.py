@@ -56,6 +56,7 @@ def fit_amares(
     max_iter: int = 60,
     chunk_size: int = 4096,
     engine: str = "auto",
+    scale_init_amplitudes: bool = True,
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -69,6 +70,11 @@ def fit_amares(
     ``engine`` selects the device solver: ``"xla"`` (vmapped planar LM),
     ``"pallas"`` (fused normal-equations kernel, Jacobians never leave VMEM),
     or ``"auto"`` (pallas on TPU, xla elsewhere).
+
+    ``scale_init_amplitudes`` rescales each voxel's initial amplitudes by its
+    own first-point magnitude relative to the prior's total (the analog of
+    pyAMARES initializing from the data), which sharply reduces iterations on
+    grids with wide concentration ranges.
     """
     if dim not in da.dims:
         raise ValueError(f"Dimension '{dim}' missing in DataArray.")
@@ -115,7 +121,25 @@ def fit_amares(
         else load_prior_knowledge(prior_knowledge_file)
     )
     pmap_static = hashable_pmap(pk.pmap)
-    u0 = external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+
+    # Per-voxel initial values: rescale the prior's amplitudes by each
+    # voxel's first-point magnitude over the prior total (clipped), so highly
+    # concentrated voxels don't need extra LM iterations to scale up.
+    x0 = np.broadcast_to(pk.init_free[None, :], (n_spectra, pk.n_free)).copy()
+    if scale_init_amplitudes:
+        amp_slots = [
+            int(pk.pmap.idx[k * 5])
+            for k in range(pk.n_peaks)
+            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
+        ]
+        prior_total = float(
+            np.sum(np.abs(pk.init_free[amp_slots])) if amp_slots else 0.0
+        )
+        if amp_slots and prior_total > 0:
+            y0_mag = np.abs(fid_arrs[:, 0])
+            factor = np.clip(y0_mag / prior_total, 0.1, 100.0)
+            x0[:, amp_slots] *= factor[:, None]
+    u0 = external_to_internal(x0, pk.lower, pk.upper, pk.kind)
 
     timeaxis = np.arange(n_time, dtype=np.float64) * (1.0 / sw) + deadtime
     t_j = jnp.asarray(timeaxis)
@@ -154,7 +178,7 @@ def fit_amares(
         chunk_np = fid_arrs[start : start + chunk_size]
         re_c = jnp.asarray(np.ascontiguousarray(chunk_np.real))
         im_c = jnp.asarray(np.ascontiguousarray(chunk_np.imag))
-        res = run_lm(re_c, im_c, u0_j, max_iter)
+        res = run_lm(re_c, im_c, u0_j[start : start + chunk_size], max_iter)
         x = res.x_free
         if initialize_with_lm:
             # Refinement pass: restart every voxel from its own optimum with a
