@@ -124,3 +124,37 @@ class TestSharding:
         assert spec.shape == (16, 256)
         # output still distributed over all 8 devices
         assert len(spec.sharding.device_set) == 8
+
+
+class TestEngineSelection:
+    def test_planar_engine_labeled_front_end(self):
+        da = make_grid(nx=4, ny=2)
+        cfg = PipelineConfig(zero_fill_to=512, lb=5.0, autophase="single")
+        out_c = mrsi_pipeline(da, cfg=cfg, engine="complex", mesh=make_mesh(1))
+        out_p = mrsi_pipeline(da, cfg=cfg, engine="planar", mesh=make_mesh(1))
+        np.testing.assert_allclose(
+            np.asarray(out_p.values), np.asarray(out_c.values), atol=1e-8
+        )
+        assert out_p.attrs[ATTRS.phase_p0] == pytest.approx(
+            out_c.attrs[ATTRS.phase_p0], abs=1e-6
+        )
+
+
+class TestIselOuterSemantics:
+    def test_two_list_indexers_are_outer(self):
+        from xmris_tpu import XmrArray
+
+        da = XmrArray(np.arange(24.0).reshape(4, 6), dims=("a", "b"))
+        out = da.isel({"a": [0, 2], "b": [1, 3, 5]})
+        assert out.shape == (2, 3)  # outer product, not zipped
+        np.testing.assert_array_equal(
+            out.values, np.arange(24.0).reshape(4, 6)[np.ix_([0, 2], [1, 3, 5])]
+        )
+
+    def test_int_plus_list(self):
+        from xmris_tpu import XmrArray
+
+        da = XmrArray(np.arange(24.0).reshape(4, 6), dims=("a", "b"))
+        out = da.isel({"a": 1, "b": [0, 5]})
+        assert out.dims == ("b",)
+        np.testing.assert_array_equal(out.values, [6.0, 11.0])

@@ -326,14 +326,19 @@ class XmrArray:
         """
         indexers = dict(indexers or {})
         indexers.update(kw)
-        index: list[Any] = [slice(None)] * self.ndim
         dropped: set[str] = set()
+        data = self.data
+        # Apply one axis at a time so multiple array indexers select outer
+        # products (xarray semantics), not zipped numpy fancy indexing.
         for dim, idx in indexers.items():
-            ax = self.get_axis_num(dim)
-            index[ax] = idx
+            ax = self.get_axis_num(dim) - sum(
+                1 for d in dropped if self.get_axis_num(d) < self.get_axis_num(dim)
+            )
+            sel: list[Any] = [slice(None)] * data.ndim
+            sel[ax] = idx
+            data = data[tuple(sel)]
             if isinstance(idx, (int, np.integer)):
                 dropped.add(dim)
-        data = self.data[tuple(index)]
         new_dims = tuple(d for d in self.dims if d not in dropped)
         new_coords: dict[str, Coord] = {}
         for cname, c in self.coords.items():

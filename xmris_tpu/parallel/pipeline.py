@@ -202,6 +202,7 @@ def mrsi_pipeline(
     cfg: PipelineConfig = PipelineConfig(),
     mesh=None,
     out_dim: str = DIMS.frequency,
+    engine: str = "auto",
 ) -> XmrArray:
     """Labeled front-end: run the fused pipeline over every voxel of ``da``.
 
@@ -209,17 +210,27 @@ def mrsi_pipeline(
     ``zero_fill -> apodize -> to_spectrum -> autophase`` but compiled as one
     XLA program.  When ``mesh`` is given (or more than one device exists) the
     voxel batch is sharded over it.
+
+    ``engine``: ``"complex"`` (native complex dtypes), ``"planar"`` (split
+    real/imag planes, FFT as MXU matmuls — the TPU path), or ``"auto"``
+    (planar on TPU, complex elsewhere).
     """
     _check_dims(da, dim, "mrsi_pipeline")
+
+    if engine == "auto":
+        engine = "planar" if jax.default_backend() == "tpu" else "complex"
 
     order = [d for d in da.dims if d != dim] + [dim]
     da_t = da.transpose(*order)
     n_time = da.sizes[dim]
     voxel_shape = tuple(da_t.shape[:-1])
 
-    rows = jnp.asarray(da_t.data).reshape(-1, n_time)
-    _, complex_dtype = matching_dtypes(rows.dtype)
-    rows = rows.astype(complex_dtype)
+    # Host-side staging: the planar engine needs the complex->planes split to
+    # happen before anything touches the device (complex dtypes never reach
+    # an accelerator on the planar path).
+    rows_host = np.asarray(da_t.values).reshape(-1, n_time)
+    real_dtype, complex_dtype = matching_dtypes(rows_host.dtype)
+    n_rows = rows_host.shape[0]
 
     # Host-side coordinate math (identical to ops.fid/ops.fourier)
     t = da.coords[dim].values.astype(np.float64)
@@ -229,24 +240,38 @@ def mrsi_pipeline(
     weight = _apodization_weight(t_full, cfg.lb, cfg.gb)
     freqs = np.fft.fftshift(np.fft.fftfreq(n_out, d=dt))
 
-    real_dtype, _ = matching_dtypes(rows.dtype)
     weight_j = jnp.asarray(weight, dtype=real_dtype)
     freqs_j = jnp.asarray(freqs, dtype=real_dtype)
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
-    n_rows = rows.shape[0]
     pad_rows = 0
     if mesh is not None:
         n_dev = mesh.devices.size
         pad_rows = (-n_rows) % n_dev
         if pad_rows:
             # Zero rows are inert through the linear pipeline; sliced off below.
-            rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
-        rows = shard_voxels(rows, mesh)
+            rows_host = np.pad(rows_host, ((0, pad_rows), (0, 0)))
+
+    def place(arr):
+        arr = jnp.asarray(arr)
+        return shard_voxels(arr, mesh) if mesh is not None else arr
 
     cfg = PipelineConfig(**{**cfg.__dict__, "zero_fill_to": n_out})
-    spec, (p0, p1, pivot) = spectral_pipeline_raw(rows, weight_j, freqs_j, cfg)
+    if engine == "planar":
+        from xmris_tpu.parallel.planar_pipeline import spectral_pipeline_planar_raw
+
+        re = place(np.ascontiguousarray(rows_host.real).astype(real_dtype))
+        im = place(np.ascontiguousarray(rows_host.imag).astype(real_dtype))
+        sr, si, (p0, p1, pivot) = spectral_pipeline_planar_raw(
+            re, im, weight_j, freqs_j, cfg
+        )
+        # Combine planes on host: complex may be unsupported on this backend.
+        spec = np.asarray(sr).astype(complex_dtype)
+        spec += 1j * np.asarray(si).astype(complex_dtype)
+    else:
+        rows = place(rows_host.astype(complex_dtype))
+        spec, (p0, p1, pivot) = spectral_pipeline_raw(rows, weight_j, freqs_j, cfg)
 
     if pad_rows:
         spec = spec[:n_rows]
