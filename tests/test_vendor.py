@@ -177,3 +177,27 @@ class TestNativeIO:
         p.write_bytes(b"\x89HDF\r\n")
         with pytest.raises(ValueError, match="classic netCDF-3"):
             load_dataarray(p)
+
+
+class TestDatasetIO:
+    def test_dataset_npz_roundtrip(self, tmp_path):
+        from tests.test_fitting import PK_CSV, make_phantom
+        from xmris_tpu.interop.io import load_dataset_npz, save_dataset_npz
+
+        pk = tmp_path / "pk.csv"
+        pk.write_text(PK_CSV)
+        ds = make_phantom(n_voxels=2, n_points=256).xmr.fit_amares(pk, max_iter=20)
+
+        p = tmp_path / "fit.npz"
+        save_dataset_npz(ds, p)
+        back = load_dataset_npz(p)
+
+        assert set(back.keys()) == set(ds.keys())
+        np.testing.assert_allclose(
+            back["amplitude"].values, ds["amplitude"].values
+        )
+        np.testing.assert_array_equal(
+            back["amplitude"].coords["Metabolite"].values,
+            ds["amplitude"].coords["Metabolite"].values,
+        )
+        assert back.attrs["fit_method"] == ds.attrs["fit_method"]

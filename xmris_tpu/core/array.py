@@ -606,6 +606,33 @@ class XmrArray:
         )
         return self._rebuild(data)
 
+    def _repr_html_(self) -> str:
+        """Rich notebook rendering: dims, backend, coords, and attrs tables."""
+        dims_s = ", ".join(f"<b>{d}</b>: {s}" for d, s in self.sizes.items())
+        kind = "jax" if _is_jax(self.data) else "numpy"
+        coord_rows = "".join(
+            f"<tr><td style='padding:2px 8px'><code>{k}</code></td>"
+            f"<td style='padding:2px 8px'>({c.dim})</td>"
+            f"<td style='padding:2px 8px'>{c.values.dtype}</td>"
+            f"<td style='padding:2px 8px'><code>{_summ(c.values)}</code></td>"
+            f"<td style='padding:2px 8px'>{c.attrs.get('units', '')}</td></tr>"
+            for k, c in self.coords.items()
+        )
+        attr_rows = "".join(
+            f"<tr><td style='padding:2px 8px'><code>{k}</code></td>"
+            f"<td style='padding:2px 8px'><code>{str(v)[:80]}</code></td></tr>"
+            for k, v in list(self.attrs.items())[:16]
+        )
+        return (
+            "<div style='font-family:monospace;font-size:12px;'>"
+            f"<div><b>xmris_tpu.XmrArray</b> {self.name or ''} ({dims_s}) "
+            f"&mdash; {kind}, {self.dtype}</div>"
+            f"<details open><summary>Coordinates ({len(self.coords)})</summary>"
+            f"<table>{coord_rows}</table></details>"
+            f"<details><summary>Attributes ({len(self.attrs)})</summary>"
+            f"<table>{attr_rows}</table></details></div>"
+        )
+
     def __repr__(self) -> str:
         dims_s = ", ".join(f"{d}: {s}" for d, s in self.sizes.items())
         coord_s = "\n".join(

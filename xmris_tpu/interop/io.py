@@ -143,3 +143,46 @@ def _jsonable(obj):
     if isinstance(obj, np.generic):
         return obj.item()
     return obj
+
+
+def save_dataset_npz(ds, path: str | Path) -> None:
+    """Serialize an :class:`~xmris_tpu.core.array.XmrDataset` (e.g. fit
+    results) to a single ``.npz``: every variable's payload + metadata."""
+    arrays: dict[str, np.ndarray] = {}
+    meta: dict = {"attrs": _jsonable(ds.attrs), "vars": {}}
+    for name, var in ds.items():
+        arrays[f"var::{name}"] = var.values
+        meta["vars"][name] = {
+            "dims": list(var.dims),
+            "attrs": _jsonable(var.attrs),
+            "name": var.name,
+            "coords": {
+                cname: {"dim": c.dim, "attrs": _jsonable(c.attrs)}
+                for cname, c in var.coords.items()
+            },
+        }
+        for cname, c in var.coords.items():
+            arrays.setdefault(f"coord::{cname}", c.values)
+    payload = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, __meta__=payload, **arrays)
+
+
+def load_dataset_npz(path: str | Path):
+    """Load an :class:`~xmris_tpu.core.array.XmrDataset` saved with
+    :func:`save_dataset_npz`."""
+    from xmris_tpu.core.array import XmrDataset
+
+    with np.load(path, allow_pickle=True) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        ds = XmrDataset(attrs=meta["attrs"])
+        for name, vm in meta["vars"].items():
+            var = XmrArray(
+                z[f"var::{name}"], dims=tuple(vm["dims"]),
+                attrs=vm["attrs"], name=vm["name"],
+            )
+            coords = {}
+            for cname, cm in vm["coords"].items():
+                coords[cname] = Coord(cm["dim"], z[f"coord::{cname}"], cm["attrs"])
+            var.coords = coords
+            ds[name] = var
+        return ds
