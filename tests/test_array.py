@@ -174,3 +174,38 @@ class TestJaxBackend:
     def test_accessor_available(self):
         da = XmrArray(np.zeros(4, dtype=complex), dims=(DIMS.time,))
         assert hasattr(da.xmr, "to_spectrum")
+
+
+class TestXmrDataset:
+    def make_ds(self):
+        from xmris_tpu import XmrDataset
+
+        a = XmrArray(
+            np.arange(12.0).reshape(3, 4), dims=("voxel", "time"),
+            coords={"voxel": np.arange(3), "time": np.arange(4.0)},
+        )
+        b = XmrArray(
+            np.arange(6.0).reshape(3, 2), dims=("voxel", "Metabolite"),
+            coords={"voxel": np.arange(3),
+                    "Metabolite": Coord("Metabolite", np.array(["A", "B"], object))},
+        )
+        return XmrDataset({"data": a, "amp": b}, attrs={"k": 1})
+
+    def test_isel_applies_per_variable(self):
+        ds = self.make_ds()
+        out = ds.isel({"voxel": 1})
+        assert out["data"].dims == ("time",)
+        assert out["amp"].dims == ("Metabolite",)
+        assert out.attrs == {"k": 1}
+
+    def test_isel_ignores_absent_dims(self):
+        ds = self.make_ds()
+        out = ds.isel({"time": slice(0, 2)})
+        assert out["data"].sizes["time"] == 2
+        assert out["amp"].sizes["Metabolite"] == 2  # untouched
+
+    def test_sel_by_label(self):
+        ds = self.make_ds()
+        out = ds.sel({"Metabolite": "B"})
+        np.testing.assert_array_equal(out["amp"].values, [1.0, 3.0, 5.0])
+        assert out["data"].dims == ("voxel", "time")

@@ -721,6 +721,26 @@ class XmrDataset:
         new_attrs.update(kwargs)
         return XmrDataset(self.data_vars, new_attrs)
 
+    def isel(self, indexers: Mapping[str, Any] | None = None, **kw) -> "XmrDataset":
+        """Integer/slice selection applied to every variable carrying the dim."""
+        indexers = dict(indexers or {})
+        indexers.update(kw)
+        out = {}
+        for name, var in self.data_vars.items():
+            applicable = {d: i for d, i in indexers.items() if d in var.dims}
+            out[name] = var.isel(applicable) if applicable else var
+        return XmrDataset(out, dict(self.attrs))
+
+    def sel(self, indexers: Mapping[str, Any] | None = None, **kw) -> "XmrDataset":
+        """Label selection applied to every variable carrying the dim."""
+        indexers = dict(indexers or {})
+        indexers.update(kw)
+        out = {}
+        for name, var in self.data_vars.items():
+            applicable = {d: v for d, v in indexers.items() if d in var.dims}
+            out[name] = var.sel(applicable) if applicable else var
+        return XmrDataset(out, dict(self.attrs))
+
     @property
     def xmr(self):
         from xmris_tpu.core.accessor import XmrisDatasetAccessor
