@@ -261,14 +261,18 @@ def supervise() -> None:
                 return line
         return None
 
-    line = attempt({}, timeout_s=1200)
+    # With the persistent compile cache warm, the TPU run takes ~3-4 min;
+    # a wedged relay would otherwise eat the whole deadline.
+    line = attempt({}, timeout_s=700)
     if line is None:
         # Degraded mode: the full-grid fit is not CPU-feasible in bounded
         # time; measure the spectral pipeline only, honestly labeled.
+        # Blank PALLAS_AXON_POOL_IPS so the sitecustomize never registers the
+        # remote backend (its session hook re-overrides jax_platforms).
         line = attempt(
             {"JAX_PLATFORMS": "cpu", "XMT_FORCE_CPU": "1",
-             "XMT_BENCH_SCOPE": "spectral"},
-            timeout_s=600,
+             "XMT_BENCH_SCOPE": "spectral", "PALLAS_AXON_POOL_IPS": ""},
+            timeout_s=420,
         )
     if line is None:
         line = json.dumps(
