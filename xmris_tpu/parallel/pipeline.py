@@ -52,6 +52,13 @@ class PipelineConfig:
     de_maxiter: int = 200
     de_seed: int = 42
 
+    def __post_init__(self):
+        if self.autophase not in ("single", "all", "none"):
+            raise ValueError(
+                f"autophase must be 'single', 'all', or 'none', got "
+                f"{self.autophase!r}."
+            )
+
 
 def _apodization_weight(t: np.ndarray, lb: float, gb: float) -> np.ndarray:
     """Host-computed apodization window (formulas of ops.fid)."""
