@@ -438,7 +438,9 @@ def _expand_params_batched(x, pmap_static, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pmap_static", "max_iter", "mhz", "v_tile", "interpret"),
+    static_argnames=(
+        "pmap_static", "max_iter", "mhz", "v_tile", "interpret", "kernel_version"
+    ),
 )
 def lm_fit_batched_pallas(
     fids_re,
@@ -455,6 +457,7 @@ def lm_fit_batched_pallas(
     ftol: float = 1e-10,
     v_tile: int = 8,
     interpret: bool = False,
+    kernel_version: int = 2,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -463,7 +466,16 @@ def lm_fit_batched_pallas(
     accepted-state H/g and only re-damp, so no extra model evaluations are
     spent on failed steps.  Semantics match :func:`lm_fit_batched_planar`.
     """
-    from xmris_tpu.ops.kernels.lm_pallas import eq6_normal_equations_pallas
+    from xmris_tpu.ops.kernels.lm_pallas import (
+        eq6_normal_equations_pallas,
+        eq6_normal_equations_pallas_v2,
+    )
+
+    kernel_fn = (
+        eq6_normal_equations_pallas_v2
+        if kernel_version == 2
+        else eq6_normal_equations_pallas
+    )
 
     real_dtype = jnp.float32  # the kernel is float32
     fids_re = fids_re.astype(real_dtype)
@@ -483,7 +495,7 @@ def lm_fit_batched_pallas(
         x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
                                            kind[None, :])
         grids = _expand_params_batched(x, pmap_static, real_dtype)
-        cost, g_phys, h_phys = eq6_normal_equations_pallas(
+        cost, g_phys, h_phys = kernel_fn(
             grids, fids_re, fids_im, t,
             n_peaks=n_peaks, mhz=mhz, v_tile=v_tile, interpret=interpret,
         )

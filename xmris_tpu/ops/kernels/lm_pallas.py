@@ -191,3 +191,187 @@ def eq6_normal_equations_pallas(
     )
     # Strip batch padding and P padding
     return cost_out[:b, 0], g_out[:b, :p], h_out[:b, :p, :p]
+
+
+# ---------------------------------------------------------------------------
+# v2: sublane-vectorized kernel (8 voxels per VPU op)
+# ---------------------------------------------------------------------------
+
+
+def _normal_eq_kernel_v2(
+    params_ref,  # (1, K*5, V) VMEM — parameters lane-contiguous per tile
+    yre_ref,  # (V, n_t) VMEM
+    yim_ref,  # (V, n_t) VMEM
+    t_ref,  # (1, n_t) VMEM
+    h_ref,  # (1, P_pad*P_pad, V) VMEM out
+    g_ref,  # (1, P_pad, V) VMEM out
+    cost_ref,  # (1, 1, V) VMEM out
+    jre_ref,  # (P, V, n_t) VMEM scratch
+    jim_ref,  # (P, V, n_t) VMEM scratch
+    *,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int,
+    p_pad: int,
+):
+    """Vectorized variant of :func:`_normal_eq_kernel`.
+
+    The v1 kernel iterates voxels with (1, n_t)-shaped vectors, using one of
+    the VPU's 8 sublanes; here every elementwise op runs on (V, n_t) blocks
+    (full sublane utilization) and the normal equations accumulate as
+    multiply + lane-reduce pairs, so H/g for all V voxels emerge together.
+    """
+    t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
+    n_t = t.shape[1]
+    p = n_peaks * 5
+    f32 = jnp.float32
+
+    m_re = jnp.zeros((v_tile, n_t), f32)
+    m_im = jnp.zeros((v_tile, n_t), f32)
+
+    for k in range(n_peaks):  # static unroll over peaks
+        amp = params_ref[0, k * 5 + 0, :].reshape(v_tile, 1)
+        cs = params_ref[0, k * 5 + 1, :].reshape(v_tile, 1)
+        lw = params_ref[0, k * 5 + 2, :].reshape(v_tile, 1)
+        ph = params_ref[0, k * 5 + 3, :].reshape(v_tile, 1)
+        gg = params_ref[0, k * 5 + 4, :].reshape(v_tile, 1)
+
+        d = jnp.pi * lw
+        damp_profile = (1.0 - gg + gg * t) * t  # (V, n_t)
+        env = amp * jnp.exp(-d * damp_profile)
+        ang = (2.0 * jnp.pi * mhz) * cs * t + ph * _DEG
+        b_re = env * jnp.cos(ang)
+        b_im = env * jnp.sin(ang)
+
+        m_re = m_re + b_re
+        m_im = m_im + b_im
+
+        safe_amp = jnp.where(amp == 0, 1.0, amp)
+        w_cs = (2.0 * jnp.pi * mhz) * t  # (1, n_t)
+        w_lw = -jnp.pi * damp_profile  # (V, n_t)
+        w_g = -d * (t * t - t)  # (V, n_t)
+
+        jre_ref[k * 5 + 0, :, :] = b_re / safe_amp
+        jim_ref[k * 5 + 0, :, :] = b_im / safe_amp
+        jre_ref[k * 5 + 1, :, :] = -w_cs * b_im
+        jim_ref[k * 5 + 1, :, :] = w_cs * b_re
+        jre_ref[k * 5 + 2, :, :] = w_lw * b_re
+        jim_ref[k * 5 + 2, :, :] = w_lw * b_im
+        jre_ref[k * 5 + 3, :, :] = -_DEG * b_im
+        jim_ref[k * 5 + 3, :, :] = _DEG * b_re
+        jre_ref[k * 5 + 4, :, :] = w_g * b_re
+        jim_ref[k * 5 + 4, :, :] = w_g * b_im
+
+    r_re = yre_ref[:, :] - m_re
+    r_im = yim_ref[:, :] - m_im
+
+    # Normal equations: 55 multiply+lane-reduce pairs, each on (V, n_t)
+    for a in range(p):
+        ja_re = jre_ref[a, :, :]
+        ja_im = jim_ref[a, :, :]
+        for b in range(a, p):
+            vec = jnp.sum(
+                ja_re * jre_ref[b, :, :] + ja_im * jim_ref[b, :, :], axis=1
+            )  # (V,)
+            h_ref[0, a * p_pad + b, :] = vec
+            if b != a:
+                h_ref[0, b * p_pad + a, :] = vec
+        g_ref[0, a, :] = jnp.sum(ja_re * r_re + ja_im * r_im, axis=1)
+
+    # Zero padding rows of H/g once
+    for a in range(p, p_pad):
+        g_ref[0, a, :] = jnp.zeros((v_tile,), f32)
+        for b in range(p_pad):
+            h_ref[0, a * p_pad + b, :] = jnp.zeros((v_tile,), f32)
+            h_ref[0, b * p_pad + a, :] = jnp.zeros((v_tile,), f32)
+
+    cost_ref[0, 0, :] = jnp.sum(r_re * r_re + r_im * r_im, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_peaks", "mhz", "v_tile", "interpret")
+)
+def eq6_normal_equations_pallas_v2(
+    params,  # (B, K*5) physical parameter grid, float32
+    y_re,
+    y_im,
+    t,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int = 8,
+    interpret: bool = False,
+):
+    """Sublane-vectorized fused normal equations (drop-in for the v1 API)."""
+    b, n_t = y_re.shape
+    p = n_peaks * 5
+    p_pad = _round_up(p, 8)
+
+    pad_b = (-b) % v_tile
+    if pad_b:
+        params = jnp.pad(params, ((0, pad_b), (0, 0)))
+        params = params.at[b:, 0].set(1.0)
+        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
+        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
+    b_pad = b + pad_b
+    grid = (b_pad // v_tile,)
+
+    # Tiled parameter layout: (G, K*5, V) so each tile's parameters are
+    # lane-contiguous rows
+    params_t = (
+        params.astype(jnp.float32)
+        .reshape(grid[0], v_tile, p)
+        .transpose(0, 2, 1)
+    )
+
+    kernel = functools.partial(
+        _normal_eq_kernel_v2,
+        n_peaks=n_peaks,
+        mhz=float(mhz),
+        v_tile=v_tile,
+        p_pad=p_pad,
+    )
+
+    h_out, g_out, cost_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, p, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, p_pad * p_pad, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, p_pad, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], p_pad * p_pad, v_tile), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], p_pad, v_tile), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 1, v_tile), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((p, v_tile, n_t), jnp.float32),
+            pltpu.VMEM((p, v_tile, n_t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        params_t,
+        y_re.astype(jnp.float32),
+        y_im.astype(jnp.float32),
+        t.reshape(1, -1).astype(jnp.float32),
+    )
+    # (G, P*P, V) -> (B, P, P); (G, P, V) -> (B, P); (G, 1, V) -> (B,)
+    h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, p_pad, p_pad)
+    g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, p_pad)
+    cost = jnp.transpose(cost_out, (0, 2, 1)).reshape(b_pad)
+    return cost[:b], g[:b, :p], h[:b, :p, :p]
