@@ -299,3 +299,97 @@ class TestFitAmares:
         da.attrs.pop("MHz")
         with pytest.raises(ValueError, match="MHz"):
             da.xmr.fit_amares(pk_file)
+
+
+class TestFitParity1e6:
+    """BASELINE claim: fitted parameters <= 1e-6 relative vs the reference
+    optimizer family, on a well-conditioned problem in float64."""
+
+    def test_float64_parameter_parity(self, tmp_path):
+        from scipy.optimize import least_squares
+
+        from xmris_tpu.fitting.lm import (
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_planar,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        # fixed g removes the flat Voigt direction; high SNR conditions it
+        pk_path = tmp_path / "pk.csv"
+        pk_path.write_text(
+            'Index,PCr,ATP\n'
+            'Initial Values,,\n'
+            'amplitude,10.0,5.0\n'
+            'chemicalshift,0.0,-7.5\n'
+            'linewidth,15.0,20.0\n'
+            'phase,0,0\n'
+            'g,0,0\n'
+            'Bounds,,\n'
+            'amplitude,"(0, ","(0, "\n'
+            'chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"\n'
+            'linewidth,"(5.0, 30.0)","(10.0, 40.0)"\n'
+            'phase,"(-180, 180)","(-180, 180)"\n'
+            'g,fixed,fixed\n'
+        )
+        pk = load_prior_knowledge(pk_path)
+
+        mhz, sw, n = 120.0, 10000.0, 1024
+        t = np.arange(n) / sw
+        rng = np.random.default_rng(3)
+        y = (
+            23.0 * np.exp((-16.0 * np.pi + 1j * 0.15) * t)
+            + 6.0 * np.exp((-22.0 * np.pi + 1j * 2 * np.pi * (-7.5 * mhz)) * t)
+        )
+        y = y + (rng.normal(0, 0.01, n) + 1j * rng.normal(0, 0.01, n))
+
+        import jax.numpy as jnp
+
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        res = lm_fit_batched_planar(
+            jnp.asarray(y.real[None, :]),  # float64 under the test config
+            jnp.asarray(y.imag[None, :]),
+            jnp.asarray(t),
+            u0,
+            jnp.asarray(pk.lower),
+            jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap),
+            mhz,
+            max_iter=200,
+            ftol=1e-14,
+        )
+        ours = np.asarray(res.x_free)[0]
+        assert res.x_free.dtype == np.float64
+
+        def resid(th):
+            m = np.zeros_like(y)
+            for i in range(2):
+                a, cs, lw, ph = th[4 * i : 4 * i + 4]
+                m = m + (
+                    a
+                    * np.exp(1j * np.deg2rad(ph))
+                    * np.exp(-np.pi * lw * t)
+                    * np.exp(1j * 2 * np.pi * cs * mhz * t)
+                )
+            r = y - m
+            return np.concatenate([r.real, r.imag])
+
+        sol = least_squares(
+            resid,
+            [10, 0, 15, 0, 5, -7.5, 20, 0],
+            bounds=(
+                [0, -0.5, 5, -180, 0, -8, 10, -180],
+                [np.inf, 0.5, 30, 180, np.inf, -7, 40, 180],
+            ),
+            xtol=1e-15, ftol=1e-15, gtol=1e-15,
+        )
+        # free-param layout matches [amp, cs, lw, ph] x 2 (g fixed)
+        for i, ref_val in enumerate(sol.x):
+            # near-zero phases compare on their natural degree scale
+            scale = max(abs(ref_val), 1e-2)
+            assert abs(ours[i] - ref_val) / scale < 1e-6, (
+                f"param {pk.free_labels[i]}: {ours[i]} vs {ref_val}"
+            )
