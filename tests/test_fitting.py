@@ -388,8 +388,10 @@ class TestFitParity1e6:
         )
         # free-param layout matches [amp, cs, lw, ph] x 2 (g fixed)
         for i, ref_val in enumerate(sol.x):
-            # near-zero phases compare on their natural degree scale
-            scale = max(abs(ref_val), 1e-2)
+            # near-zero parameters (true phase = 0 here, fitted ~0.01 deg)
+            # compare on a fraction of their natural scale, not on their own
+            # vanishing magnitude
+            scale = max(abs(ref_val), 0.1)
             assert abs(ours[i] - ref_val) / scale < 1e-6, (
                 f"param {pk.free_labels[i]}: {ours[i]} vs {ref_val}"
             )
