@@ -150,3 +150,45 @@ class TestFitAmaresEngines:
         np.testing.assert_allclose(
             ds_p["amplitude"].values, ds_x["amplitude"].values, rtol=0.05
         )
+
+
+class TestCRLBKernel:
+    def test_matches_xla_crlb(self, tmp_path):
+        from tests.test_fitting import PK_CSV, make_phantom
+        from xmris_tpu.fitting.lm import (
+            crlb_batched_pallas,
+            crlb_batched_planar,
+            lm_fit_batched_planar,
+        )
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=3, n_points=512)
+        fids = np.asarray(da.transpose("voxel", "time").values).astype(np.complex64)
+        t = jnp.asarray((np.arange(512) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        ps = hashable_pmap(pk.pmap)
+        res = lm_fit_batched_planar(
+            re, im, t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            ps, 120.0, max_iter=40,
+        )
+        sds_xla, s2_xla = crlb_batched_planar(
+            re, im, t, res.x_free,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            ps, 120.0,
+        )
+        sds_pal, s2_pal = crlb_batched_pallas(
+            re, im, t, res.x_free, ps, 120.0, v_tile=1, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2_pal), np.asarray(s2_xla), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sds_pal), np.asarray(sds_xla), rtol=1e-3
+        )

@@ -219,11 +219,24 @@ def fit_amares(
 
     sds_parts, sigma_parts, fit_parts = [], [], []
     for start in range(0, n_spectra, chunk_size):
-        chunk = jnp.asarray(fid_arrs[start : start + chunk_size])
+        chunk = fid_arrs[start : start + chunk_size]
         xs = jnp.asarray(x_free[start : start + chunk_size])
-        sds, sigma2 = crlb_batched(
-            chunk, t_j, xs, lower_j, upper_j, kind_j, pmap_static, mhz
-        )
+        if engine == "pallas":
+            import jax as _jax
+
+            from xmris_tpu.fitting.lm import crlb_batched_pallas
+
+            sds, sigma2 = crlb_batched_pallas(
+                jnp.asarray(np.ascontiguousarray(chunk.real)),
+                jnp.asarray(np.ascontiguousarray(chunk.imag)),
+                t_j, xs, pmap_static, mhz,
+                interpret=_jax.default_backend() != "tpu",
+            )
+        else:
+            sds, sigma2 = crlb_batched(
+                jnp.asarray(chunk), t_j, xs, lower_j, upper_j, kind_j,
+                pmap_static, mhz,
+            )
         sds_parts.append(np.asarray(sds))
         sigma_parts.append(np.asarray(sigma2))
         model = _reconstruct_batch(xs, t_j, pk, mhz)

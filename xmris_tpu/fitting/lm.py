@@ -559,3 +559,58 @@ def lm_fit_batched_pallas(
     return LMResult(
         x_free=x_final, cost=cost, n_iter=n_acc, converged=converged, done=done
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pmap_static", "mhz", "v_tile", "interpret", "kernel_version"),
+)
+def crlb_batched_pallas(
+    fids_re,
+    fids_im,
+    t,
+    x_free,  # (B, F) external free parameters at the optimum
+    pmap_static,
+    mhz: float,
+    v_tile: int = 8,
+    interpret: bool = False,
+    kernel_version: int = 2,
+):
+    """CRLBs from ONE fused-kernel evaluation at the optimum.
+
+    The Gauss-Newton Hessian the kernel already produces IS the Fisher
+    information (identity prior); folding to free space and taking
+    ``sqrt(diag(sigma^2 * H^-1))`` via the unrolled Cholesky avoids the XLA
+    Jacobian materialization of :func:`crlb_batched_planar` entirely.
+    """
+    from xmris_tpu.ops.kernels.lm_pallas import (
+        eq6_normal_equations_pallas,
+        eq6_normal_equations_pallas_v2,
+    )
+    from xmris_tpu.ops.kernels.spd import spd_inverse_diag
+
+    kernel_fn = (
+        eq6_normal_equations_pallas_v2
+        if kernel_version == 2
+        else eq6_normal_equations_pallas
+    )
+    real_dtype = jnp.float32
+    fids_re = fids_re.astype(real_dtype)
+    fids_im = fids_im.astype(real_dtype)
+    x_free = x_free.astype(real_dtype)
+    n_free = x_free.shape[-1]
+    smat = jnp.asarray(_scatter_matrix(pmap_static, n_free), real_dtype)
+
+    grids = _expand_params_batched(x_free, pmap_static, real_dtype)
+    cost, _, h_phys = kernel_fn(
+        grids, fids_re, fids_im, t.astype(real_dtype),
+        n_peaks=pmap_static[3], mhz=mhz, v_tile=v_tile, interpret=interpret,
+    )
+    h = jnp.einsum("pf,bpq,qh->bfh", smat, h_phys, smat)
+    h = h + 1e-12 * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
+
+    dof = jnp.maximum(2.0 * t.shape[0] - n_free, 1.0)
+    sigma2 = cost / dof
+    diag_inv = spd_inverse_diag(h)
+    sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
+    return sds, sigma2

@@ -66,3 +66,45 @@ def spd_solve_small(h: jax.Array, g: jax.Array) -> jax.Array:
         xs[i] = acc / l[:, i, i]
 
     return jnp.stack(xs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def spd_inverse_diag(h: jax.Array) -> jax.Array:
+    """Diagonal of the inverse of a batch of small SPD matrices.
+
+    Via Cholesky: H = L L^T  =>  (H^-1)_jj = || L^-1 e_j ||^2, i.e. F
+    unrolled forward substitutions.  Used for CRLB extraction from the
+    Gauss-Newton Hessian without materializing the full inverse.
+    """
+    b, f, _ = h.shape
+    dtype = h.dtype
+
+    a = h
+    cols = []
+    idx = np.arange(f)
+    for k in range(f):
+        dk = a[:, k, k]
+        inv_sqrt = jax.lax.rsqrt(jnp.maximum(dk, 1e-30))[:, None]
+        mask = jnp.asarray((idx >= k).astype(np.float32), dtype)[None, :]
+        l_k = a[:, :, k] * mask * inv_sqrt
+        a = a - l_k[:, :, None] * l_k[:, None, :]
+        cols.append(l_k)
+    l = jnp.stack(cols, axis=2)
+
+    diag = []
+    for j in range(f):
+        # forward solve L x = e_j; accumulate sum of squares
+        xs = [None] * f
+        acc_sq = jnp.zeros((b,), dtype)
+        for i in range(f):
+            rhs = jnp.ones((b,), dtype) if i == j else jnp.zeros((b,), dtype)
+            acc = rhs
+            for m in range(j, i):
+                if xs[m] is not None:
+                    acc = acc - l[:, i, m] * xs[m]
+            x_i = acc / l[:, i, i] if i >= j else None
+            if i >= j:
+                xs[i] = x_i
+                acc_sq = acc_sq + x_i * x_i
+        diag.append(acc_sq)
+    return jnp.stack(diag, axis=1)  # (B, F)
