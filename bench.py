@@ -77,6 +77,7 @@ def run_fit_planar(fids, iters=3, chunk_size=4096, max_iter=40):
     import tempfile
 
     from xmris_tpu.fitting.lm import (
+        crlb_batched_pallas,
         crlb_batched_planar,
         external_to_internal,
         hashable_pmap,
@@ -134,9 +135,14 @@ def run_fit_planar(fids, iters=3, chunk_size=4096, max_iter=40):
                 re, im, t, u0, lower, upper, kind, pmap_static, MHZ,
                 max_iter=max_iter,
             )
-            sds, _ = crlb_batched_planar(
-                re, im, t, res.x_free, lower, upper, kind, pmap_static, MHZ
-            )
+            if use_pallas:
+                sds, _ = crlb_batched_pallas(
+                    re, im, t, res.x_free, pmap_static, MHZ
+                )
+            else:
+                sds, _ = crlb_batched_planar(
+                    re, im, t, res.x_free, lower, upper, kind, pmap_static, MHZ
+                )
             sink += float(jnp.sum(res.x_free)) + float(jnp.sum(sds))
         return sink
 
