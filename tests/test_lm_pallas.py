@@ -194,3 +194,91 @@ class TestCRLBKernel:
         np.testing.assert_allclose(
             np.asarray(sds_pal), np.asarray(sds_xla), rtol=0.02
         )
+
+
+class TestLargerPriors:
+    def test_five_peak_fit(self, tmp_path):
+        """P=25 free params exercises kernel padding (p_pad=32) and the
+        solver at realistic 31P prior sizes."""
+        mhz, sw, n = 120.0, 10000.0, 256
+        shifts = [0.0, -2.4, -7.5, -16.0, 5.2]
+        amps = [20.0, 8.0, 6.0, 4.0, 10.0]
+        lws = [12.0, 18.0, 22.0, 25.0, 15.0]
+
+        rows = ["Index," + ",".join(f"M{i}" for i in range(5)),
+                "Initial Values," + "," * 4]
+        rows.append("amplitude," + ",".join("5.0" for _ in range(5)))
+        rows.append("chemicalshift," + ",".join(str(s) for s in shifts))
+        rows.append("linewidth," + ",".join("15.0" for _ in range(5)))
+        rows.append("phase," + ",".join("0" for _ in range(5)))
+        rows.append("g," + ",".join("0" for _ in range(5)))
+        rows.append("Bounds," + "," * 4)
+        rows.append("amplitude," + ",".join('"(0, "' for _ in range(5)))
+        rows.append(
+            "chemicalshift,"
+            + ",".join(f'"({s - 0.4}, {s + 0.4})"' for s in shifts)
+        )
+        rows.append("linewidth," + ",".join('"(5, 40)"' for _ in range(5)))
+        rows.append("phase," + ",".join('"(-180, 180)"' for _ in range(5)))
+        rows.append("g," + ",".join("fixed" for _ in range(5)))
+        pk_path = tmp_path / "pk5.csv"
+        pk_path.write_text("\n".join(rows) + "\n")
+
+        t = np.arange(n) / sw
+        rng = np.random.default_rng(1)
+        y = sum(
+            a * np.exp((-lw * np.pi + 1j * 2 * np.pi * (s * mhz)) * t)
+            for a, s, lw in zip(amps, shifts, lws)
+        )
+        y = y + rng.normal(0, 0.1, n) + 1j * rng.normal(0, 0.1, n)
+
+        from xmris_tpu import XmrArray
+
+        da = XmrArray(y[None, :], dims=("voxel", "time"),
+                      coords={"time": t}, attrs={"MHz": mhz})
+        # full fit through the fast engine; the pallas kernel's P=25 padding
+        # is covered by test_kernel_p25_padding below
+        ds_p = da.xmr.fit_amares(pk_path, engine="xla", max_iter=40,
+                                 initialize_with_lm=False)
+        fitted = ds_p["amplitude"].values[0]
+        order = np.argsort([f"M{i}" for i in range(5)])  # metabolite order
+        np.testing.assert_allclose(fitted, amps, rtol=0.1)
+        cs = ds_p["chem_shift"].values[0]
+        np.testing.assert_allclose(cs, shifts, atol=0.05)
+
+
+    def test_kernel_p25_padding(self):
+        """K=5 (P=25 -> p_pad=32) kernel parity vs the XLA reference."""
+        from xmris_tpu.fitting.lm import eq6_basis_planar, eq6_jacobian_planar
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v2,
+        )
+
+        b, n_t, k = 2, 128, 5
+        grids = sane_grids(b, k, seed=9)
+        rng = np.random.default_rng(9)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+
+        cost, g, h = eq6_normal_equations_pallas_v2(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
+        )
+        assert g.shape == (b, 25)
+        assert h.shape == (b, 25, 25)
+
+        tj = jnp.asarray(t)
+        for i in range(b):
+            grid = jnp.asarray(grids[i].reshape(k, 5))
+            m_re, m_im, b_re, b_im = eq6_basis_planar(tj, grid, MHZ)
+            jre = eq6_jacobian_planar(tj, grid, b_re, b_im, MHZ)[0].reshape(n_t, -1)
+            jim = eq6_jacobian_planar(tj, grid, b_re, b_im, MHZ)[1].reshape(n_t, -1)
+            h_ref = (
+                np.asarray(jre).T @ np.asarray(jre)
+                + np.asarray(jim).T @ np.asarray(jim)
+            )
+            np.testing.assert_allclose(
+                np.asarray(h[i]), h_ref, rtol=1e-4,
+                atol=1e-3 * np.abs(h_ref).max(),
+            )
