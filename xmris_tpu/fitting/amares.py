@@ -62,8 +62,12 @@ def fit_amares(
 
     Parameters mirror the reference API.  ``num_workers`` is accepted for
     compatibility and ignored (parallelism is the device batch);
-    ``initialize_with_lm=True`` runs a second refinement pass seeded from the
-    first solution (the analog of lmfit's LM initializer).  ``max_iter`` and
+    ``initialize_with_lm=True`` first solves the template FID (``init_fid``
+    or the auto-selected highest-SNR voxel) with a fast planar LM pass and
+    seeds every voxel's initial values from that optimum — the batched
+    analog of ``pyAMARES.initialize_FID``'s LM initializer
+    (reference ``amares.py:314-324``) — and then runs a second refinement
+    pass seeded from each voxel's own first solution.  ``max_iter`` and
     ``chunk_size`` control the batched solver (chunking bounds the Jacobian
     workspace: ``chunk_size * n_time * n_free`` elements per plane).
 
@@ -101,8 +105,15 @@ def fit_amares(
     fid_arrs = np.asarray(da_t.values).reshape(-1, n_time)
     n_spectra = fid_arrs.shape[0]
 
-    # 3. Highest-SNR template selection (reference: amares.py:295-312)
-    if init_fid is None:
+    # 3. Template FID selection (reference: amares.py:295-312).  Either the
+    # caller's ``init_fid`` or the highest-SNR voxel of the grid.
+    if init_fid is not None:
+        template_fid = np.asarray(init_fid).reshape(-1)
+        if template_fid.shape[0] != n_time:
+            raise ValueError(
+                f"init_fid has {template_fid.shape[0]} points, expected {n_time}."
+            )
+    else:
         signal_region = np.mean(np.abs(fid_arrs[:, 0:10]), axis=1)
         noise_pts = max(10, n_time // 5)
         noise_region = np.std(fid_arrs[:, -noise_pts:], axis=1)
@@ -113,6 +124,7 @@ def fit_amares(
             f"Auto-selected FID index {best_idx} for initialization "
             f"(SNR: {snr_array[best_idx]:.2f})"
         )
+        template_fid = fid_arrs[best_idx]
 
     # 4. Prior knowledge
     pk = (
@@ -122,30 +134,60 @@ def fit_amares(
     )
     pmap_static = hashable_pmap(pk.pmap)
 
-    # Per-voxel initial values: rescale the prior's amplitudes by each
-    # voxel's first-point magnitude over the prior total (clipped), so highly
-    # concentrated voxels don't need extra LM iterations to scale up.
-    x0 = np.broadcast_to(pk.init_free[None, :], (n_spectra, pk.n_free)).copy()
+    timeaxis = np.arange(n_time, dtype=np.float64) * (1.0 / sw) + deadtime
+    t_j = jnp.asarray(timeaxis)
+    lower_j = jnp.asarray(pk.lower)
+    upper_j = jnp.asarray(pk.upper)
+    kind_j = jnp.asarray(pk.kind)
+
+    # Template fit (reference: pyAMARES.initialize_FID + optional LM pass,
+    # amares.py:314-324): solve the template voxel once with the cheap XLA
+    # planar engine and seed every voxel's initial values from its optimum.
+    # Deliberately NOT the pallas engine — a batch-1 launch would cost an
+    # extra Mosaic compile on TPU for a 1-voxel problem.
+    x_template = pk.init_free
+    if initialize_with_lm:
+        from xmris_tpu.fitting.lm import lm_fit_batched_planar
+
+        u0_t = jnp.asarray(
+            external_to_internal(
+                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
+            )
+        )
+        res_t = lm_fit_batched_planar(
+            jnp.asarray(np.ascontiguousarray(template_fid.real)[None, :]),
+            jnp.asarray(np.ascontiguousarray(template_fid.imag)[None, :]),
+            t_j, u0_t, lower_j, upper_j, kind_j, pmap_static, mhz,
+            max_iter=max_iter,
+        )
+        x_t = np.asarray(res_t.x_free)[0]
+        if bool(np.asarray(res_t.converged)[0]) and np.isfinite(x_t).all():
+            x_template = x_t
+            if verbose:
+                print(
+                    f"Template fit converged (cost "
+                    f"{float(np.asarray(res_t.cost)[0]):.3e}); seeding grid."
+                )
+
+    # Per-voxel initial values: every voxel starts from the template optimum;
+    # amplitudes additionally rescale by the voxel's own first-point magnitude
+    # over the template total (clipped), so highly concentrated voxels don't
+    # need extra LM iterations to scale up.
+    x0 = np.broadcast_to(x_template[None, :], (n_spectra, pk.n_free)).copy()
     if scale_init_amplitudes:
         amp_slots = [
             int(pk.pmap.idx[k * 5])
             for k in range(pk.n_peaks)
             if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
         ]
-        prior_total = float(
-            np.sum(np.abs(pk.init_free[amp_slots])) if amp_slots else 0.0
+        template_total = float(
+            np.sum(np.abs(x_template[amp_slots])) if amp_slots else 0.0
         )
-        if amp_slots and prior_total > 0:
+        if amp_slots and template_total > 0:
             y0_mag = np.abs(fid_arrs[:, 0])
-            factor = np.clip(y0_mag / prior_total, 0.1, 100.0)
+            factor = np.clip(y0_mag / template_total, 0.1, 100.0)
             x0[:, amp_slots] *= factor[:, None]
     u0 = external_to_internal(x0, pk.lower, pk.upper, pk.kind)
-
-    timeaxis = np.arange(n_time, dtype=np.float64) * (1.0 / sw) + deadtime
-    t_j = jnp.asarray(timeaxis)
-    lower_j = jnp.asarray(pk.lower)
-    upper_j = jnp.asarray(pk.upper)
-    kind_j = jnp.asarray(pk.kind)
     u0_j = jnp.asarray(u0)
 
     # 5. Batched bounded LM over voxel chunks
