@@ -172,6 +172,25 @@ class TestNativeIO:
             back.coords[DIMS.time].values, valid_fid_da.coords[DIMS.time].values
         )
 
+    def test_npz_roundtrip_object_coord(self, tmp_path):
+        # Regression: fit_amares creates an object-dtype Metabolite coord;
+        # np.savez pickles object arrays, which allow_pickle=False loading
+        # then rejects.  save_npz must store them unpickled.
+        from xmris_tpu.core.array import Coord, XmrArray
+
+        da = XmrArray(np.zeros((3, 4)), dims=("Metabolite", "time"))
+        da.coords["Metabolite"] = Coord(
+            "Metabolite", np.array(["PCr", "ATP", "Pi"], dtype=object)
+        )
+        p = tmp_path / "obj.npz"
+        save_npz(da, p)
+        back = load_npz(p)
+        assert back.coords["Metabolite"].values.dtype == object
+        np.testing.assert_array_equal(
+            back.coords["Metabolite"].values,
+            da.coords["Metabolite"].values,
+        )
+
     def test_load_dataarray_rejects_hdf5(self, tmp_path):
         p = tmp_path / "fake.nc"
         p.write_bytes(b"\x89HDF\r\n")

@@ -95,12 +95,36 @@ def load_dataarray(path: str | Path, variable: str | None = None) -> XmrArray:
         f.close()
 
 
+def _storable(values) -> np.ndarray:
+    """Make an array np.savez-safe without pickling.
+
+    Object-dtype arrays (e.g. the ``Metabolite`` coord ``fit_amares``
+    creates) would be pickled by ``np.savez`` and then rejected by the
+    ``allow_pickle=False`` loaders; store them as fixed-width unicode
+    instead.  The original object dtype is recorded in the JSON meta and
+    restored by :func:`_restore`.
+    """
+    arr = np.asarray(values)
+    if arr.dtype == object:
+        return np.asarray(arr, dtype=np.str_)
+    return arr
+
+
+def _restore(arr: np.ndarray, was_object: bool) -> np.ndarray:
+    return arr.astype(object) if was_object else arr
+
+
 def save_npz(da: XmrArray, path: str | Path) -> None:
     """Lossless native serialization of an XmrArray to ``.npz``."""
     coord_meta = {
-        cname: {"dim": c.dim, "attrs": c.attrs} for cname, c in da.coords.items()
+        cname: {
+            "dim": c.dim,
+            "attrs": c.attrs,
+            "object": np.asarray(c.values).dtype == object,
+        }
+        for cname, c in da.coords.items()
     }
-    arrays = {f"coord::{cname}": c.values for cname, c in da.coords.items()}
+    arrays = {f"coord::{cname}": _storable(c.values) for cname, c in da.coords.items()}
     np.savez(
         path,
         data=da.values,
@@ -128,7 +152,8 @@ def load_npz(path: str | Path) -> XmrArray:
         )
         coords = {}
         for cname, cm in meta["coords"].items():
-            coords[cname] = Coord(cm["dim"], z[f"coord::{cname}"], cm["attrs"])
+            cvals = _restore(z[f"coord::{cname}"], cm.get("object", False))
+            coords[cname] = Coord(cm["dim"], cvals, cm["attrs"])
         out.coords = coords
         return out
 
@@ -151,18 +176,23 @@ def save_dataset_npz(ds, path: str | Path) -> None:
     arrays: dict[str, np.ndarray] = {}
     meta: dict = {"attrs": _jsonable(ds.attrs), "vars": {}}
     for name, var in ds.items():
-        arrays[f"var::{name}"] = var.values
+        arrays[f"var::{name}"] = _storable(var.values)
         meta["vars"][name] = {
             "dims": list(var.dims),
             "attrs": _jsonable(var.attrs),
             "name": var.name,
+            "object": np.asarray(var.values).dtype == object,
             "coords": {
-                cname: {"dim": c.dim, "attrs": _jsonable(c.attrs)}
+                cname: {
+                    "dim": c.dim,
+                    "attrs": _jsonable(c.attrs),
+                    "object": np.asarray(c.values).dtype == object,
+                }
                 for cname, c in var.coords.items()
             },
         }
         for cname, c in var.coords.items():
-            arrays.setdefault(f"coord::{cname}", c.values)
+            arrays.setdefault(f"coord::{cname}", _storable(c.values))
     payload = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, __meta__=payload, **arrays)
 
@@ -172,17 +202,19 @@ def load_dataset_npz(path: str | Path):
     :func:`save_dataset_npz`."""
     from xmris_tpu.core.array import XmrDataset
 
-    with np.load(path, allow_pickle=True) as z:
+    with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
         ds = XmrDataset(attrs=meta["attrs"])
         for name, vm in meta["vars"].items():
             var = XmrArray(
-                z[f"var::{name}"], dims=tuple(vm["dims"]),
+                _restore(z[f"var::{name}"], vm.get("object", False)),
+                dims=tuple(vm["dims"]),
                 attrs=vm["attrs"], name=vm["name"],
             )
             coords = {}
             for cname, cm in vm["coords"].items():
-                coords[cname] = Coord(cm["dim"], z[f"coord::{cname}"], cm["attrs"])
+                cvals = _restore(z[f"coord::{cname}"], cm.get("object", False))
+                coords[cname] = Coord(cm["dim"], cvals, cm["attrs"])
             var.coords = coords
             ds[name] = var
         return ds

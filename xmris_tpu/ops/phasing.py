@@ -64,6 +64,16 @@ def _phased_real(data, coords, p0, p1, pivot, x_range):
     return jnp.real(data) * jnp.cos(phi) - jnp.imag(data) * jnp.sin(phi)
 
 
+def _phased_real_planar(re, im, coords, p0, p1, pivot, x_range):
+    """Real part of the phased spectrum from split planes (traced).
+
+    Planar formulation so the objective never materializes a complex dtype
+    on device — required on the axon TPU backend (no complex execution).
+    """
+    phi = jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((coords - pivot) / x_range)
+    return re * jnp.cos(phi) - im * jnp.sin(phi)
+
+
 def acme_score_raw(real_data):
     """ACME objective: entropy of |first derivative| + negative-area penalty,
     normalized by length and the maximum of the real part.
@@ -322,14 +332,19 @@ def autophase(
         p0_opt = float(opt.x[0])
         p1_opt = float(opt.x[1]) if not p0_only else 0.0
     elif optimizer == "de":
-        data_j = jnp.asarray(work_da.values)
-        coords_j = jnp.asarray(coords, dtype=matching_dtypes(data_j.dtype)[0])
+        # Split planes host-side: the device graph stays real-only (the axon
+        # TPU backend cannot execute complex programs).
+        vals = np.asarray(work_da.values)
+        real_dtype, _ = matching_dtypes(vals.dtype)
+        re_j = jnp.asarray(np.ascontiguousarray(vals.real), dtype=real_dtype)
+        im_j = jnp.asarray(np.ascontiguousarray(vals.imag), dtype=real_dtype)
+        coords_j = jnp.asarray(coords, dtype=real_dtype)
         score = _SCORES[method]
 
         def objective(ph):
             p0 = ph[0]
             p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
-            d = _phased_real(data_j, coords_j, p0, p1, pivot, x_range)
+            d = _phased_real_planar(re_j, im_j, coords_j, p0, p1, pivot, x_range)
             return score(d, target_idx, index_width)
 
         result = differential_evolution(
@@ -378,21 +393,25 @@ def _autophase_all(
     coords = np.asarray(da.coords[dim].values, dtype=np.float64)
     x_range = float(coords.max() - coords.min())
 
-    # Flatten to (n_voxels, n_points)
+    # Flatten to (n_voxels, n_points), split planes host-side: the device
+    # graph stays real-only (the axon TPU backend cannot execute complex
+    # programs; dispatch is async so failures would surface late).
     order = [d for d in da.dims if d != dim] + [dim]
     work_t = work.transpose(*order)
     n_points = da.sizes[dim]
-    rows = jnp.asarray(work_t.values).reshape(-1, n_points)
-    n_voxels = rows.shape[0]
+    rows_np = np.asarray(work_t.values).reshape(-1, n_points)
+    n_voxels = rows_np.shape[0]
 
-    real_dtype, _ = matching_dtypes(rows.dtype)
+    real_dtype, _ = matching_dtypes(rows_np.dtype)
+    rows_re = jnp.asarray(np.ascontiguousarray(rows_np.real), dtype=real_dtype)
+    rows_im = jnp.asarray(np.ascontiguousarray(rows_np.imag), dtype=real_dtype)
     coords_j = jnp.asarray(coords, dtype=real_dtype)
 
     if target_coord is not None:
         pivots = jnp.full((n_voxels,), float(target_coord), dtype=real_dtype)
         t_idx = jnp.full((n_voxels,), int(np.argmin(np.abs(coords - target_coord))))
     else:
-        t_idx = jnp.argmax(jnp.abs(rows), axis=1)
+        t_idx = jnp.argmax(rows_re**2 + rows_im**2, axis=1)
         pivots = coords_j[t_idx]
 
     bounds = (
@@ -404,12 +423,14 @@ def _autophase_all(
     keys = jax.random.split(jax.random.PRNGKey(seed), n_voxels)
 
     @jax.jit
-    def solve_all(rows, pivots, t_idx, keys):
-        def solve_one(row, pivot, ti, key):
+    def solve_all(rows_re, rows_im, pivots, t_idx, keys):
+        def solve_one(row_re, row_im, pivot, ti, key):
             def objective(ph):
                 p0 = ph[0]
                 p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
-                d = _phased_real(row, coords_j, p0, p1, pivot, x_range)
+                d = _phased_real_planar(
+                    row_re, row_im, coords_j, p0, p1, pivot, x_range
+                )
                 return score(d, ti, index_width)
 
             res = differential_evolution(
@@ -417,18 +438,30 @@ def _autophase_all(
             )
             return res.x
 
-        return jax.vmap(solve_one)(rows, pivots, t_idx, keys)
+        return jax.vmap(solve_one)(rows_re, rows_im, pivots, t_idx, keys)
 
-    solutions = solve_all(rows, pivots, t_idx, keys)  # (n_voxels, 1 or 2)
+    solutions = solve_all(rows_re, rows_im, pivots, t_idx, keys)  # (n_voxels, 1|2)
     p0s = solutions[:, 0]
     p1s = solutions[:, 1] if not p0_only else jnp.zeros_like(p0s)
 
-    # Apply per-voxel phase to the *original* data (not the lb-smoothed copy).
-    orig_rows = jnp.asarray(da.transpose(*order).values).reshape(-1, n_points)
-    phi = jnp.deg2rad(p0s)[:, None] + jnp.deg2rad(p1s)[:, None] * (
-        (coords_j[None, :] - pivots[:, None]) / x_range
-    )
-    phased = orig_rows * jnp.exp(1.0j * phi.astype(matching_dtypes(orig_rows.dtype)[0]))
+    # Apply per-voxel phase to the *original* data (not the lb-smoothed copy):
+    # planar rotation on device, complex combine on the host.
+    orig_np = np.asarray(da.transpose(*order).values).reshape(-1, n_points)
+    orig_re = jnp.asarray(np.ascontiguousarray(orig_np.real), dtype=real_dtype)
+    orig_im = jnp.asarray(np.ascontiguousarray(orig_np.imag), dtype=real_dtype)
+
+    @jax.jit
+    def apply_all(orig_re, orig_im, p0s, p1s, pivots):
+        phi = jnp.deg2rad(p0s)[:, None] + jnp.deg2rad(p1s)[:, None] * (
+            (coords_j[None, :] - pivots[:, None]) / x_range
+        )
+        c, s = jnp.cos(phi), jnp.sin(phi)
+        return orig_re * c - orig_im * s, orig_re * s + orig_im * c
+
+    out_re, out_im = apply_all(orig_re, orig_im, p0s, p1s, pivots)
+    _, cplx = matching_dtypes(orig_np.dtype)
+    phased = np.asarray(out_re).astype(cplx)
+    phased += 1j * np.asarray(out_im)
 
     # Restore the original layout.
     voxel_shape = tuple(da.sizes[d] for d in order[:-1])
