@@ -11,23 +11,38 @@ from __future__ import annotations
 
 import functools
 from collections.abc import Callable
-from typing import Any
 
 from xmris_tpu.core.config import ATTRS
 
+_SECTION_TITLE = "Required Attributes"
 
-def _append_to_docstring(
-    doc: str | None, title: str, keys: tuple[str, ...], vocab: Any
-) -> str:
-    """Append a NumPy-style section listing required keys to a docstring."""
-    base_doc = doc or ""
-    if base_doc and not base_doc.endswith("\n\n"):
-        base_doc += "\n\n" if base_doc.endswith("\n") else "\n\n"
 
-    lines = [f"    {title}", f"    {'-' * len(title)}"]
-    for k in keys:
-        lines.append(f"    * ``{k}``: {vocab.get_description(k)}")
-    return base_doc + "\n".join(lines) + "\n"
+def _requirements_section(keys: tuple[str, ...]) -> str:
+    """Render a NumPy-style docstring section describing required attrs.
+
+    One bullet per key, with its description pulled live from the vocabulary
+    singleton so docs can never drift from the data dictionary.
+    """
+    header = [f"    {_SECTION_TITLE}", "    " + "-" * len(_SECTION_TITLE)]
+    bullets = [f"    * ``{key}``: {ATTRS.get_description(key)}" for key in keys]
+    return "\n".join(header + bullets) + "\n"
+
+
+def _merge_docstring(original: str | None, section: str) -> str:
+    """Splice the requirements section after the existing docstring body."""
+    if not original:
+        return section
+    if original.endswith("\n\n"):
+        glue = ""
+    elif original.endswith("\n"):
+        glue = "\n"
+    else:
+        glue = "\n\n"
+    return original + glue + section
+
+
+def _missing_attrs(attrs, keys: tuple[str, ...]) -> list[str]:
+    return [key for key in keys if key not in attrs]
 
 
 def requires_attrs(*keys: str) -> Callable:
@@ -37,24 +52,26 @@ def requires_attrs(*keys: str) -> Callable:
     missing, and injects a "Required Attributes" docstring section at import
     time so documentation stays in sync with runtime behavior.
     """
+    required = tuple(keys)
 
     def decorator(func: Callable) -> Callable:
-        func.__doc__ = _append_to_docstring(
-            doc=func.__doc__, title="Required Attributes", keys=keys, vocab=ATTRS
-        )
-
         @functools.wraps(func)
         def wrapper(self, *args, **kwargs):
-            missing = [k for k in keys if k not in self._obj.attrs]
-            if missing:
+            absent = _missing_attrs(self._obj.attrs, required)
+            if absent:
                 raise ValueError(
                     f"Method '{func.__name__}' requires the following missing attributes "
-                    f"in `obj.attrs`: {missing}.\n\n"
+                    f"in `obj.attrs`: {absent}.\n\n"
                     f"To fix this, assign them using standard methods:\n"
-                    f"    >>> obj = obj.assign_attrs({{{missing[0]!r}: value}})"
+                    f"    >>> obj = obj.assign_attrs({{{absent[0]!r}: value}})"
                 )
             return func(self, *args, **kwargs)
 
+        # functools.wraps copied the original docstring; extend it in place on
+        # the wrapper (the object actually exposed on the class).
+        wrapper.__doc__ = _merge_docstring(
+            func.__doc__, _requirements_section(required)
+        )
         return wrapper
 
     return decorator

@@ -16,7 +16,7 @@ import pathlib
 import numpy as np
 import traitlets
 
-from xmris_tpu.core.array import Coord, XmrArray
+from xmris_tpu.core.array import XmrArray
 from xmris_tpu.visualization.widget._backend import WidgetBase
 
 _HERE = pathlib.Path(__file__).parent
@@ -52,6 +52,28 @@ class ApodizerWidget(WidgetBase):
     show_grid = traitlets.Bool(True).tag(sync=True)
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
+
+
+def _spectral_axis(da: XmrArray, time_dim: str, unit: str):
+    """Run the FID through the real framework pipeline to get exact x units.
+
+    The browser engine recomputes spectra live from the time-domain payload;
+    only the axis (ppm or Hz) comes from the Python side, so it must agree
+    with what ``to_spectrum``/``to_ppm`` would produce.
+    """
+    spec = da.xmr.to_spectrum(dim=time_dim)
+    if unit.lower() == "ppm":
+        spec, label = spec.xmr.to_ppm(), "Chemical Shift [ppm]"
+    else:
+        axis_name = str(spec.dims[0]).lower()
+        if "ppm" in axis_name or "shift" in axis_name:
+            spec = spec.xmr.to_hz()
+        label = "Frequency [Hz]"
+    return spec.coords[str(spec.dims[0])].values.astype(float), label
+
+
 def apodize_interactive(
     da: XmrArray,
     dim: str | None = None,
@@ -68,50 +90,27 @@ def apodize_interactive(
 
     time_dim = dim or str(da.dims[0])
 
-    # Zero-fill to the next power of two (radix-2 engine in the browser).
-    n = da.sizes[time_dim]
-    n2 = 1 << (n - 1).bit_length()
-    if n2 > n:
-        pad = n2 - n
-        values = np.pad(np.asarray(da.values), (0, pad), constant_values=0)
-        t_vals = da.coords[time_dim].values.astype(float)
-        dt = t_vals[1] - t_vals[0] if len(t_vals) > 1 else 1.0
-        t_full = np.concatenate([t_vals, t_vals[-1] + np.arange(1, pad + 1) * dt])
-        da = XmrArray(
-            values,
-            dims=(time_dim,),
-            coords={time_dim: Coord(time_dim, t_full)},
-            attrs=da.attrs,
-            name=da.name,
-        )
+    # The browser DSP engine is radix-2, so round the record up to the next
+    # power of two with the framework's own zero_fill (end padding + linear
+    # coordinate extrapolation — the same op users would chain themselves).
+    from xmris_tpu.ops.fid import zero_fill
 
-    # Spectral axis through the real pipeline so units are exact.
-    da_spec = da.xmr.to_spectrum(dim=time_dim)
-    if unit.lower() == "ppm":
-        da_spec = da_spec.xmr.to_ppm()
-        x_label = "Chemical Shift [ppm]"
-    else:
-        first = str(da_spec.dims[0]).lower()
-        if "ppm" in first or "shift" in first:
-            da_spec = da_spec.xmr.to_hz()
-        x_label = "Frequency [Hz]"
+    da = zero_fill(da, dim=time_dim, target_points=_next_pow2(da.sizes[time_dim]))
 
-    spec_dim = str(da_spec.dims[0])
-    x_vals = da_spec.coords[spec_dim].values.astype(float)
+    x_vals, x_label = _spectral_axis(da, time_dim, unit)
 
-    t_vals = da.coords[time_dim].values.astype(float)
-    values = da.values
-    if not np.iscomplexobj(values):
-        values = values.astype(complex)
+    payload = np.asarray(da.values)
+    if not np.iscomplexobj(payload):
+        payload = payload.astype(complex)
 
     return ApodizerWidget(
         width=width,
         height=height,
-        t_coords=t_vals.tolist(),
+        t_coords=da.coords[time_dim].values.astype(float).tolist(),
         x_coords=x_vals.tolist(),
         x_label=x_label,
-        reals_t=np.real(values).tolist(),
-        imags_t=np.imag(values).tolist(),
+        reals_t=payload.real.tolist(),
+        imags_t=payload.imag.tolist(),
         lb_min=lb_range[0],
         lb_max=lb_range[1],
         gb_min=gb_range[0],
