@@ -13,7 +13,17 @@ from xmris_tpu.fitting.lm import (
     lm_fit_batched_planar,
 )
 from xmris_tpu.fitting.prior import load_prior_knowledge
-from xmris_tpu.ops.kernels.lm_pallas import eq6_normal_equations_pallas
+from xmris_tpu.ops.kernels.lm_pallas import (
+    eq6_normal_equations_pallas,
+    eq6_normal_equations_pallas_v2,
+    eq6_normal_equations_pallas_v3,
+)
+
+KERNELS = {
+    1: eq6_normal_equations_pallas,
+    2: eq6_normal_equations_pallas_v2,
+    3: eq6_normal_equations_pallas_v3,
+}
 
 MHZ = 120.0
 
@@ -38,8 +48,9 @@ def sane_grids(b, k, seed=0):
 
 
 class TestNormalEquationsKernel:
+    @pytest.mark.parametrize("version", [1, 2, 3])
     @pytest.mark.parametrize("n_t,k", [(256, 2), (512, 3)])
-    def test_matches_xla_reference(self, n_t, k):
+    def test_matches_xla_reference(self, n_t, k, version):
         b = 5
         rng = np.random.default_rng(n_t)
         grids = sane_grids(b, k, seed=n_t)
@@ -47,7 +58,7 @@ class TestNormalEquationsKernel:
         yim = rng.normal(size=(b, n_t)).astype(np.float32)
         t = (np.arange(n_t) / 5000.0).astype(np.float32)
 
-        cost, g, h = eq6_normal_equations_pallas(
+        cost, g, h = KERNELS[version](
             jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
             jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
         )
@@ -247,12 +258,10 @@ class TestLargerPriors:
         np.testing.assert_allclose(cs, shifts, atol=0.05)
 
 
-    def test_kernel_p25_padding(self):
+    @pytest.mark.parametrize("version", [2, 3])
+    def test_kernel_p25_padding(self, version):
         """K=5 (P=25 -> p_pad=32) kernel parity vs the XLA reference."""
         from xmris_tpu.fitting.lm import eq6_basis_planar, eq6_jacobian_planar
-        from xmris_tpu.ops.kernels.lm_pallas import (
-            eq6_normal_equations_pallas_v2,
-        )
 
         b, n_t, k = 2, 128, 5
         grids = sane_grids(b, k, seed=9)
@@ -261,7 +270,7 @@ class TestLargerPriors:
         yim = rng.normal(size=(b, n_t)).astype(np.float32)
         t = (np.arange(n_t) / 5000.0).astype(np.float32)
 
-        cost, g, h = eq6_normal_equations_pallas_v2(
+        cost, g, h = KERNELS[version](
             jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
             jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
         )

@@ -58,6 +58,29 @@ class TestDFTParity:
         np.testing.assert_allclose(np.asarray(br), xr, atol=1e-9)
         np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-9)
 
+    @pytest.mark.parametrize("variant", ["einsum", "flat", "block", "full"])
+    @pytest.mark.parametrize("n", [16, 100, 256, 2048, 13])
+    def test_variants_match_numpy(self, variant, n):
+        xr, xi = rand_planar((4, n), seed=n)
+        outr, outi = dft_planar(
+            jnp.asarray(xr), jnp.asarray(xi), n, ortho=True, variant=variant
+        )
+        expected = np.fft.fft(xr + 1j * xi, axis=-1, norm="ortho")
+        np.testing.assert_allclose(np.asarray(outr), expected.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(outi), expected.imag, atol=1e-9)
+
+    @pytest.mark.parametrize("variant", ["einsum", "flat", "block", "full"])
+    def test_variants_inverse(self, variant):
+        n = 512
+        xr, xi = rand_planar((3, n), seed=7)
+        outr, outi = dft_planar(
+            jnp.asarray(xr), jnp.asarray(xi), n, inverse=True, ortho=True,
+            variant=variant,
+        )
+        expected = np.fft.ifft(xr + 1j * xi, axis=-1, norm="ortho")
+        np.testing.assert_allclose(np.asarray(outr), expected.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(outi), expected.imag, atol=1e-9)
+
     def test_float32_accuracy(self):
         # The TPU path runs float32: relative accuracy should be ~1e-6
         xr, xi = rand_planar((2, 2048))

@@ -469,13 +469,14 @@ def lm_fit_batched_pallas(
     from xmris_tpu.ops.kernels.lm_pallas import (
         eq6_normal_equations_pallas,
         eq6_normal_equations_pallas_v2,
+        eq6_normal_equations_pallas_v3,
     )
 
-    kernel_fn = (
-        eq6_normal_equations_pallas_v2
-        if kernel_version == 2
-        else eq6_normal_equations_pallas
-    )
+    kernel_fn = {
+        1: eq6_normal_equations_pallas,
+        2: eq6_normal_equations_pallas_v2,
+        3: eq6_normal_equations_pallas_v3,
+    }[kernel_version]
 
     real_dtype = jnp.float32  # the kernel is float32
     fids_re = fids_re.astype(real_dtype)
@@ -586,14 +587,15 @@ def crlb_batched_pallas(
     from xmris_tpu.ops.kernels.lm_pallas import (
         eq6_normal_equations_pallas,
         eq6_normal_equations_pallas_v2,
+        eq6_normal_equations_pallas_v3,
     )
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag
 
-    kernel_fn = (
-        eq6_normal_equations_pallas_v2
-        if kernel_version == 2
-        else eq6_normal_equations_pallas
-    )
+    kernel_fn = {
+        1: eq6_normal_equations_pallas,
+        2: eq6_normal_equations_pallas_v2,
+        3: eq6_normal_equations_pallas_v3,
+    }[kernel_version]
     real_dtype = jnp.float32
     fids_re = fids_re.astype(real_dtype)
     fids_im = fids_im.astype(real_dtype)

@@ -89,13 +89,26 @@ def plan_dft(n: int) -> DFTPlan:
     return DFTPlan(n, n1, n2, f1_re, f1_im, f2_re, f2_im, tw_re, tw_im)
 
 
-def _cmatmul(ar, ai, br, bi, preferred):
+def _cmatmul(ar, ai, br, bi, preferred, precision=None):
     """Planar complex matmul: (ar + i*ai) @ (br + i*bi) as 4 real matmuls."""
-    rr = jnp.matmul(ar, br, preferred_element_type=preferred)
-    ii = jnp.matmul(ai, bi, preferred_element_type=preferred)
-    ri = jnp.matmul(ar, bi, preferred_element_type=preferred)
-    ir = jnp.matmul(ai, br, preferred_element_type=preferred)
+    mm = functools.partial(
+        jnp.matmul, preferred_element_type=preferred, precision=precision
+    )
+    rr = mm(ar, br)
+    ii = mm(ai, bi)
+    ri = mm(ar, bi)
+    ir = mm(ai, br)
     return rr - ii, ri + ir
+
+
+# The variant the labeled ops and fused pipelines use by default.  "einsum"
+# is the round-1 formulation; "block" (flat block-complex matmuls) is the
+# round-2 winner candidate pending TPU measurement — see dft_planar.
+DEFAULT_VARIANT = "einsum"
+# Matmul input precision on TPU: float32 inputs go through the MXU as
+# bfloat16 passes; DEFAULT is one pass (~1e-3 relative error on spectra),
+# HIGHEST is the multi-pass f32-accurate mode.  Parity demands HIGHEST.
+DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def dft_planar(
@@ -104,51 +117,50 @@ def dft_planar(
     n: int,
     inverse: bool = False,
     ortho: bool = True,
+    variant: str | None = None,
+    precision=None,
 ):
     """Planar DFT of the last axis of a (..., n) pair of real arrays.
 
     Traceable with static ``n``; intended to be called inside jit.  The
     inverse uses the conjugation identity on the same forward factors.
+
+    ``variant`` selects the matmul formulation (all numerically equivalent):
+
+    * ``"einsum"`` — batched middle-axis contractions (XLA picks layouts).
+    * ``"flat"``   — explicit transposes + flat 2-D matmuls on (B*n2, n1)
+      and (B*n1, n2) panels (deterministic MXU-friendly layout).
+    * ``"block"``  — like ``flat`` but the real/imag planes pack into one
+      block-complex operand, doubling the contraction dim (n=2048 gives
+      K=128: one full MXU tile) and halving the matmul count.
+    * ``"full"``   — single (B, 2n) @ (2n, 2n) block-complex matmul with
+      the dense DFT matrix (n^2 FLOPs, zero transposes).
     """
+    variant = variant or DEFAULT_VARIANT
+    precision = precision if precision is not None else DEFAULT_PRECISION
     plan = plan_dft(n)
     n1, n2 = plan.n1, plan.n2
     dtype = xr.dtype
     preferred = jnp.float32 if dtype == jnp.float32 else dtype
-
-    f1_re = jnp.asarray(plan.f1_re, dtype)
-    f1_im = jnp.asarray(plan.f1_im, dtype)
-    f2_re = jnp.asarray(plan.f2_re, dtype)
-    f2_im = jnp.asarray(plan.f2_im, dtype)
-    tw_re = jnp.asarray(plan.tw_re, dtype)
-    tw_im = jnp.asarray(plan.tw_im, dtype)
 
     if inverse:
         # IDFT(x) = conj(DFT(conj(x))) / n  (scaling applied below)
         xi = -xi
 
     batch_shape = xr.shape[:-1]
-    xr2 = xr.reshape((-1, n1, n2))
-    xi2 = xi.reshape((-1, n1, n2))
 
-    # Stage 1: Y[b, k1, j2] = sum_j1 F1[k1, j1] x[b, j1, j2]
-    # implemented as x^T-free batched matmul via tensordot on the j1 axis.
-    yr = jnp.einsum("kj,bjm->bkm", f1_re, xr2) - jnp.einsum(
-        "kj,bjm->bkm", f1_im, xi2
-    )
-    yi = jnp.einsum("kj,bjm->bkm", f1_re, xi2) + jnp.einsum(
-        "kj,bjm->bkm", f1_im, xr2
-    )
-
-    # Twiddle: elementwise (n1, n2) complex multiply
-    tr = yr * tw_re - yi * tw_im
-    ti = yr * tw_im + yi * tw_re
-
-    # Stage 2: Z[b, k1, k2] = sum_j2 Y'[b, k1, j2] F2[j2, k2]
-    zr, zi = _cmatmul(tr, ti, f2_re, f2_im, preferred)
-
-    # Output permutation: X[k1 + n1*k2] -> transpose (k1, k2) -> (k2, k1)
-    outr = jnp.transpose(zr, (0, 2, 1)).reshape(batch_shape + (n,))
-    outi = jnp.transpose(zi, (0, 2, 1)).reshape(batch_shape + (n,))
+    if variant == "einsum":
+        outr, outi = _dft_einsum(xr, xi, plan, dtype, preferred, precision)
+    elif variant == "flat":
+        outr, outi = _dft_flat(xr, xi, plan, dtype, preferred, precision)
+    elif variant == "block":
+        outr, outi = _dft_block(xr, xi, plan, dtype, preferred, precision)
+    elif variant == "full":
+        outr, outi = _dft_full(xr, xi, n, dtype, preferred, precision)
+    else:
+        raise ValueError(f"Unknown DFT variant {variant!r}.")
+    outr = outr.reshape(batch_shape + (n,))
+    outi = outi.reshape(batch_shape + (n,))
 
     if inverse:
         outi = -outi
@@ -159,6 +171,149 @@ def dft_planar(
         outr = outr * jnp.asarray(scale, dtype)
         outi = outi * jnp.asarray(scale, dtype)
     return outr, outi
+
+
+def _dft_einsum(xr, xi, plan: DFTPlan, dtype, preferred, precision):
+    """Round-1 formulation: batched einsum contractions over middle axes."""
+    n, n1, n2 = plan.n, plan.n1, plan.n2
+    f1_re = jnp.asarray(plan.f1_re, dtype)
+    f1_im = jnp.asarray(plan.f1_im, dtype)
+    f2_re = jnp.asarray(plan.f2_re, dtype)
+    f2_im = jnp.asarray(plan.f2_im, dtype)
+    tw_re = jnp.asarray(plan.tw_re, dtype)
+    tw_im = jnp.asarray(plan.tw_im, dtype)
+
+    xr2 = xr.reshape((-1, n1, n2))
+    xi2 = xi.reshape((-1, n1, n2))
+
+    ein = functools.partial(jnp.einsum, precision=precision)
+    # Stage 1: Y[b, k1, j2] = sum_j1 F1[k1, j1] x[b, j1, j2]
+    yr = ein("kj,bjm->bkm", f1_re, xr2) - ein("kj,bjm->bkm", f1_im, xi2)
+    yi = ein("kj,bjm->bkm", f1_re, xi2) + ein("kj,bjm->bkm", f1_im, xr2)
+
+    # Twiddle: elementwise (n1, n2) complex multiply
+    tr = yr * tw_re - yi * tw_im
+    ti = yr * tw_im + yi * tw_re
+
+    # Stage 2: Z[b, k1, k2] = sum_j2 Y'[b, k1, j2] F2[j2, k2]
+    zr, zi = _cmatmul(tr, ti, f2_re, f2_im, preferred, precision)
+
+    # Output permutation: X[k1 + n1*k2] -> transpose (k1, k2) -> (k2, k1)
+    outr = jnp.transpose(zr, (0, 2, 1)).reshape(-1, n)
+    outi = jnp.transpose(zi, (0, 2, 1)).reshape(-1, n)
+    return outr, outi
+
+
+def _dft_flat(xr, xi, plan: DFTPlan, dtype, preferred, precision):
+    """Flat-panel formulation: every contraction is a plain 2-D matmul whose
+    contraction axis is minormost, with explicit transposes between stages.
+
+    Layout walk (F1/F2 are symmetric, so F^T = F):
+      (B, n1, n2) --T--> (B, n2, n1) --flat--> (B*n2, n1) @ F1 -> y[b, j2, k1]
+      twiddle (j2, k1) elementwise
+      --T--> (B, k1, j2) --flat--> (B*n1, n2) @ F2 -> z[b, k1, k2]
+      --T--> (B, k2, k1) --ravel--> X[k1 + n1*k2]
+    """
+    n, n1, n2 = plan.n, plan.n1, plan.n2
+    f1_re = jnp.asarray(plan.f1_re, dtype)
+    f1_im = jnp.asarray(plan.f1_im, dtype)
+    f2_re = jnp.asarray(plan.f2_re, dtype)
+    f2_im = jnp.asarray(plan.f2_im, dtype)
+    twt_re = jnp.asarray(plan.tw_re.T, dtype)  # (n2, n1) = (j2, k1)
+    twt_im = jnp.asarray(plan.tw_im.T, dtype)
+
+    xtr = xr.reshape(-1, n1, n2).transpose(0, 2, 1).reshape(-1, n1)
+    xti = xi.reshape(-1, n1, n2).transpose(0, 2, 1).reshape(-1, n1)
+
+    yr, yi = _cmatmul(xtr, xti, f1_re, f1_im, preferred, precision)
+
+    yr = yr.reshape(-1, n2, n1)
+    yi = yi.reshape(-1, n2, n1)
+    tr = yr * twt_re - yi * twt_im
+    ti = yr * twt_im + yi * twt_re
+
+    tr = tr.transpose(0, 2, 1).reshape(-1, n2)  # (B*k1, j2)
+    ti = ti.transpose(0, 2, 1).reshape(-1, n2)
+    zr, zi = _cmatmul(tr, ti, f2_re, f2_im, preferred, precision)
+
+    outr = zr.reshape(-1, n1, n2).transpose(0, 2, 1).reshape(-1, n)
+    outi = zi.reshape(-1, n1, n2).transpose(0, 2, 1).reshape(-1, n)
+    return outr, outi
+
+
+@functools.lru_cache(maxsize=64)
+def _block_factors(n: int):
+    """Block-complex factor matrices for the flat 4-step.
+
+    ``[yr yi] = [xr xi] @ [[Fr, Fi], [-Fi, Fr]]`` — one real matmul per
+    stage with contraction dim 2*n1 (or 2*n2).
+    """
+    plan = plan_dft(n)
+
+    def block(fr, fi):
+        top = np.concatenate([fr, fi], axis=1)
+        bot = np.concatenate([-fi, fr], axis=1)
+        return np.concatenate([top, bot], axis=0)
+
+    return (
+        block(plan.f1_re, plan.f1_im),  # (2*n1, 2*n1)
+        block(plan.f2_re, plan.f2_im),  # (2*n2, 2*n2)
+    )
+
+
+def _dft_block(xr, xi, plan: DFTPlan, dtype, preferred, precision):
+    """Block-complex flat formulation: planes packed along the contraction
+    axis so each stage is ONE matmul with doubled K (full MXU tiles)."""
+    n, n1, n2 = plan.n, plan.n1, plan.n2
+    b1, b2 = _block_factors(n)
+    b1 = jnp.asarray(b1, dtype)
+    b2 = jnp.asarray(b2, dtype)
+    twt_re = jnp.asarray(plan.tw_re.T, dtype)
+    twt_im = jnp.asarray(plan.tw_im.T, dtype)
+
+    mm = functools.partial(
+        jnp.matmul, preferred_element_type=preferred, precision=precision
+    )
+
+    xtr = xr.reshape(-1, n1, n2).transpose(0, 2, 1).reshape(-1, n1)
+    xti = xi.reshape(-1, n1, n2).transpose(0, 2, 1).reshape(-1, n1)
+
+    y = mm(jnp.concatenate([xtr, xti], axis=1), b1)  # (B*n2, 2*n1)
+    yr = y[:, :n1].reshape(-1, n2, n1)
+    yi = y[:, n1:].reshape(-1, n2, n1)
+
+    tr = yr * twt_re - yi * twt_im
+    ti = yr * twt_im + yi * twt_re
+
+    tr = tr.transpose(0, 2, 1).reshape(-1, n2)
+    ti = ti.transpose(0, 2, 1).reshape(-1, n2)
+    z = mm(jnp.concatenate([tr, ti], axis=1), b2)  # (B*n1, 2*n2)
+    zr = z[:, :n2].reshape(-1, n1, n2)
+    zi = z[:, n2:].reshape(-1, n1, n2)
+
+    outr = zr.transpose(0, 2, 1).reshape(-1, n)
+    outi = zi.transpose(0, 2, 1).reshape(-1, n)
+    return outr, outi
+
+
+@functools.lru_cache(maxsize=16)
+def _full_block_matrix(n: int) -> np.ndarray:
+    """Dense block-complex DFT matrix (2n, 2n): X = x_packed @ M."""
+    k = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(k, k) / n
+    fr, fi = np.cos(ang), np.sin(ang)
+    top = np.concatenate([fr, fi], axis=1)
+    bot = np.concatenate([-fi, fr], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
+def _dft_full(xr, xi, n, dtype, preferred, precision):
+    """Single dense-matrix formulation: n^2 FLOPs but zero transposes and
+    one perfectly-shaped matmul; wins when the batch is HBM-bound."""
+    m = jnp.asarray(_full_block_matrix(n), dtype)
+    x = jnp.concatenate([xr.reshape(-1, n), xi.reshape(-1, n)], axis=1)
+    out = jnp.matmul(x, m, preferred_element_type=preferred, precision=precision)
+    return out[:, :n], out[:, n:]
 
 
 def fft_ortho_planar(xr, xi):

@@ -288,6 +288,184 @@ def _normal_eq_kernel_v2(
     cost_ref[0, 0, :] = jnp.sum(r_re * r_re + r_im * r_im, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# v3: vectorized basis + MXU normal equations (scales to many peaks)
+# ---------------------------------------------------------------------------
+
+
+def _normal_eq_kernel_v3(
+    params_ref,  # (1, K*5, V) VMEM — parameters lane-contiguous per tile
+    yre_ref,  # (V, n_t) VMEM
+    yim_ref,  # (V, n_t) VMEM
+    t_ref,  # (1, n_t) VMEM
+    h_ref,  # (V, P_pad, P_pad) VMEM out
+    g_ref,  # (V, P_pad) VMEM out
+    cost_ref,  # (V, 1) VMEM out
+    jre_ref,  # (V, P_pad, n_t) VMEM scratch
+    jim_ref,  # (V, P_pad, n_t) VMEM scratch
+    *,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int,
+    p_pad: int,
+):
+    """Hybrid of the v1/v2 kernels.
+
+    Basis + Jacobian evaluation runs sublane-vectorized on (V, n_t) blocks
+    (v2's layout: full VPU utilization on the transcendental-heavy part);
+    the normal equations then run as per-voxel ``dot_general`` contractions
+    over the lane dimension on the MXU (v1's layout).  v2 assembles H with
+    P*(P+1)/2 multiply+lane-reduce pairs — O(P^2) VPU passes that dominate
+    once priors grow past a few peaks (P = 25 for a 5-peak 31P prior);
+    here H costs one (P_pad, n_t) x (n_t, P_pad) MXU contraction per voxel
+    regardless of P.
+    """
+    t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
+    n_t = t.shape[1]
+    p = n_peaks * 5
+    f32 = jnp.float32
+
+    m_re = jnp.zeros((v_tile, n_t), f32)
+    m_im = jnp.zeros((v_tile, n_t), f32)
+
+    for k in range(n_peaks):  # static unroll over peaks
+        amp = params_ref[0, k * 5 + 0, :].reshape(v_tile, 1)
+        cs = params_ref[0, k * 5 + 1, :].reshape(v_tile, 1)
+        lw = params_ref[0, k * 5 + 2, :].reshape(v_tile, 1)
+        ph = params_ref[0, k * 5 + 3, :].reshape(v_tile, 1)
+        gg = params_ref[0, k * 5 + 4, :].reshape(v_tile, 1)
+
+        d = jnp.pi * lw
+        damp_profile = (1.0 - gg + gg * t) * t  # (V, n_t)
+        env = amp * jnp.exp(-d * damp_profile)
+        ang = (2.0 * jnp.pi * mhz) * cs * t + ph * _DEG
+        b_re = env * jnp.cos(ang)
+        b_im = env * jnp.sin(ang)
+
+        m_re = m_re + b_re
+        m_im = m_im + b_im
+
+        safe_amp = jnp.where(amp == 0, 1.0, amp)
+        w_cs = (2.0 * jnp.pi * mhz) * t  # (1, n_t)
+        w_lw = -jnp.pi * damp_profile  # (V, n_t)
+        w_g = -d * (t * t - t)  # (V, n_t)
+
+        jre_ref[:, k * 5 + 0, :] = b_re / safe_amp
+        jim_ref[:, k * 5 + 0, :] = b_im / safe_amp
+        jre_ref[:, k * 5 + 1, :] = -w_cs * b_im
+        jim_ref[:, k * 5 + 1, :] = w_cs * b_re
+        jre_ref[:, k * 5 + 2, :] = w_lw * b_re
+        jim_ref[:, k * 5 + 2, :] = w_lw * b_im
+        jre_ref[:, k * 5 + 3, :] = -_DEG * b_im
+        jim_ref[:, k * 5 + 3, :] = _DEG * b_re
+        jre_ref[:, k * 5 + 4, :] = w_g * b_re
+        jim_ref[:, k * 5 + 4, :] = w_g * b_im
+
+    # Zero padding rows once (vectorized over voxels)
+    for a in range(p, p_pad):
+        jre_ref[:, a, :] = jnp.zeros((v_tile, n_t), f32)
+        jim_ref[:, a, :] = jnp.zeros((v_tile, n_t), f32)
+
+    r_re = yre_ref[:, :] - m_re  # (V, n_t)
+    r_im = yim_ref[:, :] - m_im
+
+    contract = (((1,), (1,)), ((), ()))
+    for v in range(v_tile):  # static unroll: per-voxel MXU contraction
+        jre = jre_ref[v, :, :]  # (P_pad, n_t)
+        jim = jim_ref[v, :, :]
+        h = jax.lax.dot_general(
+            jre, jre, contract, preferred_element_type=f32
+        ) + jax.lax.dot_general(jim, jim, contract, preferred_element_type=f32)
+        g = jnp.sum(jre * r_re[v, :][None, :], axis=1) + jnp.sum(
+            jim * r_im[v, :][None, :], axis=1
+        )
+        h_ref[v, :, :] = h
+        g_ref[v, :] = g
+
+    cost_ref[:, :] = jnp.sum(r_re * r_re + r_im * r_im, axis=1).reshape(
+        v_tile, 1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_peaks", "mhz", "v_tile", "interpret")
+)
+def eq6_normal_equations_pallas_v3(
+    params,  # (B, K*5) physical parameter grid, float32
+    y_re,
+    y_im,
+    t,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int = 8,
+    interpret: bool = False,
+):
+    """Vectorized-basis + MXU-contraction fused normal equations (v1 API)."""
+    b, n_t = y_re.shape
+    p = n_peaks * 5
+    p_pad = _round_up(p, 8)
+
+    pad_b = (-b) % v_tile
+    if pad_b:
+        params = jnp.pad(params, ((0, pad_b), (0, 0)))
+        params = params.at[b:, 0].set(1.0)
+        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
+        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
+    b_pad = b + pad_b
+    grid = (b_pad // v_tile,)
+
+    params_t = (
+        params.astype(jnp.float32)
+        .reshape(grid[0], v_tile, p)
+        .transpose(0, 2, 1)
+    )
+
+    kernel = functools.partial(
+        _normal_eq_kernel_v3,
+        n_peaks=n_peaks,
+        mhz=float(mhz),
+        v_tile=v_tile,
+        p_pad=p_pad,
+    )
+
+    h_out, g_out, cost_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, p, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (v_tile, p_pad, p_pad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((v_tile, p_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, p_pad, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((v_tile, p_pad, n_t), jnp.float32),
+            pltpu.VMEM((v_tile, p_pad, n_t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        params_t,
+        y_re.astype(jnp.float32),
+        y_im.astype(jnp.float32),
+        t.reshape(1, -1).astype(jnp.float32),
+    )
+    return cost_out[:b, 0], g_out[:b, :p], h_out[:b, :p, :p]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_peaks", "mhz", "v_tile", "interpret")
 )

@@ -51,6 +51,9 @@ class PipelineConfig:
     de_popsize: int = 15
     de_maxiter: int = 200
     de_seed: int = 42
+    # Planar-engine DFT formulation (None -> ops.kernels.dft.DEFAULT_VARIANT);
+    # see dft_planar for the menu.  Only the planar pipeline consumes this.
+    dft_variant: str | None = None
 
     def __post_init__(self):
         if self.autophase not in ("single", "all", "none"):

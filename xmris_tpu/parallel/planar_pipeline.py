@@ -137,7 +137,9 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
     fids_re = fids_re * w
     fids_im = fids_im * w
 
-    spec_re, spec_im = dft_planar(fids_re, fids_im, cfg.zero_fill_to, ortho=True)
+    spec_re, spec_im = dft_planar(
+        fids_re, fids_im, cfg.zero_fill_to, ortho=True, variant=cfg.dft_variant
+    )
     shift = cfg.zero_fill_to // 2
     spec_re = jnp.roll(spec_re, shift, axis=-1)
     spec_im = jnp.roll(spec_im, shift, axis=-1)
