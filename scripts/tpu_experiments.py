@@ -1,0 +1,308 @@
+"""Round-2 TPU measurement session: DFT variants, pipeline stages, LM kernels.
+
+One careful batch (the remote backend wedges under hammering): every
+experiment prints a JSON line immediately and appends to
+``results/tpu_r2.jsonl``, so a wedge mid-run loses nothing already measured.
+
+Run on the default (axon) platform:   python scripts/tpu_experiments.py
+Select experiment groups:             XMT_EXP=dft,pipeline python ...
+Groups: dft, pipeline, fit2 (2-peak kernels), fit5 (5-peak kernels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS = Path(__file__).resolve().parent.parent / "results" / "tpu_r2.jsonl"
+RESULTS.parent.mkdir(exist_ok=True)
+
+
+def report(name: str, **kw) -> None:
+    rec = {"name": name, **kw}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    for k, v in (
+        ("jax_compilation_cache_dir", "/root/.cache/jax_xmt"),
+        ("jax_persistent_cache_min_entry_size_bytes", -1),
+        ("jax_persistent_cache_min_compile_time_secs", 1.0),
+    ):
+        try:
+            jax.config.update(k, v)
+        except Exception:
+            pass
+
+    backend = jax.default_backend()
+    report("session", backend=backend, devices=len(jax.devices()))
+
+    def timeit(fn, iters=5):
+        t0 = time.perf_counter()
+        fn()  # compile + witness
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), compile_s
+
+    # ---- shared inputs (bench scale) -------------------------------------
+    import bench
+
+    B = int(os.environ.get("XMT_SCALE_B", "16384"))  # reduce for CPU smoke
+    NT, ZF, SW, MHZ = bench.N_TIME, bench.ZERO_FILL, bench.SW, bench.MHZ
+    fids, weight, freqs = bench.make_inputs()
+    fids = fids[:B]
+    re_h = np.ascontiguousarray(fids.real.astype(np.float32))
+    im_h = np.ascontiguousarray(fids.imag.astype(np.float32))
+
+    groups = set(
+        (os.environ.get("XMT_EXP") or "dft,pipeline,fit5,fit2").split(",")
+    )
+
+    # ---- 1. DFT variants --------------------------------------------------
+    if "dft" in groups:
+        from xmris_tpu.ops.kernels.dft import dft_planar
+
+        # zero-filled input (what the pipeline feeds the DFT)
+        pad = np.zeros((B, ZF - NT), np.float32)
+        zre = jnp.asarray(np.concatenate([re_h, pad], axis=1))
+        zim = jnp.asarray(np.concatenate([im_h, pad], axis=1))
+        # host oracle on a slice for accuracy measurement
+        sl = slice(0, 64)
+        host = np.fft.fft(
+            (np.asarray(zre[sl]) + 1j * np.asarray(zim[sl])).astype(np.complex128),
+            axis=-1, norm="ortho",
+        )
+        host_scale = np.max(np.abs(host))
+
+        for variant in ("einsum", "flat", "block", "full"):
+            for prec_name in ("highest", "default"):
+                prec = (
+                    jax.lax.Precision.HIGHEST
+                    if prec_name == "highest"
+                    else jax.lax.Precision.DEFAULT
+                )
+
+                @jax.jit
+                def run(r, i, _v=variant, _p=prec):
+                    orr, oii = dft_planar(r, i, ZF, variant=_v, precision=_p)
+                    return orr, oii
+
+                def go(run=run):
+                    orr, oii = run(zre, zim)
+                    return float(jnp.sum(orr[0]) + jnp.sum(oii[0]))
+
+                try:
+                    t_med, t_comp = timeit(go)
+                    orr, oii = run(zre, zim)
+                    got = np.asarray(orr[sl]) + 1j * np.asarray(oii[sl])
+                    err = float(np.max(np.abs(got - host)) / host_scale)
+                    report(
+                        f"dft/{variant}/{prec_name}",
+                        ms=round(t_med * 1e3, 3),
+                        compile_s=round(t_comp, 1),
+                        max_rel_err=err,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    report(f"dft/{variant}/{prec_name}", error=repr(e)[:300])
+        del zre, zim
+
+    # ---- 2. pipeline stage attribution ------------------------------------
+    if "pipeline" in groups:
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.planar_pipeline import spectral_pipeline_planar_raw
+
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        w_j = jnp.asarray(weight)
+        f_j = jnp.asarray(freqs)
+
+        combos = [
+            ("none/einsum", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                           autophase="none")),
+            ("single/einsum", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                             autophase="single")),
+            ("none/block", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                          autophase="none", dft_variant="block")),
+            ("single/block", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                            autophase="single",
+                                            dft_variant="block")),
+            ("single/block/de60", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                                 autophase="single",
+                                                 dft_variant="block",
+                                                 de_maxiter=60)),
+            ("none/full", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                         autophase="none", dft_variant="full")),
+            ("none/flat", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                         autophase="none", dft_variant="flat")),
+        ]
+        for tag, cfg in combos:
+            def go(cfg=cfg):
+                sr, si, _ = spectral_pipeline_planar_raw(re_j, im_j, w_j, f_j, cfg)
+                return float(jnp.sum(sr[0]) + jnp.sum(si[0]))
+
+            try:
+                t_med, t_comp = timeit(go)
+                report(f"pipeline/{tag}", ms=round(t_med * 1e3, 3),
+                       compile_s=round(t_comp, 1))
+            except Exception as e:  # noqa: BLE001
+                report(f"pipeline/{tag}", error=repr(e)[:300])
+
+    # ---- 3/4. LM kernels on 2-peak and 5-peak priors ----------------------
+    def fit_group(pk_csv: str, tag: str, kernel_versions=(2, 3)):
+        import tempfile
+
+        from xmris_tpu.fitting.lm import (
+            crlb_batched_pallas,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+            lm_fit_batched_planar,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(pk_csv)
+            pk_path = f.name
+        pk = load_prior_knowledge(pk_path)
+        ps = hashable_pmap(pk.pmap)
+        lower = jnp.asarray(pk.lower)
+        upper = jnp.asarray(pk.upper)
+        kind = jnp.asarray(pk.kind)
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+
+        chunk = min(4096, B)
+        re_c = jnp.asarray(re_h[:chunk])
+        im_c = jnp.asarray(im_h[:chunk])
+
+        # template fit on the XLA engine (cheap compile) + seeded inits
+        u0_t = jnp.asarray(
+            external_to_internal(
+                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
+            ).astype(np.float32)
+        )
+        res_t = lm_fit_batched_planar(
+            jnp.asarray(re_h[:1]), jnp.asarray(im_h[:1]), t, u0_t,
+            lower, upper, kind, ps, MHZ, max_iter=60,
+        )
+        x_tpl = np.asarray(res_t.x_free)[0]
+        x0 = np.broadcast_to(x_tpl[None, :], (chunk, pk.n_free)).copy()
+        amp_slots = [
+            int(pk.pmap.idx[k * 5])
+            for k in range(pk.n_peaks)
+            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
+        ]
+        tot = float(np.sum(np.abs(x_tpl[amp_slots])))
+        fac = np.clip(np.abs(fids[:chunk, 0]) / max(tot, 1e-30), 0.1, 100.0)
+        x0[:, amp_slots] *= fac[:, None]
+        u0_seeded = jnp.asarray(
+            external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(
+                np.float32
+            )
+        )
+        u0_naive = jnp.asarray(
+            np.broadcast_to(
+                external_to_internal(
+                    pk.init_free, pk.lower, pk.upper, pk.kind
+                ).astype(np.float32)[None, :],
+                (chunk, pk.n_free),
+            ).copy()
+        )
+
+        for kv in kernel_versions:
+            for init_tag, u0 in (("seeded", u0_seeded), ("naive", u0_naive)):
+                for max_iter in (32, 16) if init_tag == "seeded" else (32,):
+                    def go(kv=kv, u0=u0, max_iter=max_iter):
+                        res = lm_fit_batched_pallas(
+                            re_c, im_c, t, u0, lower, upper, kind, ps, MHZ,
+                            max_iter=max_iter, kernel_version=kv,
+                        )
+                        return res
+
+                    try:
+                        t0 = time.perf_counter()
+                        res = go()
+                        cost = float(jnp.sum(res.cost))
+                        comp = time.perf_counter() - t0
+                        ts = []
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            res = go()
+                            float(jnp.sum(res.cost))
+                            ts.append(time.perf_counter() - t0)
+                        n_it = np.asarray(res.n_iter)
+                        report(
+                            f"fit/{tag}/v{kv}/{init_tag}/mi{max_iter}",
+                            ms=round(float(np.median(ts)) * 1e3, 1),
+                            compile_s=round(comp, 1),
+                            total_cost=cost,
+                            done_frac=float(np.mean(np.asarray(res.done))),
+                            n_iter_p50=float(np.percentile(n_it, 50)),
+                            n_iter_p90=float(np.percentile(n_it, 90)),
+                            n_iter_max=int(n_it.max()),
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        report(
+                            f"fit/{tag}/v{kv}/{init_tag}/mi{max_iter}",
+                            error=repr(e)[:300],
+                        )
+
+            # CRLB kernel timing
+            def go_crlb(kv=kv):
+                res = lm_fit_batched_pallas(
+                    re_c, im_c, t, u0_seeded, lower, upper, kind, ps, MHZ,
+                    max_iter=16, kernel_version=kv,
+                )
+                sds, _ = crlb_batched_pallas(
+                    re_c, im_c, t, res.x_free, ps, MHZ, kernel_version=kv
+                )
+                return float(jnp.sum(sds))
+
+            try:
+                t_med, t_comp = timeit(go_crlb, iters=3)
+                report(f"fit+crlb/{tag}/v{kv}", ms=round(t_med * 1e3, 1),
+                       compile_s=round(t_comp, 1))
+            except Exception as e:  # noqa: BLE001
+                report(f"fit+crlb/{tag}/v{kv}", error=repr(e)[:300])
+
+    PK2 = """Index,PCr,ATP
+Initial Values,,
+amplitude,10.0,5.0
+chemicalshift,0.0,-7.5
+linewidth,15.0,20.0
+phase,0,0
+g,0,0
+Bounds,,
+amplitude,"(0, ","(0, "
+chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"
+linewidth,"(5.0, 30.0)","(10.0, 40.0)"
+phase,"(-180, 180)","(-180, 180)"
+g,"(0, 1)","(0, 1)"
+"""
+
+    if "fit5" in groups:
+        fit_group(bench.PK_CSV, "5peak")
+    if "fit2" in groups:
+        fit_group(PK2, "2peak")
+
+    report("done")
+
+
+if __name__ == "__main__":
+    main()
