@@ -84,8 +84,15 @@ def make_inputs():
     return fids.astype(np.complex64), weight, freqs
 
 
-def run_fit_planar(fids, iters=3, chunk_size=4096, max_iter=None):
-    """Batched AMARES LM over every voxel (planar core) + CRLB pass."""
+def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
+    """Batched AMARES LM over every voxel (planar core) + CRLB pass.
+
+    On the pallas path the whole grid runs as ONE launch (VMEM per tile is
+    tiny and fixed); through the remote relay every extra dispatch+readback
+    costs ~30 ms of tunnel latency, so fewer launches matter as much as
+    kernel speed.  The XLA path keeps 4096-voxel chunks to bound the
+    Jacobian workspace.
+    """
     import os
     import tempfile
 
@@ -102,7 +109,9 @@ def run_fit_planar(fids, iters=3, chunk_size=4096, max_iter=None):
     use_pallas = jax.default_backend() == "tpu"
     kernel_version = int(os.environ.get("XMT_KERNEL_VERSION", "3"))
     if max_iter is None:
-        max_iter = int(os.environ.get("XMT_FIT_MAX_ITER", "32"))
+        max_iter = int(os.environ.get("XMT_FIT_MAX_ITER", "24"))
+    if chunk_size is None:
+        chunk_size = fids.shape[0] if use_pallas else 4096
 
     with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
         f.write(PK_CSV)

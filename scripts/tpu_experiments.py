@@ -281,6 +281,172 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 report(f"fit+crlb/{tag}/v{kv}", error=repr(e)[:300])
 
+    # ---- 5. dispatch floor + chained device-time measurements -------------
+    if "floor" in groups:
+        tiny = jnp.ones((8, 128), jnp.float32)
+
+        @jax.jit
+        def noop(x):
+            return x + 1.0
+
+        def go():
+            return float(jnp.sum(noop(tiny)))
+
+        t_med, t_comp = timeit(go, iters=10)
+        report("floor/noop_roundtrip", ms=round(t_med * 1e3, 3))
+
+    if "chain" in groups:
+        # Queue K async executions, readback once: per-call device time with
+        # the tunnel latency amortized (what a local-TPU deployment sees).
+        from xmris_tpu.ops.kernels.dft import dft_planar
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.planar_pipeline import spectral_pipeline_planar_raw
+
+        K = 10
+        pad = np.zeros((B, ZF - NT), np.float32)
+        zre = jnp.asarray(np.concatenate([re_h, pad], axis=1))
+        zim = jnp.asarray(np.concatenate([im_h, pad], axis=1))
+
+        for variant, prec_name in (
+            ("einsum", "highest"), ("einsum", "default"),
+            ("block", "highest"), ("full", "highest"), ("full", "default"),
+        ):
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if prec_name == "highest"
+                else jax.lax.Precision.DEFAULT
+            )
+
+            @jax.jit
+            def run(r, i, _v=variant, _p=prec):
+                return dft_planar(r, i, ZF, variant=_v, precision=_p)
+
+            try:
+                orr, oii = run(zre, zim)
+                float(jnp.sum(orr[0]))  # compile + witness
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    orr, oii = run(zre, zim)
+                float(jnp.sum(orr[0]) + jnp.sum(oii[0]))
+                per = (time.perf_counter() - t0) / K
+                report(f"chain/dft/{variant}/{prec_name}",
+                       ms_per_call=round(per * 1e3, 3))
+            except Exception as e:  # noqa: BLE001
+                report(f"chain/dft/{variant}/{prec_name}", error=repr(e)[:300])
+
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        w_j = jnp.asarray(weight)
+        f_j = jnp.asarray(freqs)
+        for tag, cfg in (
+            ("none/einsum", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                           autophase="none")),
+            ("single/einsum", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                             autophase="single")),
+            ("none/full", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                         autophase="none", dft_variant="full")),
+            ("single/full", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                           autophase="single",
+                                           dft_variant="full")),
+        ):
+            try:
+                sr, si, _ = spectral_pipeline_planar_raw(re_j, im_j, w_j, f_j, cfg)
+                float(jnp.sum(sr[0]))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    sr, si, _ = spectral_pipeline_planar_raw(
+                        re_j, im_j, w_j, f_j, cfg
+                    )
+                float(jnp.sum(sr[0]) + jnp.sum(si[0]))
+                per = (time.perf_counter() - t0) / K
+                report(f"chain/pipeline/{tag}", ms_per_call=round(per * 1e3, 3))
+            except Exception as e:  # noqa: BLE001
+                report(f"chain/pipeline/{tag}", error=repr(e)[:300])
+
+    if "fitbig" in groups:
+        # Full 16384-voxel grid in ONE pallas launch with the rejection-
+        # streak termination: the loop should now exit at ~n_iter_max+6.
+        import tempfile
+
+        from xmris_tpu.fitting.lm import (
+            crlb_batched_pallas,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+            lm_fit_batched_planar,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(bench.PK_CSV)
+            pk_path = f.name
+        pk = load_prior_knowledge(pk_path)
+        ps = hashable_pmap(pk.pmap)
+        lower = jnp.asarray(pk.lower)
+        upper = jnp.asarray(pk.upper)
+        kind = jnp.asarray(pk.kind)
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+
+        u0_t = jnp.asarray(
+            external_to_internal(
+                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
+            ).astype(np.float32)
+        )
+        res_t = lm_fit_batched_planar(
+            jnp.asarray(re_h[:1]), jnp.asarray(im_h[:1]), t, u0_t,
+            lower, upper, kind, ps, MHZ, max_iter=60,
+        )
+        x_tpl = np.asarray(res_t.x_free)[0]
+        x0 = np.broadcast_to(x_tpl[None, :], (B, pk.n_free)).copy()
+        amp_slots = [
+            int(pk.pmap.idx[k * 5])
+            for k in range(pk.n_peaks)
+            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
+        ]
+        tot = float(np.sum(np.abs(x_tpl[amp_slots])))
+        fac = np.clip(np.abs(fids[:, 0]) / max(tot, 1e-30), 0.1, 100.0)
+        x0[:, amp_slots] *= fac[:, None]
+        u0 = jnp.asarray(
+            external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(
+                np.float32
+            )
+        )
+        re_all = jnp.asarray(re_h)
+        im_all = jnp.asarray(im_h)
+
+        for kv, mi in ((3, 24), (3, 32), (2, 24)):
+            def go(kv=kv, mi=mi):
+                res = lm_fit_batched_pallas(
+                    re_all, im_all, t, u0, lower, upper, kind, ps, MHZ,
+                    max_iter=mi, kernel_version=kv,
+                )
+                sds, _ = crlb_batched_pallas(
+                    re_all, im_all, t, res.x_free, ps, MHZ, kernel_version=kv
+                )
+                return res, float(jnp.sum(sds))
+
+            try:
+                t0 = time.perf_counter()
+                res, _ = go()
+                comp = time.perf_counter() - t0
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    res, _ = go()
+                    ts.append(time.perf_counter() - t0)
+                n_it = np.asarray(res.n_iter)
+                report(
+                    f"fitbig/5peak/v{kv}/mi{mi}",
+                    ms=round(float(np.median(ts)) * 1e3, 1),
+                    compile_s=round(comp, 1),
+                    total_cost=float(jnp.sum(res.cost)),
+                    done_frac=float(np.mean(np.asarray(res.done))),
+                    n_iter_p50=float(np.percentile(n_it, 50)),
+                    n_iter_max=int(n_it.max()),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"fitbig/5peak/v{kv}/mi{mi}", error=repr(e)[:300])
+
     PK2 = """Index,PCr,ATP
 Initial Values,,
 amplitude,10.0,5.0

@@ -264,11 +264,11 @@ def lm_fit_batched_planar(
             )
 
         def cond(carry):
-            st, lam, n_acc, done, i = carry
+            st, lam, n_acc, streak, done, i = carry
             return (i < max_iter) & ~done
 
         def step(carry):
-            st, lam, n_acc, done, i = carry
+            st, lam, n_acc, streak, done, i = carry
             # Jacobian from the basis carried with the accepted state — one
             # transcendental-heavy basis evaluation per iteration total.
             j_re_p, j_im_p = eq6_jacobian_planar(
@@ -305,21 +305,31 @@ def lm_fit_batched_planar(
             )
             lam = jnp.clip(jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12)
             n_acc = n_acc + ok.astype(jnp.int32)
-            # Converged only when the improvement vanishes in the near-Gauss-
-            # Newton regime (small damping) — a tiny drop under heavy damping
-            # just means the trust region is small, not that we are done.
-            done = done | (ok & (rel_drop < ftol) & (lam < lam0))
-            return (st_new, lam, n_acc, done, i + 1)
+            # Converged when (a) an accepted step's improvement vanishes in
+            # the near-Gauss-Newton regime (small damping — a tiny drop under
+            # heavy damping just means the trust region is small), or (b)
+            # three consecutive rejected trials whose cost change sits at
+            # float resolution: at the optimum every trial lands back on the
+            # same cost (classic LM exit-by-rejection, which the accept-only
+            # test never detects — without it the loop always burns the full
+            # max_iter budget).  An overshooting rejection has a LARGE cost
+            # change and does not count toward the plateau.
+            eps = jnp.finfo(real_dtype).eps
+            plateau = ~ok & (jnp.abs(rel_drop) <= 64.0 * eps)
+            streak = jnp.where(plateau, streak + 1, 0)
+            done = done | (ok & (rel_drop < ftol) & (lam < lam0)) | (streak >= 3)
+            return (st_new, lam, n_acc, streak, done, i + 1)
 
         st0 = evaluate(u_init)
         carry = (
             st0,
             jnp.asarray(lam0, real_dtype),
             jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
             jnp.asarray(0, jnp.int32),
         )
-        st, _, n_acc, done, _ = jax.lax.while_loop(cond, step, carry)
+        st, _, n_acc, _, done, _ = jax.lax.while_loop(cond, step, carry)
         x_final, _ = internal_to_external_jax(st["u"], lower, upper, kind)
         converged = jnp.isfinite(st["cost"]) & (n_acc > 0)
         return x_final, st["cost"], n_acc, converged, done
@@ -506,11 +516,11 @@ def lm_fit_batched_pallas(
         return cost, g, h
 
     def cond(carry):
-        _, _, _, _, _, _, done, i = carry
+        _, _, _, _, _, _, _, done, i = carry
         return (i < max_iter) & ~jnp.all(done)
 
     def step(carry):
-        u, cost, g, h, lam, n_acc, done, i = carry
+        u, cost, g, h, lam, n_acc, streak, done, i = carry
         diag = jnp.diagonal(h, axis1=1, axis2=2)
         damped = h + (
             lam[:, None, None] * jnp.maximum(diag, 1e-12)[:, None, :]
@@ -537,9 +547,17 @@ def lm_fit_batched_pallas(
         h = sel(h_t, h)
         lam = jnp.clip(jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12)
         n_acc = n_acc + ok.astype(jnp.int32)
-        # See the planar driver: only stop in the near-Gauss-Newton regime.
-        done = done | (ok & (rel_drop < ftol) & (lam < lam0))
-        return (u, cost, g, h, lam, n_acc, done, i + 1)
+        # See the planar driver: stop on vanishing accepted improvement in
+        # the near-Gauss-Newton regime, OR on three consecutive rejections
+        # whose cost change sits at float resolution (exit-by-rejection at
+        # the numerical optimum).  Without the latter the loop always burns
+        # the full max_iter budget — measured done_frac was 0.0 on fully
+        # converged grids.
+        eps = jnp.finfo(real_dtype).eps
+        plateau = ~ok & ~done & (jnp.abs(rel_drop) <= 64.0 * eps)
+        streak = jnp.where(plateau, streak + 1, 0)
+        done = done | (ok & (rel_drop < ftol) & (lam < lam0)) | (streak >= 3)
+        return (u, cost, g, h, lam, n_acc, streak, done, i + 1)
 
     cost0, g0, h0 = full_eval(u0)
     carry0 = (
@@ -549,10 +567,11 @@ def lm_fit_batched_pallas(
         h0,
         jnp.full((b,), lam0, real_dtype),
         jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool),
         jnp.asarray(0, jnp.int32),
     )
-    u, cost, _, _, _, n_acc, done, _ = jax.lax.while_loop(cond, step, carry0)
+    u, cost, _, _, _, n_acc, _, done, _ = jax.lax.while_loop(cond, step, carry0)
     x_final, _ = internal_to_external_jax(
         u, lower[None, :], upper[None, :], kind[None, :]
     )
