@@ -17,9 +17,9 @@ import pytest
 
 matplotlib.use("Agg")
 
+_DOCS_DIR = Path(__file__).resolve().parent.parent / "docs"
 DOCS = sorted(
-    p
-    for p in (Path(__file__).resolve().parent.parent / "docs").glob("*.md")
+    list(_DOCS_DIR.glob("*.md")) + list(_DOCS_DIR.glob("notebooks/**/*.md"))
 )
 
 _BLOCK_RE = re.compile(

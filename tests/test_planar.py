@@ -81,6 +81,47 @@ class TestDFTParity:
         np.testing.assert_allclose(np.asarray(outr), expected.real, atol=1e-9)
         np.testing.assert_allclose(np.asarray(outi), expected.imag, atol=1e-9)
 
+    @pytest.mark.parametrize("n_in,n_out", [(100, 256), (256, 512), (64, 64)])
+    def test_rect_shifted_fused(self, n_in, n_out):
+        # zero-fill + ortho DFT + fftshift as one matmul
+        from xmris_tpu.ops.kernels.dft import dft_rect_shifted_planar
+
+        xr, xi = rand_planar((3, n_in), seed=n_in)
+        outr, outi = dft_rect_shifted_planar(
+            jnp.asarray(xr), jnp.asarray(xi), n_out
+        )
+        padded = np.zeros((3, n_out), complex)
+        padded[:, :n_in] = xr + 1j * xi
+        expected = np.fft.fftshift(
+            np.fft.fft(padded, axis=-1, norm="ortho"), axes=-1
+        )
+        np.testing.assert_allclose(np.asarray(outr), expected.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(outi), expected.imag, atol=1e-9)
+
+    def test_fused_pipeline_matches_einsum_pipeline(self):
+        rng = np.random.default_rng(3)
+        n_vox, n_time, zf = 6, 128, 256
+        re = rng.normal(size=(n_vox, n_time)).astype(np.float64)
+        im = rng.normal(size=(n_vox, n_time)).astype(np.float64)
+        t_full = np.arange(zf) / 4000.0
+        weight = np.exp(-np.pi * 5.0 * t_full)
+        freqs = np.fft.fftshift(np.fft.fftfreq(zf, d=1 / 4000.0))
+
+        base = PipelineConfig(zero_fill_to=zf, lb=5.0, autophase="single")
+        fused = PipelineConfig(
+            zero_fill_to=zf, lb=5.0, autophase="single", dft_variant="fused"
+        )
+        a = spectral_pipeline_planar_raw(
+            jnp.asarray(re), jnp.asarray(im), jnp.asarray(weight),
+            jnp.asarray(freqs), base,
+        )
+        b = spectral_pipeline_planar_raw(
+            jnp.asarray(re), jnp.asarray(im), jnp.asarray(weight),
+            jnp.asarray(freqs), fused,
+        )
+        np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(b[1]), np.asarray(a[1]), atol=1e-9)
+
     def test_float32_accuracy(self):
         # The TPU path runs float32: relative accuracy should be ~1e-6
         xr, xi = rand_planar((2, 2048))

@@ -316,6 +316,64 @@ def _dft_full(xr, xi, n, dtype, preferred, precision):
     return out[:, :n], out[:, n:]
 
 
+# ---------------------------------------------------------------------------
+# Fused spectral transform: zero-fill + ortho DFT + fftshift as ONE matmul
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _rect_shifted_block_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Block-complex (2*n_in, 2*n_out) matrix computing, in one matmul,
+    the ortho-normalized ``n_out``-point DFT of an ``n_in``-sample signal
+    (implicit zero-fill: only the first ``n_in`` DFT-matrix rows survive)
+    with the output columns pre-permuted by ``fftshift``.
+
+    ``spec_shifted = x_packed @ M`` where ``x_packed = [x_re | x_im]``.
+    """
+    j = np.arange(n_in)[:, None]
+    # fftshift output ordering: shifted bin k' holds original bin
+    # (k' - n_out//2) mod n_out  (the roll-by-n//2 convention of ops.fourier)
+    k = (np.arange(n_out)[None, :] - n_out // 2) % n_out
+    ang = -2.0 * np.pi * j * k / n_out
+    scale = 1.0 / math.sqrt(n_out)
+    fr = np.cos(ang) * scale
+    fi = np.sin(ang) * scale
+    top = np.concatenate([fr, fi], axis=1)
+    bot = np.concatenate([-fi, fr], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
+def dft_rect_shifted_planar(
+    xr: jax.Array,
+    xi: jax.Array,
+    n_out: int,
+    precision=None,
+):
+    """Fused zero-fill -> ortho DFT -> fftshift of a (..., n_in) planar pair.
+
+    The whole spectral transform is one (B, 2*n_in) @ (2*n_in, 2*n_out)
+    matmul against a host-precomputed constant: no pad, no roll, and half
+    the FLOPs of a square dense DFT when n_in = n_out/2 (the standard
+    2x zero-fill).  Callers multiply the apodization window into ``xr/xi``
+    first — XLA fuses that elementwise prologue into the matmul.
+    """
+    precision = precision if precision is not None else DEFAULT_PRECISION
+    n_in = xr.shape[-1]
+    dtype = xr.dtype
+    preferred = jnp.float32 if dtype == jnp.float32 else dtype
+    batch_shape = xr.shape[:-1]
+
+    m = jnp.asarray(_rect_shifted_block_matrix(n_in, n_out), dtype)
+    x = jnp.concatenate(
+        [xr.reshape(-1, n_in), xi.reshape(-1, n_in)], axis=1
+    )
+    out = jnp.matmul(x, m, preferred_element_type=preferred, precision=precision)
+    return (
+        out[:, :n_out].reshape(batch_shape + (n_out,)),
+        out[:, n_out:].reshape(batch_shape + (n_out,)),
+    )
+
+
 def fft_ortho_planar(xr, xi):
     """Ortho-normalized forward planar FFT over the last axis."""
     return dft_planar(xr, xi, xr.shape[-1], inverse=False, ortho=True)

@@ -128,21 +128,33 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
     """
     b, n_time = fids_re.shape
 
-    if cfg.zero_fill_to > n_time:
-        pad = ((0, 0), (0, cfg.zero_fill_to - n_time))
-        fids_re = jnp.pad(fids_re, pad)
-        fids_im = jnp.pad(fids_im, pad)
+    if cfg.dft_variant == "fused":
+        # Zero-fill + ortho DFT + fftshift as ONE matmul against a constant
+        # rectangular block-complex matrix; the window multiply below is the
+        # only elementwise prologue and XLA fuses it into the matmul.
+        from xmris_tpu.ops.kernels.dft import dft_rect_shifted_planar
 
-    w = weight[None, :].astype(fids_re.dtype)
-    fids_re = fids_re * w
-    fids_im = fids_im * w
+        w = weight[:n_time][None, :].astype(fids_re.dtype)
+        spec_re, spec_im = dft_rect_shifted_planar(
+            fids_re * w, fids_im * w, cfg.zero_fill_to
+        )
+    else:
+        if cfg.zero_fill_to > n_time:
+            pad = ((0, 0), (0, cfg.zero_fill_to - n_time))
+            fids_re = jnp.pad(fids_re, pad)
+            fids_im = jnp.pad(fids_im, pad)
 
-    spec_re, spec_im = dft_planar(
-        fids_re, fids_im, cfg.zero_fill_to, ortho=True, variant=cfg.dft_variant
-    )
-    shift = cfg.zero_fill_to // 2
-    spec_re = jnp.roll(spec_re, shift, axis=-1)
-    spec_im = jnp.roll(spec_im, shift, axis=-1)
+        w = weight[None, :].astype(fids_re.dtype)
+        fids_re = fids_re * w
+        fids_im = fids_im * w
+
+        spec_re, spec_im = dft_planar(
+            fids_re, fids_im, cfg.zero_fill_to, ortho=True,
+            variant=cfg.dft_variant,
+        )
+        shift = cfg.zero_fill_to // 2
+        spec_re = jnp.roll(spec_re, shift, axis=-1)
+        spec_im = jnp.roll(spec_im, shift, axis=-1)
 
     if cfg.autophase == "single":
         spec_re, spec_im, p0, p1, pivot = _autophase_single_planar(
