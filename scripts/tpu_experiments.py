@@ -363,6 +363,123 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 report(f"chain/pipeline/{tag}", error=repr(e)[:300])
 
+    if "prec" in groups:
+        # HIGH = bf16_3x passes; is it accurate enough (<=1e-6 rel) and how
+        # fast?  Plus the fused rect-DFT variant and the chained recon.
+        from xmris_tpu.ops.kernels.dft import (
+            dft_planar,
+            dft_rect_shifted_planar,
+        )
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.planar_pipeline import spectral_pipeline_planar_raw
+
+        K = 10
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        w_j = jnp.asarray(weight)
+        f_j = jnp.asarray(freqs)
+
+        # accuracy oracle for the fused transform (first 64 rows)
+        sl = slice(0, 64)
+        padded = np.zeros((64, ZF), complex)
+        padded[:, :NT] = (re_h[sl] + 1j * im_h[sl]).astype(np.complex128)
+        host = np.fft.fftshift(
+            np.fft.fft(padded, axis=-1, norm="ortho"), axes=-1
+        )
+        host_scale = np.max(np.abs(host))
+
+        PRECS = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }
+        for prec_name, prec in PRECS.items():
+            @jax.jit
+            def run(r, i, _p=prec):
+                return dft_rect_shifted_planar(r, i, ZF, precision=_p)
+
+            try:
+                orr, oii = run(re_j, im_j)
+                float(jnp.sum(orr[0]))
+                got = np.asarray(orr[sl]) + 1j * np.asarray(oii[sl])
+                err = float(np.max(np.abs(got - host)) / host_scale)
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    orr, oii = run(re_j, im_j)
+                float(jnp.sum(orr[0]) + jnp.sum(oii[0]))
+                per = (time.perf_counter() - t0) / K
+                report(f"prec/fused/{prec_name}",
+                       ms_per_call=round(per * 1e3, 3), max_rel_err=err)
+            except Exception as e:  # noqa: BLE001
+                report(f"prec/fused/{prec_name}", error=repr(e)[:300])
+
+        # einsum standalone at HIGH (is the 49.8ms highest -> ~25 at high?)
+        @jax.jit
+        def run_e(r, i):
+            pad = jnp.zeros((r.shape[0], ZF - NT), r.dtype)
+            return dft_planar(
+                jnp.concatenate([r, pad], 1), jnp.concatenate([i, pad], 1),
+                ZF, precision=jax.lax.Precision.HIGH,
+            )
+
+        try:
+            orr, oii = run_e(re_j, im_j)
+            float(jnp.sum(orr[0]))
+            t0 = time.perf_counter()
+            for _ in range(K):
+                orr, oii = run_e(re_j, im_j)
+            float(jnp.sum(orr[0]) + jnp.sum(oii[0]))
+            report("prec/einsum/high",
+                   ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            report("prec/einsum/high", error=repr(e)[:300])
+
+        # fused pipeline end-to-end (with autophase), chained
+        for tag, cfg in (
+            ("single/fused", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                            autophase="single",
+                                            dft_variant="fused")),
+            ("none/fused", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                          autophase="none",
+                                          dft_variant="fused")),
+        ):
+            try:
+                sr, si, _ = spectral_pipeline_planar_raw(re_j, im_j, w_j, f_j, cfg)
+                float(jnp.sum(sr[0]))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    sr, si, _ = spectral_pipeline_planar_raw(
+                        re_j, im_j, w_j, f_j, cfg
+                    )
+                float(jnp.sum(sr[0]) + jnp.sum(si[0]))
+                report(f"prec/pipeline/{tag}",
+                       ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3))
+            except Exception as e:  # noqa: BLE001
+                report(f"prec/pipeline/{tag}", error=repr(e)[:300])
+
+        # recon (8-coil 256^2 iFFT + RSS) chained
+        from xmris_tpu.recon.kspace import rss_reconstruct_planar_raw
+
+        rng = np.random.default_rng(0)
+        kr = jnp.asarray(rng.normal(size=(8, 256, 256)).astype(np.float32))
+        ki = jnp.asarray(rng.normal(size=(8, 256, 256)).astype(np.float32))
+
+        @jax.jit
+        def run_recon(a, b):
+            return rss_reconstruct_planar_raw(a, b, axes=(1, 2), coil_axis=0)
+
+        try:
+            out = run_recon(kr, ki)
+            float(jnp.sum(out))
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = run_recon(kr, ki)
+            float(jnp.sum(out))
+            report("prec/recon/chained",
+                   ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            report("prec/recon/chained", error=repr(e)[:300])
+
     if "fitbig" in groups:
         # Full 16384-voxel grid in ONE pallas launch with the rejection-
         # streak termination: the loop should now exit at ~n_iter_max+6.
