@@ -16,6 +16,9 @@ from xmris_tpu.interop.io import load_dataarray, load_npz, save_npz
 from xmris_tpu.vendor.bruker import build_fid, remove_digital_filter, reshape_bruker_raw
 
 BRUKER_NC = pathlib.Path("/root/reference/tests/data/nspect_slab_1H/rawdatajob0.nc")
+C13_TOML = pathlib.Path(
+    "/root/reference/tests/data/nspect_slab_13C/ground_truth.toml"
+)
 
 
 class TestRemoveDigitalFilter:
@@ -158,6 +161,108 @@ class TestRealBrukerData:
         n = spectrum_ppm.sizes[DIMS.chemical_shift]
         peak_display = float(np.max(np.abs(spectrum_ppm.values))) / np.sqrt(n)
         assert peak_display == pytest.approx(8.8e7, rel=0.25)
+
+
+@pytest.mark.skipif(not C13_TOML.exists(), reason="reference 13C TOML absent")
+class Test13CGroundTruthOracle:
+    """Second vendor oracle: the 13C twin dataset's hand-curated TOML.
+
+    The raw blob is absent upstream too (``.MISSING_LARGE_BLOBS``), so these
+    are attrs/physics assertions: our coordinate and conversion math must
+    reproduce every hz<->ppm pair and acquisition-geometry value the scanner
+    recorded (``/root/reference/tests/data/nspect_slab_13C/ground_truth.toml``).
+    """
+
+    @pytest.fixture(scope="class")
+    def gt(self):
+        import tomllib
+
+        with open(C13_TOML, "rb") as f:
+            return tomllib.load(f)["nspect_13c"]
+
+    @pytest.fixture(scope="class")
+    def pv_params(self, gt):
+        p = gt["parameters"]
+        return {
+            "PVM_SpecSWH": p["general"]["acq_bw"]["value"],
+            "PVM_RepetitionTime": p["general"]["tr"]["value"],
+            "PVM_FrqRef": p["frequency"]["reference_frequency"]["value"],
+            "PVM_FrqWorkPpm": p["frequency"]["working_chemical_shift"]["value"],
+            "groupDelay": p["rx_filter_info"]["groupDelay"]["value"],
+            "PVM_SpecMatrix": p["general"]["acq_points"]["value"],
+        }
+
+    def test_build_fid_acquisition_geometry(self, gt, pv_params):
+        n = int(gt["parameters"]["general"]["acq_points"]["value"])
+        fid = build_fid(np.zeros((n,), complex), [DIMS.time], pv_params)
+
+        # The console's PVM_SpecDwellTime (100 us) is the REAL-sample dwell;
+        # complex points arrive every 2 real samples: dt = 1/SWH = 200 us.
+        t = fid.coords[DIMS.time].values
+        dwell_us = gt["parameters"]["general"]["dwelltime"]["value"]
+        assert np.isclose((t[1] - t[0]) * 1e6, 2.0 * dwell_us)
+        acq_ms = gt["parameters"]["general"]["acq_duration"]["value"]
+        assert np.isclose((t[-1] + (t[1] - t[0])) * 1e3, acq_ms)
+
+        assert fid.attrs[ATTRS.reference_frequency] == pytest.approx(
+            32.0914426
+        )
+        assert fid.attrs[ATTRS.carrier_ppm] == 163.0
+
+    def test_spectral_resolution_and_bandwidth_ppm(self, gt, pv_params):
+        n = int(gt["parameters"]["general"]["acq_points"]["value"])
+        fid = build_fid(np.zeros((n,), complex), [DIMS.time], pv_params)
+        spec = fid.xmr.to_spectrum()
+        f = spec.coords[DIMS.frequency].values
+
+        # Console's nominal resolution (1.22 Hz/point) counts REAL samples
+        # (2 per complex point), like its dwell time: df = SWH/n = 2 * nominal
+        nom_res = gt["parameters"]["general"]["spectral_resolution"]["value"]
+        assert np.isclose(f[1] - f[0], 2.0 * nom_res, atol=0.01)
+
+        # bandwidth in ppm: 5000 Hz on a 32.09 MHz carrier = 155.80 ppm
+        ppm = spec.xmr.to_ppm()
+        x = ppm.coords[DIMS.chemical_shift].values
+        bw_ppm = gt["parameters"]["general"]["acq_bw_ppm"]["value"]
+        assert np.isclose(x.max() - x.min() + (x[1] - x[0]), bw_ppm, atol=0.02)
+
+    @pytest.mark.parametrize("metab", ["urea", "alanine", "lactate"])
+    def test_hz_ppm_pairs(self, gt, pv_params, metab):
+        """Every spectrum_view (hz, ppm) pair must satisfy our to_ppm math."""
+        entry = gt["spectrum_view"][metab]
+        mhz = pv_params["PVM_FrqRef"]
+        carrier = pv_params["PVM_FrqWorkPpm"]
+        # TOML ppm values are hand-rounded to 0.1 (alanine/lactate)
+        assert np.isclose(
+            carrier + entry["hz"] / mhz, entry["ppm"], atol=0.05
+        )
+
+    def test_simulated_peaks_land_on_toml_positions(self, gt, pv_params):
+        """Simulate the 3-metabolite 13C phantom at the TOML's Hz offsets
+        and verify each fitted ppm position against the TOML's ppm view."""
+        n = int(gt["parameters"]["general"]["acq_points"]["value"])
+        sw = pv_params["PVM_SpecSWH"]
+        t = np.arange(n) / sw
+        sig = sum(
+            gt["spectrum_view"][m]["amplitude"]
+            * np.exp((1j * 2 * np.pi * gt["spectrum_view"][m]["hz"] - 15.0) * t)
+            for m in ("urea", "alanine", "lactate")
+        )
+        fid = build_fid(sig, [DIMS.time], pv_params)
+        ppm = fid.xmr.to_spectrum().xmr.to_ppm()
+        x = ppm.coords[DIMS.chemical_shift].values
+        mag = np.abs(ppm.values)
+        df_ppm = abs(x[1] - x[0])
+
+        for m in ("urea", "alanine", "lactate"):
+            target = gt["spectrum_view"][m]["ppm"]
+            window = np.abs(x - target) < 1.0
+            i = np.flatnonzero(window)[np.argmax(mag[window])]
+            assert abs(x[i] - target) < max(2 * df_ppm, 0.02), m
+
+    def test_group_delay_matches_1h_dataset(self, gt):
+        # Both nuclei share the console's digital-filter group delay
+        assert gt["parameters"]["rx_filter_info"]["groupDelay"]["value"] == 76.125
 
 
 class TestNativeIO:
