@@ -10,6 +10,34 @@
  * so the static exporter can hide them.
  */
 
+/* Numeric core, kept DOM-free so the Python test harness can execute it
+ * directly (tests/test_widget_js.py runs this object through a JS-subset
+ * interpreter and compares against xmris_tpu.ops.phasing).
+ */
+const PHASEMATH = {
+  // phi at coordinate x, in radians
+  phiAt(x, p0, p1, pivot, xRange) {
+    const p0r = (p0 * Math.PI) / 180.0;
+    const p1r = (p1 * Math.PI) / 180.0;
+    return p0r + p1r * ((x - pivot) / xRange);
+  },
+
+  // full phased traces: returns { re, im } arrays
+  phased(X, RE, IM, p0, p1, pivot) {
+    const xMin = Math.min(...X), xMax = Math.max(...X);
+    const xRange = xMax - xMin || 1.0;
+    const n = X.length;
+    const outRe = [], outIm = [];
+    for (let i = 0; i < n; i++) {
+      const phi = this.phiAt(X[i], p0, p1, pivot, xRange);
+      const c = Math.cos(phi), s = Math.sin(phi);
+      outRe.push(RE[i] * c - IM[i] * s);
+      outIm.push(RE[i] * s + IM[i] * c);
+    }
+    return { re: outRe, im: outIm };
+  },
+};
+
 export function render({ model, el }) {
   const dpr = window.devicePixelRatio || 1;
   const W = model.get("width");
@@ -129,24 +157,20 @@ export function render({ model, el }) {
       ctx.restore();
     }
 
-    // phased traces
-    const p0r = (p0 * Math.PI) / 180.0;
-    const p1r = (p1 * Math.PI) / 180.0;
-    const trace = (phasedOf, color, width) => {
+    // phased traces — the same numeric core the test harness executes
+    const phased = PHASEMATH.phased(X, RE, IM, p0, p1, pivot);
+    const trace = (ys, color, width) => {
       ctx.strokeStyle = color;
       ctx.lineWidth = width;
       ctx.beginPath();
       for (let i = 0; i < n; i++) {
-        const phi = p0r + p1r * ((X[i] - pivot) / xRange);
-        const c = Math.cos(phi), s = Math.sin(phi);
-        const v = phasedOf(RE[i], IM[i], c, s);
-        const x = toX(X[i]), y = toY(v);
+        const x = toX(X[i]), y = toY(ys[i]);
         if (i === 0) ctx.moveTo(x, y); else ctx.lineTo(x, y);
       }
       ctx.stroke();
     };
-    trace((r, m, c, s) => r * s + m * c, "rgba(150,150,220,0.8)", 1.0); // imag
-    trace((r, m, c, s) => r * c - m * s, "#1a1a1a", 1.4); // real
+    trace(phased.im, "rgba(150,150,220,0.8)", 1.0); // imag
+    trace(phased.re, "#1a1a1a", 1.4); // real
 
     // x axis label
     ctx.fillStyle = "#333";
