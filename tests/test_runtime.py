@@ -70,9 +70,31 @@ class TestScripts:
         assert "fftshift" in fourier
         assert "Reference parity" in fourier
 
-    def test_notebook_generation_gated(self, capsys):
+    def test_notebook_generation(self, tmp_path):
+        """Docs -> .ipynb conversion with no external tooling; the
+        generated notebooks are valid nbformat-4 JSON whose code cells
+        reproduce the executable blocks of the source pages."""
+        import json
+
         from xmris_tpu._scripts import generate_test_notebooks
 
-        generate_test_notebooks()  # jupytext absent: prints a notice, no crash
-        out = capsys.readouterr().out
-        assert "jupytext" in out or "notebooks written" in out
+        out = generate_test_notebooks(tmp_path / "nb")
+        notebooks = sorted(out.glob("**/*.ipynb"))
+        assert len(notebooks) > 25  # full docs catalog converted
+
+        qs = next(p for p in notebooks if p.name == "quickstart.ipynb")
+        nb = json.loads(qs.read_text())
+        assert nb["nbformat"] == 4
+        code_cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+        assert code_cells
+        src = "".join("".join(c["source"]) for c in code_cells)
+        assert "import xmris_tpu" in src
+
+        # a code cell from a notebooks/ page executes standalone
+        pm = next(p for p in notebooks if p.name == "phase.ipynb")
+        nb = json.loads(pm.read_text())
+        first = "".join(
+            next(c for c in nb["cells"] if c["cell_type"] == "code")["source"]
+        )
+        ns: dict = {}
+        exec(compile(first, "phase.ipynb", "exec"), ns)  # noqa: S102

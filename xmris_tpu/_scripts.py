@@ -102,22 +102,90 @@ def build_api_docs(out_dir: str | Path | None = None) -> Path:
     return out_dir
 
 
-def generate_test_notebooks(out_dir: str | Path | None = None) -> None:
-    """Convert docs pages to executable notebooks (requires jupytext)."""
-    try:
-        import jupytext  # noqa: F401
-    except ImportError:
-        print(
-            "jupytext is not installed; notebook generation skipped. "
-            "The markdown docs under docs/ remain the canonical source."
-        )
-        return
+def markdown_to_notebook(md_path: str | Path) -> dict:
+    """Convert a MyST-style markdown page to a Jupyter notebook dict.
+
+    Equivalent of the reference's jupytext conversion
+    (``_scripts.py:308-363``) with no external tooling: fenced ``python``
+    blocks become code cells, everything between them markdown cells.
+    Blocks preceded by an HTML comment containing ``no-test`` become
+    markdown (they document samples requiring local scanner exports).
+    """
+    import re
+
+    text = Path(md_path).read_text()
+    block_re = re.compile(
+        r"(<!--[^>]*no-test[^>]*-->\s*)?```python\n(.*?)```", re.DOTALL
+    )
+
+    cells = []
+
+    def md_cell(chunk: str):
+        chunk = chunk.strip("\n")
+        if chunk:
+            cells.append(
+                {
+                    "cell_type": "markdown",
+                    "metadata": {},
+                    "source": chunk.splitlines(keepends=True),
+                }
+            )
+
+    pos = 0
+    for m in block_re.finditer(text):
+        md_cell(text[pos : m.start()])
+        code = m.group(2)
+        if m.group(1):  # no-test: keep as fenced markdown, don't execute
+            md_cell(f"```python\n{code}```")
+        else:
+            cells.append(
+                {
+                    "cell_type": "code",
+                    "execution_count": None,
+                    "metadata": {},
+                    "outputs": [],
+                    "source": code.splitlines(keepends=True),
+                }
+            )
+        pos = m.end()
+    md_cell(text[pos:])
+
+    return {
+        "cells": cells,
+        "metadata": {
+            "kernelspec": {
+                "display_name": "Python 3",
+                "language": "python",
+                "name": "python3",
+            },
+            "language_info": {"name": "python"},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+
+
+def generate_test_notebooks(out_dir: str | Path | None = None) -> Path:
+    """Convert every docs page to an executable ``.ipynb``.
+
+    Mirrors the reference's ``generate_test_notebooks``
+    (``_scripts.py:308-363``: MyST .md -> .ipynb into
+    ``tests/autogen_notebooks/``), implemented without jupytext — an
+    ``.ipynb`` is plain JSON.  Directory structure under ``docs/`` is
+    preserved so notebook names stay unique.
+    """
+    import json
+
     out_dir = Path(out_dir or REPO_ROOT / "tests" / "autogen_notebooks")
-    out_dir.mkdir(parents=True, exist_ok=True)
-    for md in (REPO_ROOT / "docs").glob("**/*.md"):
-        nb = jupytext.read(md)
-        jupytext.write(nb, out_dir / (md.stem + ".ipynb"))
-    print(f"notebooks written to {out_dir}")
+    count = 0
+    for md in sorted((REPO_ROOT / "docs").glob("**/*.md")):
+        rel = md.relative_to(REPO_ROOT / "docs")
+        dest = (out_dir / rel).with_suffix(".ipynb")
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        dest.write_text(json.dumps(markdown_to_notebook(md), indent=1))
+        count += 1
+    print(f"{count} notebooks written to {out_dir}")
+    return out_dir
 
 
 def run_tests(extra_args: list[str] | None = None) -> int:
