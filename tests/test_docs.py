@@ -19,7 +19,9 @@ matplotlib.use("Agg")
 
 _DOCS_DIR = Path(__file__).resolve().parent.parent / "docs"
 DOCS = sorted(
-    list(_DOCS_DIR.glob("*.md")) + list(_DOCS_DIR.glob("notebooks/**/*.md"))
+    list(_DOCS_DIR.glob("*.md"))
+    + list(_DOCS_DIR.glob("notebooks/**/*.md"))
+    + list(_DOCS_DIR.glob("contributing/*.md"))
 )
 
 _BLOCK_RE = re.compile(
