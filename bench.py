@@ -124,37 +124,11 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
     kind = jnp.asarray(pk.kind)
     t = jnp.asarray((np.arange(N_TIME) / SW).astype(np.float32))
 
-    # Template seeding (mirrors fit_amares): solve the highest-SNR voxel once
-    # with the cheap XLA engine and start every voxel from its optimum.
-    n_spec = fids.shape[0]
-    snr = np.mean(np.abs(fids[:, :10]), axis=1) / np.maximum(
-        np.std(fids[:, -max(10, N_TIME // 5):], axis=1), 1e-30
-    )
-    best = int(np.nanargmax(snr))
-    u0_t = jnp.asarray(
-        external_to_internal(
-            pk.init_free[None, :], pk.lower, pk.upper, pk.kind
-        ).astype(np.float32)
-    )
-    res_t = lm_fit_batched_planar(
-        jnp.asarray(fids.real[best][None, :].astype(np.float32)),
-        jnp.asarray(fids.imag[best][None, :].astype(np.float32)),
-        t, u0_t, lower, upper, kind, pmap_static, MHZ, max_iter=60,
-    )
-    x_template = np.asarray(res_t.x_free)[0]
-    if not (np.isfinite(x_template).all() and bool(np.asarray(res_t.converged)[0])):
-        x_template = pk.init_free
+    # Template-seeded per-voxel initial values — the same shared helper
+    # fit_amares uses (template fit on the XLA engine + amp rescaling).
+    from xmris_tpu.fitting.amares import template_seeded_x0
 
-    # Per-voxel amplitude-scaled initial values (see fit_amares)
-    x0 = np.broadcast_to(x_template[None, :], (n_spec, pk.n_free)).copy()
-    amp_slots = [
-        int(pk.pmap.idx[k * 5])
-        for k in range(pk.n_peaks)
-        if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
-    ]
-    prior_total = float(np.sum(np.abs(x_template[amp_slots])))
-    factor = np.clip(np.abs(fids[:, 0]) / prior_total, 0.1, 100.0)
-    x0[:, amp_slots] *= factor[:, None]
+    x0 = template_seeded_x0(fids, pk, t, MHZ)
     u0_all = external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(np.float32)
 
     re_h = np.ascontiguousarray(fids.real.astype(np.float32))

@@ -173,7 +173,6 @@ def main() -> None:
             external_to_internal,
             hashable_pmap,
             lm_fit_batched_pallas,
-            lm_fit_batched_planar,
         )
         from xmris_tpu.fitting.prior import load_prior_knowledge
 
@@ -191,26 +190,10 @@ def main() -> None:
         re_c = jnp.asarray(re_h[:chunk])
         im_c = jnp.asarray(im_h[:chunk])
 
-        # template fit on the XLA engine (cheap compile) + seeded inits
-        u0_t = jnp.asarray(
-            external_to_internal(
-                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
-            ).astype(np.float32)
-        )
-        res_t = lm_fit_batched_planar(
-            jnp.asarray(re_h[:1]), jnp.asarray(im_h[:1]), t, u0_t,
-            lower, upper, kind, ps, MHZ, max_iter=60,
-        )
-        x_tpl = np.asarray(res_t.x_free)[0]
-        x0 = np.broadcast_to(x_tpl[None, :], (chunk, pk.n_free)).copy()
-        amp_slots = [
-            int(pk.pmap.idx[k * 5])
-            for k in range(pk.n_peaks)
-            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
-        ]
-        tot = float(np.sum(np.abs(x_tpl[amp_slots])))
-        fac = np.clip(np.abs(fids[:chunk, 0]) / max(tot, 1e-30), 0.1, 100.0)
-        x0[:, amp_slots] *= fac[:, None]
+        # template-seeded inits via the shared fit_amares helper
+        from xmris_tpu.fitting.amares import template_seeded_x0
+
+        x0 = template_seeded_x0(fids[:chunk], pk, t, MHZ)
         u0_seeded = jnp.asarray(
             external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(
                 np.float32
@@ -490,7 +473,6 @@ def main() -> None:
             external_to_internal,
             hashable_pmap,
             lm_fit_batched_pallas,
-            lm_fit_batched_planar,
         )
         from xmris_tpu.fitting.prior import load_prior_knowledge
 
@@ -504,25 +486,9 @@ def main() -> None:
         kind = jnp.asarray(pk.kind)
         t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
 
-        u0_t = jnp.asarray(
-            external_to_internal(
-                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
-            ).astype(np.float32)
-        )
-        res_t = lm_fit_batched_planar(
-            jnp.asarray(re_h[:1]), jnp.asarray(im_h[:1]), t, u0_t,
-            lower, upper, kind, ps, MHZ, max_iter=60,
-        )
-        x_tpl = np.asarray(res_t.x_free)[0]
-        x0 = np.broadcast_to(x_tpl[None, :], (B, pk.n_free)).copy()
-        amp_slots = [
-            int(pk.pmap.idx[k * 5])
-            for k in range(pk.n_peaks)
-            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
-        ]
-        tot = float(np.sum(np.abs(x_tpl[amp_slots])))
-        fac = np.clip(np.abs(fids[:, 0]) / max(tot, 1e-30), 0.1, 100.0)
-        x0[:, amp_slots] *= fac[:, None]
+        from xmris_tpu.fitting.amares import template_seeded_x0
+
+        x0 = template_seeded_x0(fids, pk, t, MHZ)
         u0 = jnp.asarray(
             external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(
                 np.float32

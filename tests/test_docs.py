@@ -9,7 +9,7 @@ preceded by an HTML comment containing ``no-test`` is skipped (e.g. samples
 requiring local scanner exports).
 """
 
-import re
+
 from pathlib import Path
 
 import matplotlib
@@ -24,9 +24,9 @@ DOCS = sorted(
     + list(_DOCS_DIR.glob("contributing/*.md"))
 )
 
-_BLOCK_RE = re.compile(
-    r"(<!--[^>]*no-test[^>]*-->\s*)?```python\n(.*?)```", re.DOTALL
-)
+# One definition shared with the notebook generator, so published .ipynb
+# files and the executed tests can never disagree on block conventions.
+from xmris_tpu._scripts import DOC_PYTHON_BLOCK_RE as _BLOCK_RE
 
 
 def _blocks(path: Path):

@@ -181,6 +181,18 @@ class TestPriorKnowledge:
 
 
 class TestFitAmares:
+    def test_template_seeded_voxel_counts_as_converged(self, tmp_path):
+        """Regression: a voxel seeded exactly at its optimum (the template
+        voxel itself, with scale_init_amplitudes=False) accepts zero LM
+        steps and exits via the rejection plateau — that must report
+        converged=True with the fitted (non-zero) parameters, not be
+        zeroed as a failed fit."""
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        da = make_phantom(n_voxels=1, n_points=512, noise=0.05)
+        ds = da.xmr.fit_amares(p, scale_init_amplitudes=False)
+        assert ds["fit_converged"].values.all()
+        assert (np.abs(ds["amplitude"].values) > 1.0).all()
     def test_31p_phantom_amplitude_recovery(self, pk_file):
         """The reference docs' headline example: PCr gradient + constant ATP."""
         da = make_phantom()

@@ -201,7 +201,7 @@ class TestPhaseMathNumeric:
             phasemath, "phased",
             list(map(float, x)),
             list(map(float, spec.real)), list(map(float, spec.imag)),
-            p0, p1, pivot,
+            p0, p1, pivot, float(x.min()), float(x.max()),
         )
         js = np.asarray(out["re"]) + 1j * np.asarray(out["im"])
 

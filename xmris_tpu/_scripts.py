@@ -17,6 +17,16 @@ from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
+# The docs-page code-block convention, shared with tests/test_docs.py (the
+# docs-as-tests harness) so the published notebooks and the executed tests
+# can never disagree about which blocks are executable: fenced ``python``
+# blocks run; a preceding HTML comment containing ``no-test`` opts out.
+import re as _re
+
+DOC_PYTHON_BLOCK_RE = _re.compile(
+    r"(<!--[^>]*no-test[^>]*-->\s*)?```python\n(.*?)```", _re.DOTALL
+)
+
 _API_MODULES = [
     "xmris_tpu",
     "xmris_tpu.core.config",
@@ -111,12 +121,8 @@ def markdown_to_notebook(md_path: str | Path) -> dict:
     Blocks preceded by an HTML comment containing ``no-test`` become
     markdown (they document samples requiring local scanner exports).
     """
-    import re
-
     text = Path(md_path).read_text()
-    block_re = re.compile(
-        r"(<!--[^>]*no-test[^>]*-->\s*)?```python\n(.*?)```", re.DOTALL
-    )
+    block_re = DOC_PYTHON_BLOCK_RE
 
     cells = []
 

@@ -41,6 +41,95 @@ from xmris_tpu.fitting.lm import (
 from xmris_tpu.fitting.prior import PriorKnowledge, load_prior_knowledge
 
 
+def select_template_fid(fid_arrs: np.ndarray, announce: bool = True) -> int:
+    """Index of the highest-SNR FID (reference ``amares.py:295-312``).
+
+    Signal = mean |first 10 points|, noise = std of the last fifth.
+    """
+    n_time = fid_arrs.shape[-1]
+    signal_region = np.mean(np.abs(fid_arrs[:, 0:10]), axis=1)
+    noise_pts = max(10, n_time // 5)
+    noise_region = np.std(fid_arrs[:, -noise_pts:], axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snr_array = np.where(noise_region == 0, 0, signal_region / noise_region)
+    best_idx = int(np.nanargmax(snr_array))
+    if announce:
+        print(
+            f"Auto-selected FID index {best_idx} for initialization "
+            f"(SNR: {snr_array[best_idx]:.2f})"
+        )
+    return best_idx
+
+
+def template_seeded_x0(
+    fid_arrs: np.ndarray,
+    pk: PriorKnowledge,
+    t_j,
+    mhz: float,
+    template_fid: np.ndarray | None = None,
+    fit_template: bool = True,
+    scale_amplitudes: bool = True,
+    max_iter: int = 60,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Per-voxel initial values seeded from a template-voxel fit.
+
+    The single shared implementation of the reference's
+    ``pyAMARES.initialize_FID`` scheme (``amares.py:314-324``) used by
+    :func:`fit_amares`, ``bench.py``, and the TPU experiment scripts: fit
+    ``template_fid`` (default: the auto-selected highest-SNR voxel) once
+    with the cheap XLA planar engine, start every voxel from its optimum,
+    and rescale amplitudes by each voxel's first-point magnitude over the
+    template total.  Falls back to the prior's initial values when the
+    template fit diverges or goes non-finite.
+
+    Returns the (B, n_free) array of *external* initial values.
+    """
+    from xmris_tpu.fitting.lm import lm_fit_batched_planar
+
+    n_spectra = fid_arrs.shape[0]
+    x_template = pk.init_free
+    if fit_template:
+        if template_fid is None:
+            template_fid = fid_arrs[select_template_fid(fid_arrs, announce=False)]
+        u0_t = jnp.asarray(
+            external_to_internal(
+                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
+            )
+        )
+        res_t = lm_fit_batched_planar(
+            jnp.asarray(np.ascontiguousarray(template_fid.real)[None, :]),
+            jnp.asarray(np.ascontiguousarray(template_fid.imag)[None, :]),
+            t_j, u0_t,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), mhz, max_iter=max_iter,
+        )
+        x_t = np.asarray(res_t.x_free)[0]
+        if bool(np.asarray(res_t.converged)[0]) and np.isfinite(x_t).all():
+            x_template = x_t
+            if verbose:
+                print(
+                    f"Template fit converged (cost "
+                    f"{float(np.asarray(res_t.cost)[0]):.3e}); seeding grid."
+                )
+
+    x0 = np.broadcast_to(x_template[None, :], (n_spectra, pk.n_free)).copy()
+    if scale_amplitudes:
+        amp_slots = [
+            int(pk.pmap.idx[k * 5])
+            for k in range(pk.n_peaks)
+            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
+        ]
+        template_total = float(
+            np.sum(np.abs(x_template[amp_slots])) if amp_slots else 0.0
+        )
+        if amp_slots and template_total > 0:
+            y0_mag = np.abs(fid_arrs[:, 0])
+            factor = np.clip(y0_mag / template_total, 0.1, 100.0)
+            x0[:, amp_slots] *= factor[:, None]
+    return x0
+
+
 def fit_amares(
     da: XmrArray,
     prior_knowledge_file: str | Path | PriorKnowledge,
@@ -54,9 +143,10 @@ def fit_amares(
     init_fid: np.ndarray | None = None,
     verbose: bool = False,
     max_iter: int = 60,
-    chunk_size: int = 4096,
+    chunk_size: int | None = None,
     engine: str = "auto",
     scale_init_amplitudes: bool = True,
+    kernel_version: int = 3,
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -68,12 +158,15 @@ def fit_amares(
     analog of ``pyAMARES.initialize_FID``'s LM initializer
     (reference ``amares.py:314-324``) — and then runs a second refinement
     pass seeded from each voxel's own first solution.  ``max_iter`` and
-    ``chunk_size`` control the batched solver (chunking bounds the Jacobian
-    workspace: ``chunk_size * n_time * n_free`` elements per plane).
+    ``chunk_size`` control the batched solver; ``chunk_size=None`` (default)
+    runs the whole grid in one launch on the pallas path and 4096-voxel
+    chunks on the XLA path (whose Jacobian workspace scales with the batch).
 
     ``engine`` selects the device solver: ``"xla"`` (vmapped planar LM),
     ``"pallas"`` (fused normal-equations kernel, Jacobians never leave VMEM),
-    or ``"auto"`` (pallas on TPU, xla elsewhere).
+    or ``"auto"`` (pallas on TPU, xla elsewhere); ``kernel_version`` picks
+    the pallas formulation (3 = vectorized basis + MXU normal equations,
+    the measured-fastest).
 
     ``scale_init_amplitudes`` rescales each voxel's initial amplitudes by its
     own first-point magnitude relative to the prior's total (the analog of
@@ -114,17 +207,7 @@ def fit_amares(
                 f"init_fid has {template_fid.shape[0]} points, expected {n_time}."
             )
     else:
-        signal_region = np.mean(np.abs(fid_arrs[:, 0:10]), axis=1)
-        noise_pts = max(10, n_time // 5)
-        noise_region = np.std(fid_arrs[:, -noise_pts:], axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            snr_array = np.where(noise_region == 0, 0, signal_region / noise_region)
-        best_idx = int(np.nanargmax(snr_array))
-        print(
-            f"Auto-selected FID index {best_idx} for initialization "
-            f"(SNR: {snr_array[best_idx]:.2f})"
-        )
-        template_fid = fid_arrs[best_idx]
+        template_fid = fid_arrs[select_template_fid(fid_arrs)]
 
     # 4. Prior knowledge
     pk = (
@@ -140,53 +223,18 @@ def fit_amares(
     upper_j = jnp.asarray(pk.upper)
     kind_j = jnp.asarray(pk.kind)
 
-    # Template fit (reference: pyAMARES.initialize_FID + optional LM pass,
-    # amares.py:314-324): solve the template voxel once with the cheap XLA
-    # planar engine and seed every voxel's initial values from its optimum.
-    # Deliberately NOT the pallas engine — a batch-1 launch would cost an
-    # extra Mosaic compile on TPU for a 1-voxel problem.
-    x_template = pk.init_free
-    if initialize_with_lm:
-        from xmris_tpu.fitting.lm import lm_fit_batched_planar
-
-        u0_t = jnp.asarray(
-            external_to_internal(
-                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
-            )
-        )
-        res_t = lm_fit_batched_planar(
-            jnp.asarray(np.ascontiguousarray(template_fid.real)[None, :]),
-            jnp.asarray(np.ascontiguousarray(template_fid.imag)[None, :]),
-            t_j, u0_t, lower_j, upper_j, kind_j, pmap_static, mhz,
-            max_iter=max_iter,
-        )
-        x_t = np.asarray(res_t.x_free)[0]
-        if bool(np.asarray(res_t.converged)[0]) and np.isfinite(x_t).all():
-            x_template = x_t
-            if verbose:
-                print(
-                    f"Template fit converged (cost "
-                    f"{float(np.asarray(res_t.cost)[0]):.3e}); seeding grid."
-                )
-
-    # Per-voxel initial values: every voxel starts from the template optimum;
-    # amplitudes additionally rescale by the voxel's own first-point magnitude
-    # over the template total (clipped), so highly concentrated voxels don't
-    # need extra LM iterations to scale up.
-    x0 = np.broadcast_to(x_template[None, :], (n_spectra, pk.n_free)).copy()
-    if scale_init_amplitudes:
-        amp_slots = [
-            int(pk.pmap.idx[k * 5])
-            for k in range(pk.n_peaks)
-            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
-        ]
-        template_total = float(
-            np.sum(np.abs(x_template[amp_slots])) if amp_slots else 0.0
-        )
-        if amp_slots and template_total > 0:
-            y0_mag = np.abs(fid_arrs[:, 0])
-            factor = np.clip(y0_mag / template_total, 0.1, 100.0)
-            x0[:, amp_slots] *= factor[:, None]
+    # Per-voxel initial values: template fit + amplitude rescaling (the
+    # shared implementation of pyAMARES.initialize_FID's scheme).  The
+    # template solves on the cheap XLA engine deliberately — a batch-1
+    # pallas launch would cost an extra Mosaic compile on TPU.
+    x0 = template_seeded_x0(
+        fid_arrs, pk, t_j, mhz,
+        template_fid=template_fid,
+        fit_template=initialize_with_lm,
+        scale_amplitudes=scale_init_amplitudes,
+        max_iter=max_iter,
+        verbose=verbose,
+    )
     u0 = external_to_internal(x0, pk.lower, pk.upper, pk.kind)
     u0_j = jnp.asarray(u0)
 
@@ -195,6 +243,12 @@ def fit_amares(
         import jax as _jax
 
         engine = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    if chunk_size is None:
+        # One launch for the whole grid on the fused-kernel path (VMEM per
+        # tile is fixed; every extra dispatch through a remote relay costs
+        # ~40 ms of pure latency); bounded chunks on the XLA path, whose
+        # Jacobian workspace scales with the batch.
+        chunk_size = n_spectra if engine == "pallas" else 4096
 
     def run_lm(re_c, im_c, u_init, iters):
         if engine == "pallas":
@@ -206,6 +260,7 @@ def fit_amares(
                 re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
                 pmap_static, mhz, max_iter=iters,
                 interpret=_jax.default_backend() != "tpu",
+                kernel_version=kernel_version,
             )
         from xmris_tpu.fitting.lm import lm_fit_batched_planar
 
@@ -226,10 +281,13 @@ def fit_amares(
             # Refinement pass: restart every voxel from its own optimum with a
             # fresh damping schedule (the batched analog of lmfit's LM
             # initializer pass); keep whichever solution is better per voxel.
+            # Same static max_iter as the first pass: it reuses the compiled
+            # program (max_iter is a jit cache key) and the exit-by-rejection
+            # test stops converged voxels after a handful of iterations anyway.
             u_refined = jnp.asarray(
                 external_to_internal(np.asarray(x), pk.lower, pk.upper, pk.kind)
             )
-            res2 = run_lm(re_c, im_c, u_refined, max(max_iter // 2, 10))
+            res2 = run_lm(re_c, im_c, u_refined, max_iter)
             better = res2.cost < res.cost
             x = jnp.where(better[:, None], res2.x_free, x)
             conv = res.converged | res2.converged
@@ -273,6 +331,7 @@ def fit_amares(
                 jnp.asarray(np.ascontiguousarray(chunk.imag)),
                 t_j, xs, pmap_static, mhz,
                 interpret=_jax.default_backend() != "tpu",
+                kernel_version=kernel_version,
             )
         else:
             sds, sigma2 = crlb_batched(

@@ -331,7 +331,10 @@ def lm_fit_batched_planar(
         )
         st, _, n_acc, _, done, _ = jax.lax.while_loop(cond, step, carry)
         x_final, _ = internal_to_external_jax(st["u"], lower, upper, kind)
-        converged = jnp.isfinite(st["cost"]) & (n_acc > 0)
+        # A voxel that STARTS at its optimum (e.g. template-seeded) accepts
+        # zero steps and exits via the rejection plateau: that is success,
+        # not failure — count plateau-done voxels as converged.
+        converged = jnp.isfinite(st["cost"]) & ((n_acc > 0) | done)
         return x_final, st["cost"], n_acc, converged, done
 
     x, cost, n_iter, conv, done = jax.vmap(solve_one)(fids_re, fids_im, u0)
@@ -467,7 +470,7 @@ def lm_fit_batched_pallas(
     ftol: float = 1e-10,
     v_tile: int = 8,
     interpret: bool = False,
-    kernel_version: int = 2,
+    kernel_version: int = 3,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -575,7 +578,9 @@ def lm_fit_batched_pallas(
     x_final, _ = internal_to_external_jax(
         u, lower[None, :], upper[None, :], kind[None, :]
     )
-    converged = jnp.isfinite(cost) & (n_acc > 0)
+    # See the planar driver: a voxel seeded at its optimum exits by
+    # rejection plateau with zero accepted steps — that is convergence.
+    converged = jnp.isfinite(cost) & ((n_acc > 0) | done)
     return LMResult(
         x_free=x_final, cost=cost, n_iter=n_acc, converged=converged, done=done
     )
@@ -594,7 +599,7 @@ def crlb_batched_pallas(
     mhz: float,
     v_tile: int = 8,
     interpret: bool = False,
-    kernel_version: int = 2,
+    kernel_version: int = 3,
 ):
     """CRLBs from ONE fused-kernel evaluation at the optimum.
 

@@ -106,6 +106,12 @@ def _storable(values) -> np.ndarray:
     """
     arr = np.asarray(values)
     if arr.dtype == object:
+        if not all(isinstance(v, str) for v in arr.ravel()):
+            raise TypeError(
+                "Cannot serialize an object-dtype array with non-string "
+                "elements without pickling (allow_pickle is disabled); "
+                "convert the values to a numeric or string dtype first."
+            )
         return np.asarray(arr, dtype=np.str_)
     return arr
 
@@ -119,7 +125,7 @@ def save_npz(da: XmrArray, path: str | Path) -> None:
     coord_meta = {
         cname: {
             "dim": c.dim,
-            "attrs": c.attrs,
+            "attrs": _jsonable(c.attrs),
             "object": np.asarray(c.values).dtype == object,
         }
         for cname, c in da.coords.items()

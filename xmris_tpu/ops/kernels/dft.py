@@ -296,21 +296,26 @@ def _dft_block(xr, xi, plan: DFTPlan, dtype, preferred, precision):
     return outr, outi
 
 
-@functools.lru_cache(maxsize=16)
-def _full_block_matrix(n: int) -> np.ndarray:
-    """Dense block-complex DFT matrix (2n, 2n): X = x_packed @ M."""
+@functools.lru_cache(maxsize=4)
+def _full_block_matrix(n: int, dtype_str: str = "float32") -> np.ndarray:
+    """Dense block-complex DFT matrix (2n, 2n): X = x_packed @ M.
+
+    Built in float64 and stored at the consumer's dtype — a (4096, 4096)
+    cache entry is 64 MB at float32 vs 128 MB at float64, and these big
+    constants live for the process lifetime.
+    """
     k = np.arange(n)
     ang = -2.0 * np.pi * np.outer(k, k) / n
     fr, fi = np.cos(ang), np.sin(ang)
     top = np.concatenate([fr, fi], axis=1)
     bot = np.concatenate([-fi, fr], axis=1)
-    return np.concatenate([top, bot], axis=0)
+    return np.concatenate([top, bot], axis=0).astype(np.dtype(dtype_str))
 
 
 def _dft_full(xr, xi, n, dtype, preferred, precision):
     """Single dense-matrix formulation: n^2 FLOPs but zero transposes and
     one perfectly-shaped matmul; wins when the batch is HBM-bound."""
-    m = jnp.asarray(_full_block_matrix(n), dtype)
+    m = jnp.asarray(_full_block_matrix(n, np.dtype(dtype).name), dtype)
     x = jnp.concatenate([xr.reshape(-1, n), xi.reshape(-1, n)], axis=1)
     out = jnp.matmul(x, m, preferred_element_type=preferred, precision=precision)
     return out[:, :n], out[:, n:]
@@ -321,8 +326,10 @@ def _dft_full(xr, xi, n, dtype, preferred, precision):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=16)
-def _rect_shifted_block_matrix(n_in: int, n_out: int) -> np.ndarray:
+@functools.lru_cache(maxsize=4)
+def _rect_shifted_block_matrix(
+    n_in: int, n_out: int, dtype_str: str = "float32"
+) -> np.ndarray:
     """Block-complex (2*n_in, 2*n_out) matrix computing, in one matmul,
     the ortho-normalized ``n_out``-point DFT of an ``n_in``-sample signal
     (implicit zero-fill: only the first ``n_in`` DFT-matrix rows survive)
@@ -340,7 +347,7 @@ def _rect_shifted_block_matrix(n_in: int, n_out: int) -> np.ndarray:
     fi = np.sin(ang) * scale
     top = np.concatenate([fr, fi], axis=1)
     bot = np.concatenate([-fi, fr], axis=1)
-    return np.concatenate([top, bot], axis=0)
+    return np.concatenate([top, bot], axis=0).astype(np.dtype(dtype_str))
 
 
 def dft_rect_shifted_planar(
@@ -363,7 +370,9 @@ def dft_rect_shifted_planar(
     preferred = jnp.float32 if dtype == jnp.float32 else dtype
     batch_shape = xr.shape[:-1]
 
-    m = jnp.asarray(_rect_shifted_block_matrix(n_in, n_out), dtype)
+    m = jnp.asarray(
+        _rect_shifted_block_matrix(n_in, n_out, np.dtype(dtype).name), dtype
+    )
     x = jnp.concatenate(
         [xr.reshape(-1, n_in), xi.reshape(-1, n_in)], axis=1
     )

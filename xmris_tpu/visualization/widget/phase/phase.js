@@ -22,9 +22,10 @@ const PHASEMATH = {
     return p0r + p1r * ((x - pivot) / xRange);
   },
 
-  // full phased traces: returns { re, im } arrays
-  phased(X, RE, IM, p0, p1, pivot) {
-    const xMin = Math.min(...X), xMax = Math.max(...X);
+  // full phased traces: returns { re, im } arrays.  xMin/xMax come from the
+  // caller (computed once per render, not per frame; spread-based min/max
+  // would also hit the engine argument limit on very long spectra).
+  phased(X, RE, IM, p0, p1, pivot, xMin, xMax) {
     const xRange = xMax - xMin || 1.0;
     const n = X.length;
     const outRe = [], outIm = [];
@@ -158,7 +159,7 @@ export function render({ model, el }) {
     }
 
     // phased traces — the same numeric core the test harness executes
-    const phased = PHASEMATH.phased(X, RE, IM, p0, p1, pivot);
+    const phased = PHASEMATH.phased(X, RE, IM, p0, p1, pivot, xMin, xMax);
     const trace = (ys, color, width) => {
       ctx.strokeStyle = color;
       ctx.lineWidth = width;
