@@ -1,0 +1,297 @@
+"""Coil sensitivity estimation and optimal-SNR coil combination.
+
+Extends the Cartesian recon layer (BASELINE config 3 / ``recon.kspace``)
+beyond root-sum-of-squares with the two classic model-based combiners the
+parallel-imaging literature builds on (cf. the TPU-MRI line of work,
+arXiv:2006.14080, and subspace sensitivity estimation, arXiv:2302.13431):
+
+* **Low-resolution sensitivity maps** — apodize the central (calibration)
+  region of k-space with a separable Hann window, inverse-transform, and
+  normalize by the RSS image: ``S_c = I_c^low / RSS(I^low)``.  Smooth by
+  construction, phase-correct relative to the RSS reference.
+* **SENSE (matched-filter) combine** — given maps,
+  ``x = sum_c conj(S_c) I_c / sum_c |S_c|^2``: the optimal-SNR unaccelerated
+  SENSE solution.  Unlike RSS it preserves phase and has no noise-magnitude
+  bias in dark regions.
+* **Walsh adaptive combine** — per-pixel dominant eigenvector of the locally
+  smoothed coil covariance, computed by batched power iteration (every pixel
+  iterates in the same fused XLA program; the C x C covariances stay in
+  registers).
+
+Everything exists in complex (CPU/NumPy parity) and planar (TPU) forms, like
+the rest of the recon layer: no complex dtype on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmris_tpu.core.array import XmrArray
+from xmris_tpu.core.config import DIMS
+from xmris_tpu.core.utils import _check_dims
+
+_EPS = 1e-12
+
+
+def _hann_calib_window(n: int, calib_frac: float) -> np.ndarray:
+    """1-D window passing the central ``calib_frac`` of a length-n axis,
+    Hann-tapered to zero at the calibration edges (centered k-space)."""
+    m = max(4, int(round(n * calib_frac)))
+    m = min(m, n)
+    w = np.zeros(n)
+    ramp = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(m) / max(m - 1, 1)))
+    start = (n - m) // 2
+    w[start : start + m] = ramp
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Raw kernels (complex + planar)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axes", "coil_axis", "calib_frac")
+)
+def estimate_sensitivities_raw(
+    kspace, axes: tuple[int, ...], coil_axis: int, calib_frac: float = 0.25
+):
+    """Complex-input sensitivity maps from the k-space calibration region."""
+    ndim = kspace.ndim
+    axes = tuple(a % ndim for a in axes)
+    win = jnp.ones((), kspace.real.dtype)
+    for ax in axes:
+        w = jnp.asarray(
+            _hann_calib_window(kspace.shape[ax], calib_frac),
+            kspace.real.dtype,
+        )
+        shape = [1] * ndim
+        shape[ax] = kspace.shape[ax]
+        win = win * w.reshape(shape)
+
+    low_k = jnp.fft.ifftshift(kspace * win, axes=axes)
+    low = jnp.fft.fftshift(
+        jnp.fft.ifftn(low_k, axes=axes, norm="ortho"), axes=axes
+    )
+    rss = jnp.sqrt(
+        jnp.sum(jnp.real(low * jnp.conj(low)), axis=coil_axis, keepdims=True)
+    )
+    return low / jnp.maximum(rss, _EPS)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axes", "coil_axis", "calib_frac")
+)
+def estimate_sensitivities_planar_raw(
+    k_re, k_im, axes: tuple[int, ...], coil_axis: int, calib_frac: float = 0.25
+):
+    """Planar sensitivity maps (TPU path): window, matmul-iDFT, normalize."""
+    from xmris_tpu.ops.kernels.dft import dft_planar
+
+    ndim = k_re.ndim
+    axes = tuple(a % ndim for a in axes)
+    for ax in axes:
+        w = jnp.asarray(_hann_calib_window(k_re.shape[ax], calib_frac), k_re.dtype)
+        shape = [1] * ndim
+        shape[ax] = k_re.shape[ax]
+        k_re = k_re * w.reshape(shape)
+        k_im = k_im * w.reshape(shape)
+
+    re = jnp.fft.ifftshift(k_re, axes=axes)
+    im = jnp.fft.ifftshift(k_im, axes=axes)
+    for ax in axes:
+        re = jnp.moveaxis(re, ax, -1)
+        im = jnp.moveaxis(im, ax, -1)
+        re, im = dft_planar(re, im, re.shape[-1], inverse=True, ortho=True)
+        re = jnp.moveaxis(re, -1, ax)
+        im = jnp.moveaxis(im, -1, ax)
+    re = jnp.fft.fftshift(re, axes=axes)
+    im = jnp.fft.fftshift(im, axes=axes)
+
+    rss = jnp.sqrt(jnp.sum(re * re + im * im, axis=coil_axis, keepdims=True))
+    rss = jnp.maximum(rss, _EPS)
+    return re / rss, im / rss
+
+
+@functools.partial(jax.jit, static_argnames=("coil_axis",))
+def sense_combine_raw(img, sens, coil_axis: int):
+    """Matched-filter combine: ``sum conj(S) I / sum |S|^2`` (complex)."""
+    num = jnp.sum(jnp.conj(sens) * img, axis=coil_axis)
+    den = jnp.sum(jnp.real(sens * jnp.conj(sens)), axis=coil_axis)
+    return num / jnp.maximum(den, _EPS)
+
+
+@functools.partial(jax.jit, static_argnames=("coil_axis",))
+def sense_combine_planar_raw(i_re, i_im, s_re, s_im, coil_axis: int):
+    """Planar matched-filter combine (TPU path)."""
+    num_re = jnp.sum(s_re * i_re + s_im * i_im, axis=coil_axis)
+    num_im = jnp.sum(s_re * i_im - s_im * i_re, axis=coil_axis)
+    den = jnp.maximum(jnp.sum(s_re * s_re + s_im * s_im, axis=coil_axis), _EPS)
+    return num_re / den, num_im / den
+
+
+@functools.partial(
+    jax.jit, static_argnames=("coil_axis", "block", "n_iter")
+)
+def adaptive_combine_planar_raw(
+    i_re, i_im, coil_axis: int = 0, block: int = 5, n_iter: int = 12
+):
+    """Walsh adaptive combine: per-pixel dominant eigenvector of the locally
+    averaged coil covariance, via batched power iteration.
+
+    ``i_re/i_im``: (C, ...) planar coil images.  Returns the combined planar
+    image pair.  The C x C covariance entries are C^2 spatial maps smoothed
+    with a ``block``-wide box filter (reduce_window), then every pixel's
+    eigenvector iterates simultaneously inside one fused program — the
+    idiomatic TPU formulation of the reference-free optimal combine.
+    """
+    i_re = jnp.moveaxis(i_re, coil_axis, 0)
+    i_im = jnp.moveaxis(i_im, coil_axis, 0)
+    c = i_re.shape[0]
+    spatial = i_re.shape[1:]
+
+    # covariance entries R[a,b] = I_a conj(I_b), smoothed spatially
+    def smooth(x):
+        if block <= 1:
+            return x
+        window = (block,) * x.ndim
+        strides = (1,) * x.ndim
+        summed = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, window, strides, "SAME"
+        )
+        return summed / float(block**x.ndim)
+
+    r_re = jnp.stack(
+        [
+            jnp.stack(
+                [smooth(i_re[a] * i_re[b] + i_im[a] * i_im[b]) for b in range(c)]
+            )
+            for a in range(c)
+        ]
+    )  # (C, C, ...)
+    r_im = jnp.stack(
+        [
+            jnp.stack(
+                [smooth(i_im[a] * i_re[b] - i_re[a] * i_im[b]) for b in range(c)]
+            )
+            for a in range(c)
+        ]
+    )
+
+    # batched power iteration on the Hermitian (C, C) per-pixel matrices
+    v_re = jnp.ones((c,) + spatial, i_re.dtype) / jnp.sqrt(float(c))
+    v_im = jnp.zeros((c,) + spatial, i_re.dtype)
+
+    def step(_, vv):
+        v_re, v_im = vv
+        w_re = jnp.einsum("ab...,b...->a...", r_re, v_re) - jnp.einsum(
+            "ab...,b...->a...", r_im, v_im
+        )
+        w_im = jnp.einsum("ab...,b...->a...", r_re, v_im) + jnp.einsum(
+            "ab...,b...->a...", r_im, v_re
+        )
+        norm = jnp.sqrt(jnp.sum(w_re * w_re + w_im * w_im, axis=0, keepdims=True))
+        norm = jnp.maximum(norm, _EPS)
+        return w_re / norm, w_im / norm
+
+    v_re, v_im = jax.lax.fori_loop(0, n_iter, step, (v_re, v_im))
+
+    # phase-anchor to the strongest coil so the combined phase is smooth
+    ref = jnp.argmax(jnp.sum(i_re * i_re + i_im * i_im, axis=tuple(range(1, i_re.ndim))))
+    ref_re = jnp.take(v_re, ref, axis=0)
+    ref_im = jnp.take(v_im, ref, axis=0)
+    ref_mag = jnp.maximum(jnp.sqrt(ref_re**2 + ref_im**2), _EPS)
+    ph_re, ph_im = ref_re / ref_mag, ref_im / ref_mag
+    # v <- v * conj(phase)
+    v_re, v_im = (
+        v_re * ph_re + v_im * ph_im,
+        v_im * ph_re - v_re * ph_im,
+    )
+
+    # combined = sum conj(v) I
+    out_re = jnp.sum(v_re * i_re + v_im * i_im, axis=0)
+    out_im = jnp.sum(v_re * i_im - v_im * i_re, axis=0)
+    return out_re, out_im
+
+
+# ---------------------------------------------------------------------------
+# Labeled API
+# ---------------------------------------------------------------------------
+
+
+def estimate_sensitivities(
+    da: XmrArray,
+    dims: list[str] | None = None,
+    coil_dim: str = DIMS.coil,
+    calib_frac: float = 0.25,
+) -> XmrArray:
+    """Coil sensitivity maps from a k-space array's calibration region.
+
+    ``dims`` defaults to the kx/ky/kz dims present.  Returns a complex
+    array of the same shape with unit-RSS normalization; lineage records
+    the calibration fraction.
+    """
+    if dims is None:
+        dims = [d for d in (DIMS.kx, DIMS.ky, DIMS.kz) if d in da.dims]
+        if not dims:
+            raise ValueError(
+                "No k-space dimensions (kx/ky/kz) found; pass `dims` explicitly."
+            )
+    _check_dims(da, dims + [coil_dim], "estimate_sensitivities")
+    axes = tuple(da.get_axis_num(d) for d in dims)
+    coil_axis = da.get_axis_num(coil_dim)
+    sens = np.asarray(
+        estimate_sensitivities_raw(
+            jnp.asarray(da.values), axes, coil_axis, calib_frac
+        )
+    )
+    out = XmrArray(sens, dims=da.dims, attrs=da.attrs.copy(), name=da.name)
+    out.coords = {k: c.copy() for k, c in da.coords.items()}
+    out.attrs["sensitivity_calib_frac"] = calib_frac
+    return out
+
+
+def sense_combine(
+    img: XmrArray, sens: XmrArray, coil_dim: str = DIMS.coil
+) -> XmrArray:
+    """Matched-filter (unaccelerated SENSE) coil combine with given maps."""
+    _check_dims(img, coil_dim, "sense_combine")
+    if img.dims != sens.dims:
+        raise ValueError(
+            f"Image dims {img.dims} and sensitivity dims {sens.dims} must match."
+        )
+    ax = img.get_axis_num(coil_dim)
+    combined = np.asarray(
+        sense_combine_raw(jnp.asarray(img.values), jnp.asarray(sens.values), ax)
+    )
+    new_dims = tuple(d for d in img.dims if d != coil_dim)
+    out = XmrArray(combined, dims=new_dims, attrs=img.attrs.copy(), name=img.name)
+    out.coords = {k: c.copy() for k, c in img.coords.items() if c.dim != coil_dim}
+    out.attrs["coil_combine"] = "sense"
+    return out
+
+
+def sense_reconstruct(
+    da: XmrArray,
+    dims: list[str] | None = None,
+    coil_dim: str = DIMS.coil,
+    calib_frac: float = 0.25,
+) -> XmrArray:
+    """Full Cartesian SENSE recon: estimate maps from the calibration
+    region, centered iFFT, matched-filter combine.  Phase-preserving and
+    noise-bias-free, unlike :func:`~xmris_tpu.recon.kspace.rss_reconstruct`.
+    """
+    from xmris_tpu.recon.kspace import kspace_to_image
+
+    sens_k = estimate_sensitivities(
+        da, dims=dims, coil_dim=coil_dim, calib_frac=calib_frac
+    )
+    img = kspace_to_image(da, dims=dims)
+    # maps were computed on k-space dims; rename to the image dims
+    sens = XmrArray(sens_k.values, dims=img.dims, attrs=sens_k.attrs)
+    sens.coords = {k: c.copy() for k, c in img.coords.items()}
+    return sense_combine(img, sens, coil_dim=coil_dim)
