@@ -50,6 +50,7 @@ _API_MODULES = [
     "xmris_tpu.parallel.pipeline",
     "xmris_tpu.parallel.planar_pipeline",
     "xmris_tpu.recon.kspace",
+    "xmris_tpu.recon.sense",
     "xmris_tpu.vendor.bruker",
     "xmris_tpu.visualization.plot",
     "xmris_tpu.visualization.widget",
