@@ -166,7 +166,7 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
                     max_iter=max_iter,
                 )
                 sds, _ = crlb_batched_planar(
-                    re, im, t, res.x_free, lower, upper, kind, pmap_static, MHZ
+                    re, im, t, res.x_free, pmap_static, MHZ
                 )
             outs.append((res.x_free, sds))
         return outs

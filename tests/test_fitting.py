@@ -181,6 +181,43 @@ class TestPriorKnowledge:
 
 
 class TestFitAmares:
+    def test_tied_amplitude_crlb_scaled(self, tmp_path):
+        """A tied amplitude (0.5*LacA) shares LacA's free slot: its CRLB%
+        must scale the shared sd by the tie factor, which cancels against
+        the amplitude ratio — identical CRLB% for both lines."""
+        prior = (
+            "Index,LacA,LacB\n"
+            "Initial Values,,\n"
+            "amplitude,10.0,0.5*LacA\n"
+            "chemicalshift,1.25,1.45\n"
+            "linewidth,8.0,8.0\n"
+            "phase,0,0\n"
+            "g,0,0\n"
+            "Bounds,,\n"
+            'amplitude,"(0, ",\n'
+            'chemicalshift,"(1.0, 1.5)","(1.2, 1.7)"\n'
+            'linewidth,"(2, 30)","(2, 30)"\n'
+            'phase,"(-180, 180)","(-180, 180)"\n'
+            "g,fixed,fixed\n"
+        )
+        p = tmp_path / "tied.csv"
+        p.write_text(prior)
+        mhz, sw, n = 120.0, 4000.0, 512
+        t = np.arange(n) / sw
+        rng = np.random.default_rng(0)
+        sig = (
+            12.0 * np.exp((-np.pi * 8 + 1j * 2 * np.pi * (1.25 * mhz)) * t)
+            + 6.0 * np.exp((-np.pi * 8 + 1j * 2 * np.pi * (1.45 * mhz)) * t)
+        )
+        da = XmrArray(
+            (sig + rng.normal(0, 0.05, n) + 1j * rng.normal(0, 0.05, n))[None],
+            dims=("voxel", "time"), coords={"time": t}, attrs={"MHz": mhz},
+        )
+        ds = da.xmr.fit_amares(p)
+        crlb = ds["crlb"].values[0]
+        # amp_B = 0.5 * amp_A and sd_B = 0.5 * sd_A  =>  CRLB% identical
+        assert crlb[1] == pytest.approx(crlb[0], rel=1e-6)
+
     def test_template_seeded_voxel_counts_as_converged(self, tmp_path):
         """Regression: a voxel seeded exactly at its optimum (the template
         voxel itself, with scale_init_amplitudes=False) accepts zero LM

@@ -189,11 +189,7 @@ class TestCRLBKernel:
             jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
             ps, 120.0, max_iter=40,
         )
-        sds_xla, s2_xla = crlb_batched_planar(
-            re, im, t, res.x_free,
-            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
-            ps, 120.0,
-        )
+        sds_xla, s2_xla = crlb_batched_planar(re, im, t, res.x_free, ps, 120.0)
         sds_pal, s2_pal = crlb_batched_pallas(
             re, im, t, res.x_free, ps, 120.0, v_tile=1, interpret=True
         )

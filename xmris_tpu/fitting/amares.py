@@ -335,8 +335,7 @@ def fit_amares(
             )
         else:
             sds, sigma2 = crlb_batched(
-                jnp.asarray(chunk), t_j, xs, lower_j, upper_j, kind_j,
-                pmap_static, mhz,
+                jnp.asarray(chunk), t_j, xs, pmap_static, mhz
             )
         sds_parts.append(np.asarray(sds))
         sigma_parts.append(np.asarray(sigma2))
@@ -353,25 +352,27 @@ def fit_amares(
     linewidths = grids[:, :, 2]
     phases = grids[:, :, 3]
 
-    # CRLB(%) of the amplitude, per metabolite (identity prior matrix)
+    # CRLB(%) of the amplitude, per metabolite (identity prior matrix).
+    # A tied amplitude (amp_k = scale * x_slot) has sd(amp_k) =
+    # |scale| * sd(x_slot): the tie factor must scale the free-parameter
+    # bound before normalizing by the metabolite's own amplitude.
     crlbs = np.zeros((n_spectra, n_metab))
-    amp_slots = {
-        j // 5: pk.pmap.idx[j]
-        for j in range(n_metab * 5)
-        if j % 5 == 0 and pk.pmap.idx[j] >= 0
-    }
     for k in range(n_metab):
-        slot = amp_slots.get(k, -1)
+        j = k * 5
+        slot = int(pk.pmap.idx[j])
         if slot >= 0:
+            sd_amp = np.abs(pk.pmap.scale[j]) * sds_free[:, slot]
             with np.errstate(divide="ignore", invalid="ignore"):
                 crlbs[:, k] = np.where(
                     amplitudes[:, k] != 0,
-                    100.0 * sds_free[:, slot] / np.abs(amplitudes[:, k]),
+                    100.0 * sd_amp / np.abs(amplitudes[:, k]),
                     0.0,
                 )
 
-    # SNR per metabolite: fitted amplitude over per-channel noise std
-    noise_std = np.sqrt(np.maximum(sigma2, 0.0) / 2.0)
+    # SNR per metabolite: fitted amplitude over the per-real-channel noise
+    # std (sigma2 from the CRLB pass is already the per-channel variance:
+    # sum of both channels' squared residuals over 2*n_t - F dof).
+    noise_std = np.sqrt(np.maximum(sigma2, 0.0))
     with np.errstate(divide="ignore", invalid="ignore"):
         snrs = np.where(
             noise_std[:, None] > 0, np.abs(amplitudes) / noise_std[:, None], 0.0

@@ -381,14 +381,13 @@ def hashable_pmap(pmap: ParamMap):
 
 
 @functools.partial(jax.jit, static_argnames=("pmap_static", "mhz"))
-def crlb_batched_planar(
-    fids_re, fids_im, t, x_free, lower, upper, kind, pmap_static, mhz: float
-):
+def crlb_batched_planar(fids_re, fids_im, t, x_free, pmap_static, mhz: float):
     """Cramer-Rao lower bounds (standard deviations) of the free parameters.
 
     sigma^2 comes from the final residuals (per real channel); the covariance
     is ``sigma^2 * (J_re^T J_re + J_im^T J_im)^-1`` at the optimum — the
-    standard AMARES CRLB with an identity prior matrix.
+    standard AMARES CRLB with an identity prior matrix, computed in
+    *external* parameter space (no bound-transform Jacobian involved).
     """
     real_dtype = fids_re.dtype
     pmap = _pmap_jax(pmap_static, real_dtype)
@@ -416,14 +415,12 @@ def crlb_batched_planar(
     return sds, sigma2
 
 
-def crlb_batched(fids, t, x_free, lower, upper, kind, pmap_static, mhz: float):
+def crlb_batched(fids, t, x_free, pmap_static, mhz: float):
     """Complex-input wrapper over :func:`crlb_batched_planar`."""
     f = np.asarray(fids)
     re = jnp.asarray(np.ascontiguousarray(f.real))
     im = jnp.asarray(np.ascontiguousarray(f.imag))
-    return crlb_batched_planar(
-        re, im, t, x_free, lower, upper, kind, pmap_static, mhz
-    )
+    return crlb_batched_planar(re, im, t, x_free, pmap_static, mhz)
 
 
 # Backwards-compatible aliases for the complex-facing model helpers used by

@@ -42,7 +42,11 @@ def spd_solve_small(h: jax.Array, g: jax.Array) -> jax.Array:
     idx = np.arange(f)
     for k in range(f):
         dk = a[:, k, k]
-        inv_sqrt = jax.lax.rsqrt(jnp.maximum(dk, 1e-30))[:, None]
+        # Non-SPD pivot (dk <= 0) must produce NaN, not finite garbage:
+        # the LM driver treats non-finite steps as rejected, and CRLB
+        # consumers need to see the failure rather than silent nonsense.
+        safe_dk = jnp.where(dk > 0, dk, jnp.nan)
+        inv_sqrt = jax.lax.rsqrt(safe_dk)[:, None]
         mask = jnp.asarray((idx >= k).astype(np.float32), dtype)[None, :]
         l_k = a[:, :, k] * mask * inv_sqrt  # (B, F), zeros above k
         a = a - l_k[:, :, None] * l_k[:, None, :]
@@ -84,7 +88,11 @@ def spd_inverse_diag(h: jax.Array) -> jax.Array:
     idx = np.arange(f)
     for k in range(f):
         dk = a[:, k, k]
-        inv_sqrt = jax.lax.rsqrt(jnp.maximum(dk, 1e-30))[:, None]
+        # Non-SPD pivot (dk <= 0) must produce NaN, not finite garbage:
+        # the LM driver treats non-finite steps as rejected, and CRLB
+        # consumers need to see the failure rather than silent nonsense.
+        safe_dk = jnp.where(dk > 0, dk, jnp.nan)
+        inv_sqrt = jax.lax.rsqrt(safe_dk)[:, None]
         mask = jnp.asarray((idx >= k).astype(np.float32), dtype)[None, :]
         l_k = a[:, :, k] * mask * inv_sqrt
         a = a - l_k[:, :, None] * l_k[:, None, :]

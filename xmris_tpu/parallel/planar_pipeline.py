@@ -18,13 +18,8 @@ import jax.numpy as jnp
 
 from xmris_tpu.ops.kernels.dft import dft_planar
 from xmris_tpu.ops.optim import differential_evolution
-from xmris_tpu.ops.phasing import acme_score_raw
+from xmris_tpu.ops.phasing import _phased_real_planar, acme_score_raw
 from xmris_tpu.parallel.pipeline import PipelineConfig
-
-
-def _phased_real_planar(re, im, coords, p0, p1, pivot, x_range):
-    phi = jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((coords - pivot) / x_range)
-    return re * jnp.cos(phi) - im * jnp.sin(phi)
 
 
 def _apply_phase_planar(re, im, phi):

@@ -244,11 +244,16 @@ def estimate_sensitivities(
     _check_dims(da, dims + [coil_dim], "estimate_sensitivities")
     axes = tuple(da.get_axis_num(d) for d in dims)
     coil_axis = da.get_axis_num(coil_dim)
-    sens = np.asarray(
-        estimate_sensitivities_raw(
-            jnp.asarray(da.values), axes, coil_axis, calib_frac
-        )
+    # Planar on device (the target TPU backend executes no complex
+    # programs), complex re-join on the host — the repo-wide convention.
+    vals = np.asarray(da.values)
+    s_re, s_im = estimate_sensitivities_planar_raw(
+        jnp.asarray(np.ascontiguousarray(vals.real)),
+        jnp.asarray(np.ascontiguousarray(vals.imag)),
+        axes, coil_axis, calib_frac,
     )
+    sens = np.asarray(s_re).astype(np.result_type(vals.dtype, np.complex64))
+    sens += 1j * np.asarray(s_im)
     out = XmrArray(sens, dims=da.dims, attrs=da.attrs.copy(), name=da.name)
     out.coords = {k: c.copy() for k, c in da.coords.items()}
     out.attrs["sensitivity_calib_frac"] = calib_frac
@@ -265,9 +270,17 @@ def sense_combine(
             f"Image dims {img.dims} and sensitivity dims {sens.dims} must match."
         )
     ax = img.get_axis_num(coil_dim)
-    combined = np.asarray(
-        sense_combine_raw(jnp.asarray(img.values), jnp.asarray(sens.values), ax)
+    ivals = np.asarray(img.values)
+    svals = np.asarray(sens.values)
+    o_re, o_im = sense_combine_planar_raw(
+        jnp.asarray(np.ascontiguousarray(ivals.real)),
+        jnp.asarray(np.ascontiguousarray(ivals.imag)),
+        jnp.asarray(np.ascontiguousarray(svals.real)),
+        jnp.asarray(np.ascontiguousarray(svals.imag)),
+        ax,
     )
+    combined = np.asarray(o_re).astype(np.result_type(ivals.dtype, np.complex64))
+    combined += 1j * np.asarray(o_im)
     new_dims = tuple(d for d in img.dims if d != coil_dim)
     out = XmrArray(combined, dims=new_dims, attrs=img.attrs.copy(), name=img.name)
     out.coords = {k: c.copy() for k, c in img.coords.items() if c.dim != coil_dim}
