@@ -158,3 +158,91 @@ class TestIselOuterSemantics:
         out = da.isel({"a": 1, "b": [0, 5]})
         assert out.dims == ("b",)
         np.testing.assert_array_equal(out.values, [6.0, 11.0])
+
+
+class TestShardedPallasFit:
+    def test_sharded_matches_single_launch(self, tmp_path):
+        """shard_map'd fused-kernel LM over 8 devices == one launch.
+
+        Converged voxels stop updating (ok & ~done masking), so per-shard
+        loop-length differences cannot change any voxel's solution.
+        """
+        import jax.numpy as jnp
+
+        from tests.test_fitting import PK_CSV, make_phantom
+        from xmris_tpu.fitting.lm import (
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.parallel import lm_fit_batched_pallas_sharded, make_mesh
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=16, n_points=256)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(256) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            np.broadcast_to(
+                external_to_internal(
+                    pk.init_free, pk.lower, pk.upper, pk.kind
+                ).astype(np.float32)[None, :],
+                (16, pk.n_free),
+            ).copy()
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+
+        single = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True
+        )
+        mesh = make_mesh(8)
+        sharded = lm_fit_batched_pallas_sharded(
+            re, im, *args, mesh=mesh, max_iter=25, v_tile=2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.x_free), np.asarray(single.x_free),
+            rtol=1e-6, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.cost), np.asarray(single.cost), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.converged), np.asarray(single.converged)
+        )
+        # results actually shard over all 8 devices
+        assert len(sharded.x_free.sharding.device_set) == 8
+
+    def test_batch_must_divide_mesh(self, tmp_path):
+        import jax.numpy as jnp
+
+        from tests.test_fitting import PK_CSV
+        from xmris_tpu.fitting.lm import external_to_internal, hashable_pmap
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.parallel import lm_fit_batched_pallas_sharded, make_mesh
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        u0 = jnp.asarray(
+            external_to_internal(
+                pk.init_free, pk.lower, pk.upper, pk.kind
+            ).astype(np.float32)
+        )
+        with pytest.raises(ValueError, match="divide"):
+            lm_fit_batched_pallas_sharded(
+                jnp.zeros((6, 64), jnp.float32), jnp.zeros((6, 64), jnp.float32),
+                jnp.linspace(0, 1, 64), u0,
+                jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+                jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
+                mesh=make_mesh(8), interpret=True,
+            )

@@ -1,5 +1,6 @@
 """Scale-out layer: device meshes, sharded batched pipelines."""
 
+from xmris_tpu.parallel.fit import lm_fit_batched_pallas_sharded
 from xmris_tpu.parallel.mesh import (
     GRID_AXIS,
     make_mesh,
@@ -16,6 +17,7 @@ from xmris_tpu.parallel.pipeline import (
 __all__ = [
     "GRID_AXIS",
     "PipelineConfig",
+    "lm_fit_batched_pallas_sharded",
     "make_mesh",
     "mrsi_pipeline",
     "replicated",

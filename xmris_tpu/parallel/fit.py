@@ -1,0 +1,100 @@
+"""Multi-chip batched fitting: the fused-kernel LM under ``shard_map``.
+
+The XLA planar LM (:func:`~xmris_tpu.fitting.lm.lm_fit_batched_planar`)
+auto-shards under GSPMD — hand it voxel-sharded inputs and XLA partitions
+the vmapped program.  The Pallas path does not partition automatically;
+here the fused normal-equations solver runs under ``shard_map`` over the
+1-D voxel mesh instead:
+
+* every device executes the whole LM ``while_loop`` on ITS voxel shard
+  only — zero collectives (the problem is embarrassingly parallel, exactly
+  the reference's process-pool structure, ``amares.py:118-204``);
+* each device's loop exits as soon as *its* voxels converge, so a shard of
+  easy voxels stops early instead of idling behind the global batch — a
+  straggler property the single-launch formulation cannot have.
+
+Results are bit-identical to the single-device launch: converged voxels
+stop updating (``ok & ~done`` masking), so loop-length differences between
+shards cannot change any voxel's solution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from xmris_tpu.fitting.lm import LMResult, lm_fit_batched_pallas
+from xmris_tpu.parallel.mesh import GRID_AXIS
+
+
+def lm_fit_batched_pallas_sharded(
+    fids_re,
+    fids_im,
+    t,
+    u0,
+    lower,
+    upper,
+    kind,
+    pmap_static,
+    mhz: float,
+    mesh: Mesh,
+    axis_name: str = GRID_AXIS,
+    max_iter: int = 50,
+    lam0: float = 1e-3,
+    ftol: float = 1e-10,
+    v_tile: int = 8,
+    interpret: bool = False,
+    kernel_version: int = 3,
+) -> LMResult:
+    """Fused-kernel bounded LM sharded over the mesh's voxel axis.
+
+    ``fids_re``/``fids_im``/``u0`` shard on their leading (voxel) axis,
+    which must divide by the mesh size; ``t``/``lower``/``upper``/``kind``
+    replicate.  ``u0`` must already be per-voxel ``(B, F)`` (broadcast a
+    shared seed before calling).  Semantics match
+    :func:`~xmris_tpu.fitting.lm.lm_fit_batched_pallas` exactly.
+    """
+    n_dev = mesh.shape[axis_name]
+    b = fids_re.shape[0]
+    if b % n_dev:
+        raise ValueError(
+            f"Voxel batch ({b}) must divide by the mesh axis ({n_dev}); "
+            "pad with pad_to_multiple first."
+        )
+    if u0.ndim == 1:
+        u0 = jnp.broadcast_to(u0[None, :], (b, u0.shape[0]))
+
+    solver = functools.partial(
+        lm_fit_batched_pallas,
+        pmap_static=pmap_static,
+        mhz=mhz,
+        max_iter=max_iter,
+        lam0=lam0,
+        ftol=ftol,
+        v_tile=v_tile,
+        interpret=interpret,
+        kernel_version=kernel_version,
+    )
+
+    def per_shard(re, im, t, u0, lower, upper, kind):
+        return solver(re, im, t, u0, lower, upper, kind)
+
+    sharded = P(axis_name)
+    replicated = P()
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            sharded, sharded, replicated, sharded,
+            replicated, replicated, replicated,
+        ),
+        out_specs=LMResult(
+            x_free=sharded, cost=sharded, n_iter=sharded,
+            converged=sharded, done=sharded,
+        ),
+        check_vma=False,
+    )
+    return fn(fids_re, fids_im, t, u0, lower, upper, kind)
