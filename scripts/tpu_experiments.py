@@ -463,6 +463,92 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             report("prec/recon/chained", error=repr(e)[:300])
 
+    if "fitprof" in groups:
+        # Attribute fit time: fused kernel alone vs full LM iterations.
+        import tempfile
+
+        from xmris_tpu.fitting.lm import (
+            _expand_params_batched,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v3,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(bench.PK_CSV)
+            pk_path = f.name
+        pk = load_prior_knowledge(pk_path)
+        ps = hashable_pmap(pk.pmap)
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_all = jnp.asarray(re_h)
+        im_all = jnp.asarray(im_h)
+        grids = jnp.asarray(
+            _expand_params_batched(
+                jnp.asarray(
+                    np.broadcast_to(
+                        pk.init_free.astype(np.float32)[None, :],
+                        (B, pk.n_free),
+                    ).copy()
+                ),
+                ps, jnp.float32,
+            )
+        )
+
+        K = 20
+        for vt in (8, 16):
+            try:
+                c, g, h = eq6_normal_equations_pallas_v3(
+                    grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                    v_tile=vt,
+                )
+                float(jnp.sum(c))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    c, g, h = eq6_normal_equations_pallas_v3(
+                        grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                        v_tile=vt,
+                    )
+                float(jnp.sum(c))
+                report(f"fitprof/kernel_only/v3/vt{vt}",
+                       ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 2))
+            except Exception as e:  # noqa: BLE001
+                report(f"fitprof/kernel_only/v3/vt{vt}", error=repr(e)[:300])
+
+        # full LM: 1 vs 5 iterations -> per-iteration driver cost by diff
+        from xmris_tpu.fitting.amares import template_seeded_x0
+
+        x0 = template_seeded_x0(fids, pk, t, MHZ)
+        u0 = jnp.asarray(
+            external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(
+                np.float32
+            )
+        )
+        lower = jnp.asarray(pk.lower)
+        upper = jnp.asarray(pk.upper)
+        kind = jnp.asarray(pk.kind)
+        for mi in (1, 5):
+            try:
+                res = lm_fit_batched_pallas(
+                    re_all, im_all, t, u0, lower, upper, kind, ps, MHZ,
+                    max_iter=mi, kernel_version=3,
+                )
+                float(jnp.sum(res.cost))
+                t0 = time.perf_counter()
+                for _ in range(6):
+                    res = lm_fit_batched_pallas(
+                        re_all, im_all, t, u0, lower, upper, kind, ps, MHZ,
+                        max_iter=mi, kernel_version=3,
+                    )
+                float(jnp.sum(res.cost))
+                report(f"fitprof/lm/mi{mi}",
+                       ms_per_call=round((time.perf_counter() - t0) / 6 * 1e3, 2))
+            except Exception as e:  # noqa: BLE001
+                report(f"fitprof/lm/mi{mi}", error=repr(e)[:300])
+
     if "fitbig" in groups:
         # Full 16384-voxel grid in ONE pallas launch with the rejection-
         # streak termination: the loop should now exit at ~n_iter_max+6.
