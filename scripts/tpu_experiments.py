@@ -583,7 +583,7 @@ def main() -> None:
         re_all = jnp.asarray(re_h)
         im_all = jnp.asarray(im_h)
 
-        for kv, mi in ((3, 24), (3, 32), (2, 24)):
+        for kv, mi in ((5, 24), (3, 24)):
             def go(kv=kv, mi=mi):
                 res = lm_fit_batched_pallas(
                     re_all, im_all, t, u0, lower, upper, kind, ps, MHZ,

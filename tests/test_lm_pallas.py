@@ -137,6 +137,121 @@ class TestPallasLMDriver:
         assert np.asarray(r_pal.converged).all()
 
 
+class TestActiveRowsKernel:
+    """v5: fixed params' Jacobian rows are never computed — math identical."""
+
+    def test_v5_matches_v3_subset(self):
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v5,
+        )
+
+        b, n_t, k = 4, 128, 3
+        grids = sane_grids(b, k, seed=4)
+        rng = np.random.default_rng(4)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+
+        # pretend g (col 4) and one phase are fixed
+        active = tuple(
+            j for j in range(k * 5) if j % 5 != 4 and j != 8
+        )
+        c3, g3, h3 = KERNELS[3](
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
+        )
+        c5, g5, h5 = eq6_normal_equations_pallas_v5(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active, v_tile=2,
+            interpret=True,
+        )
+        sel = list(active)
+        np.testing.assert_allclose(np.asarray(c5), np.asarray(c3), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g5), np.asarray(g3)[:, sel], rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(h5), np.asarray(h3)[:, sel][:, :, sel],
+            rtol=1e-5, atol=1e-3 * np.abs(np.asarray(h3)).max(),
+        )
+
+    def test_v5_driver_matches_v3(self, tmp_path):
+        """Full LM with kernel_version=5 on a g-fixed prior == version 3."""
+        # reuse the 5-peak fixed-g prior builder from TestLargerPriors
+        mhz, sw, n = 120.0, 10000.0, 256
+        shifts = [0.0, -2.4, -7.5]
+        rows = ["Index," + ",".join(f"M{i}" for i in range(3)),
+                "Initial Values," + "," * 2,
+                "amplitude,8.0,5.0,4.0",
+                "chemicalshift," + ",".join(str(s) for s in shifts),
+                "linewidth,15.0,15.0,15.0",
+                "phase,0,0,0",
+                "g,0,0,0",
+                "Bounds," + "," * 2,
+                "amplitude," + ",".join('"(0, "' for _ in range(3))]
+        rows.append(
+            "chemicalshift,"
+            + ",".join(f'"({s - 0.4}, {s + 0.4})"' for s in shifts)
+        )
+        rows.append("linewidth," + ",".join('"(5, 40)"' for _ in range(3)))
+        rows.append("phase," + ",".join('"(-180, 180)"' for _ in range(3)))
+        rows.append("g," + ",".join("fixed" for _ in range(3)))
+        pk_path = tmp_path / "pk3.csv"
+        pk_path.write_text("\n".join(rows) + "\n")
+        pk = load_prior_knowledge(pk_path)
+        assert pk.n_free == 12  # g fixed: 3 peaks x 4 free
+
+        t_np = np.arange(n) / sw
+        rng = np.random.default_rng(2)
+        y = sum(
+            a * np.exp((-15 * np.pi + 1j * 2 * np.pi * (s * mhz)) * t_np)
+            for a, s in zip([8.0, 5.0, 4.0], shifts)
+        ) + rng.normal(0, 0.05, n) + 1j * rng.normal(0, 0.05, n)
+        fids = np.stack([y, 0.5 * y]).astype(np.complex64)
+
+        t = jnp.asarray(t_np.astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), mhz,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r3 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=1, interpret=True,
+            kernel_version=3,
+        )
+        r5 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=1, interpret=True,
+            kernel_version=5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r5.x_free), np.asarray(r3.x_free), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(r5.cost), np.asarray(r3.cost), rtol=1e-5
+        )
+        assert np.asarray(r5.converged).all()
+
+        # CRLB agrees too
+        from xmris_tpu.fitting.lm import crlb_batched_pallas
+
+        sds3, s23 = crlb_batched_pallas(
+            re, im, t, r3.x_free, hashable_pmap(pk.pmap), mhz,
+            v_tile=1, interpret=True, kernel_version=3,
+        )
+        sds5, s25 = crlb_batched_pallas(
+            re, im, t, r5.x_free, hashable_pmap(pk.pmap), mhz,
+            v_tile=1, interpret=True, kernel_version=5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sds5), np.asarray(sds3), rtol=1e-2
+        )
+
+
 class TestFitAmaresEngines:
     def test_pallas_engine_through_accessor(self, tmp_path):
         """fit_amares(engine='pallas') runs in interpret mode off-TPU."""

@@ -480,13 +480,27 @@ def lm_fit_batched_pallas(
         eq6_normal_equations_pallas,
         eq6_normal_equations_pallas_v2,
         eq6_normal_equations_pallas_v3,
+        eq6_normal_equations_pallas_v5,
     )
 
-    kernel_fn = {
-        1: eq6_normal_equations_pallas,
-        2: eq6_normal_equations_pallas_v2,
-        3: eq6_normal_equations_pallas_v3,
-    }[kernel_version]
+    if kernel_version == 5:
+        # Active-rows-only kernel: drop fixed params' Jacobian rows (their
+        # scatter-matrix rows are zero) and fold with the matching smat
+        # row subset — identical math, ~44% fewer contraction FLOPs on a
+        # g-fixed 5-peak prior.
+        active = tuple(
+            int(j) for j, ix in enumerate(pmap_static[0]) if ix >= 0
+        )
+        kernel_fn = functools.partial(
+            eq6_normal_equations_pallas_v5, active=active
+        )
+    else:
+        active = None
+        kernel_fn = {
+            1: eq6_normal_equations_pallas,
+            2: eq6_normal_equations_pallas_v2,
+            3: eq6_normal_equations_pallas_v3,
+        }[kernel_version]
 
     real_dtype = jnp.float32  # the kernel is float32
     fids_re = fids_re.astype(real_dtype)
@@ -500,7 +514,10 @@ def lm_fit_batched_pallas(
         u0 = jnp.broadcast_to(u0[None, :], (b, u0.shape[0]))
     n_free = u0.shape[-1]
     n_peaks = pmap_static[3]
-    smat = jnp.asarray(_scatter_matrix(pmap_static, n_free), real_dtype)
+    smat_np = _scatter_matrix(pmap_static, n_free)
+    if active is not None:
+        smat_np = smat_np[list(active), :]
+    smat = jnp.asarray(smat_np, real_dtype)
 
     def full_eval(u):
         x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
@@ -609,20 +626,37 @@ def crlb_batched_pallas(
         eq6_normal_equations_pallas,
         eq6_normal_equations_pallas_v2,
         eq6_normal_equations_pallas_v3,
+        eq6_normal_equations_pallas_v5,
     )
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag
 
-    kernel_fn = {
-        1: eq6_normal_equations_pallas,
-        2: eq6_normal_equations_pallas_v2,
-        3: eq6_normal_equations_pallas_v3,
-    }[kernel_version]
+    if kernel_version == 5:
+        # Active-rows-only kernel: drop fixed params' Jacobian rows (their
+        # scatter-matrix rows are zero) and fold with the matching smat
+        # row subset — identical math, ~44% fewer contraction FLOPs on a
+        # g-fixed 5-peak prior.
+        active = tuple(
+            int(j) for j, ix in enumerate(pmap_static[0]) if ix >= 0
+        )
+        kernel_fn = functools.partial(
+            eq6_normal_equations_pallas_v5, active=active
+        )
+    else:
+        active = None
+        kernel_fn = {
+            1: eq6_normal_equations_pallas,
+            2: eq6_normal_equations_pallas_v2,
+            3: eq6_normal_equations_pallas_v3,
+        }[kernel_version]
     real_dtype = jnp.float32
     fids_re = fids_re.astype(real_dtype)
     fids_im = fids_im.astype(real_dtype)
     x_free = x_free.astype(real_dtype)
     n_free = x_free.shape[-1]
-    smat = jnp.asarray(_scatter_matrix(pmap_static, n_free), real_dtype)
+    smat_np = _scatter_matrix(pmap_static, n_free)
+    if active is not None:
+        smat_np = smat_np[list(active), :]
+    smat = jnp.asarray(smat_np, real_dtype)
 
     grids = _expand_params_batched(x_free, pmap_static, real_dtype)
     cost, _, h_phys = kernel_fn(

@@ -466,6 +466,205 @@ def eq6_normal_equations_pallas_v3(
     return cost_out[:b, 0], g_out[:b, :p], h_out[:b, :p, :p]
 
 
+# ---------------------------------------------------------------------------
+# v5: v3 restricted to ACTIVE parameter rows (fixed params contribute only
+# zero columns through the scatter matrix — never compute/store/contract
+# their Jacobian rows)
+# ---------------------------------------------------------------------------
+
+
+def _normal_eq_kernel_v5(
+    params_ref,  # (1, K*5, V) VMEM — parameters lane-contiguous per tile
+    yre_ref,  # (V, n_t) VMEM
+    yim_ref,  # (V, n_t) VMEM
+    t_ref,  # (1, n_t) VMEM
+    h_ref,  # (V, A_pad, A_pad) VMEM out
+    g_ref,  # (V, A_pad) VMEM out
+    cost_ref,  # (V, 1) VMEM out
+    jre_ref,  # (V, A_pad, n_t) VMEM scratch
+    jim_ref,  # (V, A_pad, n_t) VMEM scratch
+    *,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int,
+    a_pad: int,
+    active: tuple[int, ...],
+):
+    """v3's vectorized basis + MXU contraction over *active rows only*.
+
+    ``active`` lists the flat physical-parameter indices (k*5 + p) whose
+    scatter-matrix row is nonzero (free or tied).  Fixed parameters
+    (idx = -1) multiply by a zero row in the free-space fold anyway, so
+    computing, storing, and contracting their Jacobian rows is pure waste —
+    a 5-peak Lorentzian prior (g fixed) shrinks P 25 -> 20 and the dot
+    padding 32 -> 24 (56% of the contraction FLOPs).
+    """
+    t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
+    n_t = t.shape[1]
+    f32 = jnp.float32
+    active_set = frozenset(active)
+    row_of = {j: r for r, j in enumerate(active)}
+
+    m_re = jnp.zeros((v_tile, n_t), f32)
+    m_im = jnp.zeros((v_tile, n_t), f32)
+
+    for k in range(n_peaks):  # static unroll over peaks
+        amp = params_ref[0, k * 5 + 0, :].reshape(v_tile, 1)
+        cs = params_ref[0, k * 5 + 1, :].reshape(v_tile, 1)
+        lw = params_ref[0, k * 5 + 2, :].reshape(v_tile, 1)
+        ph = params_ref[0, k * 5 + 3, :].reshape(v_tile, 1)
+        gg = params_ref[0, k * 5 + 4, :].reshape(v_tile, 1)
+
+        d = jnp.pi * lw
+        damp_profile = (1.0 - gg + gg * t) * t  # (V, n_t)
+        env = amp * jnp.exp(-d * damp_profile)
+        ang = (2.0 * jnp.pi * mhz) * cs * t + ph * _DEG
+        b_re = env * jnp.cos(ang)
+        b_im = env * jnp.sin(ang)
+
+        m_re = m_re + b_re
+        m_im = m_im + b_im
+
+        if k * 5 + 0 in active_set:
+            safe_amp = jnp.where(amp == 0, 1.0, amp)
+            r = row_of[k * 5 + 0]
+            jre_ref[:, r, :] = b_re / safe_amp
+            jim_ref[:, r, :] = b_im / safe_amp
+        if k * 5 + 1 in active_set:
+            w_cs = (2.0 * jnp.pi * mhz) * t  # (1, n_t)
+            r = row_of[k * 5 + 1]
+            jre_ref[:, r, :] = -w_cs * b_im
+            jim_ref[:, r, :] = w_cs * b_re
+        if k * 5 + 2 in active_set:
+            w_lw = -jnp.pi * damp_profile  # (V, n_t)
+            r = row_of[k * 5 + 2]
+            jre_ref[:, r, :] = w_lw * b_re
+            jim_ref[:, r, :] = w_lw * b_im
+        if k * 5 + 3 in active_set:
+            r = row_of[k * 5 + 3]
+            jre_ref[:, r, :] = -_DEG * b_im
+            jim_ref[:, r, :] = _DEG * b_re
+        if k * 5 + 4 in active_set:
+            w_g = -d * (t * t - t)  # (V, n_t)
+            r = row_of[k * 5 + 4]
+            jre_ref[:, r, :] = w_g * b_re
+            jim_ref[:, r, :] = w_g * b_im
+
+    for a in range(len(active), a_pad):  # zero padding rows once
+        jre_ref[:, a, :] = jnp.zeros((v_tile, n_t), f32)
+        jim_ref[:, a, :] = jnp.zeros((v_tile, n_t), f32)
+
+    r_re = yre_ref[:, :] - m_re  # (V, n_t)
+    r_im = yim_ref[:, :] - m_im
+
+    contract = (((1,), (1,)), ((), ()))
+    for v in range(v_tile):  # static unroll: per-voxel MXU contraction
+        jre = jre_ref[v, :, :]  # (A_pad, n_t)
+        jim = jim_ref[v, :, :]
+        h = jax.lax.dot_general(
+            jre, jre, contract, preferred_element_type=f32
+        ) + jax.lax.dot_general(jim, jim, contract, preferred_element_type=f32)
+        g = jnp.sum(jre * r_re[v, :][None, :], axis=1) + jnp.sum(
+            jim * r_im[v, :][None, :], axis=1
+        )
+        h_ref[v, :, :] = h
+        g_ref[v, :] = g
+
+    cost_ref[:, :] = jnp.sum(r_re * r_re + r_im * r_im, axis=1).reshape(
+        v_tile, 1
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_peaks", "mhz", "active", "v_tile", "interpret"),
+)
+def eq6_normal_equations_pallas_v5(
+    params,  # (B, K*5) physical parameter grid, float32
+    y_re,
+    y_im,
+    t,
+    n_peaks: int,
+    mhz: float,
+    active: tuple[int, ...],
+    v_tile: int = 8,
+    interpret: bool = False,
+):
+    """Active-rows-only fused normal equations.
+
+    Returns ``(cost (B,), g (B, A), h (B, A, A))`` with A = len(active) —
+    the rows/columns correspond to ``active``'s flat physical indices, in
+    order.  Callers fold to free space with the scatter matrix restricted
+    to those rows (identical math: the dropped rows are exactly the ones
+    whose scatter rows are zero).
+    """
+    b, n_t = y_re.shape
+    a = len(active)
+    a_pad = _round_up(a, 8)
+    p = n_peaks * 5
+
+    pad_b = (-b) % v_tile
+    if pad_b:
+        params = jnp.pad(params, ((0, pad_b), (0, 0)))
+        params = params.at[b:, 0].set(1.0)
+        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
+        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
+    b_pad = b + pad_b
+    grid = (b_pad // v_tile,)
+
+    params_t = (
+        params.astype(jnp.float32)
+        .reshape(grid[0], v_tile, p)
+        .transpose(0, 2, 1)
+    )
+
+    kernel = functools.partial(
+        _normal_eq_kernel_v5,
+        n_peaks=n_peaks,
+        mhz=float(mhz),
+        v_tile=v_tile,
+        a_pad=a_pad,
+        active=tuple(active),
+    )
+
+    h_out, g_out, cost_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, p, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (v_tile, a_pad, a_pad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((v_tile, a_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, a_pad, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((v_tile, a_pad, n_t), jnp.float32),
+            pltpu.VMEM((v_tile, a_pad, n_t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        params_t,
+        y_re.astype(jnp.float32),
+        y_im.astype(jnp.float32),
+        t.reshape(1, -1).astype(jnp.float32),
+    )
+    return cost_out[:b, 0], g_out[:b, :a], h_out[:b, :a, :a]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_peaks", "mhz", "v_tile", "interpret")
 )
