@@ -195,6 +195,13 @@ def generate_test_notebooks(out_dir: str | Path | None = None) -> Path:
     return out_dir
 
 
+def build_docs() -> None:
+    """Build the full documentation set (reference's ``docs`` script):
+    regenerate the API reference and the notebook mirrors of every page."""
+    build_api_docs()
+    generate_test_notebooks()
+
+
 def run_tests(extra_args: list[str] | None = None) -> int:
     """Run the test suite (architecture + parity + integration)."""
     cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
@@ -212,6 +219,8 @@ def main() -> None:  # pragma: no cover - thin CLI
     cmd = sys.argv[1] if len(sys.argv) > 1 else "test"
     if cmd == "docs-api":
         build_api_docs()
+    elif cmd == "docs":
+        build_docs()
     elif cmd == "test-gen":
         generate_test_notebooks()
     elif cmd == "test":
