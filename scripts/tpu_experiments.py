@@ -583,7 +583,11 @@ def main() -> None:
         re_all = jnp.asarray(re_h)
         im_all = jnp.asarray(im_h)
 
-        for kv, mi in ((5, 24), (3, 24)):
+        kv_list = [
+            int(v)
+            for v in os.environ.get("XMT_FITBIG_KV", "6,5").split(",")
+        ]
+        for kv, mi in [(kv, 24) for kv in kv_list]:
             def go(kv=kv, mi=mi):
                 res = lm_fit_batched_pallas(
                     re_all, im_all, t, u0, lower, upper, kind, ps, MHZ,
@@ -630,6 +634,92 @@ linewidth,"(5.0, 30.0)","(10.0, 40.0)"
 phase,"(-180, 180)","(-180, 180)"
 g,"(0, 1)","(0, 1)"
 """
+
+    if "fit6" in groups:
+        # v6 stacked-Gram kernel: kernel-only timing vs v5, plus the
+        # converged-tile skip benefit at representative done fractions.
+        import tempfile
+
+        from xmris_tpu.fitting.lm import (
+            _expand_params_batched,
+            hashable_pmap,
+        )
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v5,
+            eq6_normal_equations_pallas_v6,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(bench.PK_CSV)
+            pk_path = f.name
+        pk = load_prior_knowledge(pk_path)
+        ps = hashable_pmap(pk.pmap)
+        active = tuple(int(j) for j, ix in enumerate(ps[0]) if ix >= 0)
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_all = jnp.asarray(re_h)
+        im_all = jnp.asarray(im_h)
+        grids = jnp.asarray(
+            _expand_params_batched(
+                jnp.asarray(
+                    np.broadcast_to(
+                        pk.init_free.astype(np.float32)[None, :],
+                        (B, pk.n_free),
+                    ).copy()
+                ),
+                ps, jnp.float32,
+            )
+        )
+
+        K = 20
+
+        def chain(fn, tag):
+            try:
+                c, g, h = fn()
+                float(jnp.sum(c))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    c, g, h = fn()
+                float(jnp.sum(c))
+                report(tag,
+                       ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 2))
+            except Exception as e:  # noqa: BLE001
+                report(tag, error=repr(e)[:300])
+
+        chain(
+            lambda: eq6_normal_equations_pallas_v5(
+                grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                active=active,
+            ),
+            "fit6/kernel_only/v5",
+        )
+        chain(
+            lambda: eq6_normal_equations_pallas_v6(
+                grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                active=active,
+            ),
+            "fit6/kernel_only/v6",
+        )
+        rng = np.random.default_rng(0)
+        for frac in (0.5, 0.9):
+            mask = jnp.asarray(rng.random(B) > frac)  # ~<frac done
+            chain(
+                lambda mask=mask: eq6_normal_equations_pallas_v6(
+                    grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                    active=active, voxel_mask=mask,
+                ),
+                f"fit6/kernel_only/v6/done{frac}",
+            )
+        # Spatially-clustered done mask (tile-aligned: the realistic best case)
+        tile_mask = np.zeros(B, bool)
+        tile_mask[: B // 10] = True
+        chain(
+            lambda: eq6_normal_equations_pallas_v6(
+                grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                active=active, voxel_mask=jnp.asarray(tile_mask),
+            ),
+            "fit6/kernel_only/v6/tiles10pct",
+        )
 
     if "fit5" in groups:
         fit_group(bench.PK_CSV, "5peak")

@@ -481,18 +481,23 @@ def lm_fit_batched_pallas(
         eq6_normal_equations_pallas_v2,
         eq6_normal_equations_pallas_v3,
         eq6_normal_equations_pallas_v5,
+        eq6_normal_equations_pallas_v6,
     )
 
-    if kernel_version == 5:
-        # Active-rows-only kernel: drop fixed params' Jacobian rows (their
+    if kernel_version in (5, 6):
+        # Active-rows-only kernels: drop fixed params' Jacobian rows (their
         # scatter-matrix rows are zero) and fold with the matching smat
         # row subset — identical math, ~44% fewer contraction FLOPs on a
-        # g-fixed 5-peak prior.
+        # g-fixed 5-peak prior.  v6 additionally stacks voxels into each
+        # MXU Gram dot and skips fully-converged tiles.
         active = tuple(
             int(j) for j, ix in enumerate(pmap_static[0]) if ix >= 0
         )
         kernel_fn = functools.partial(
-            eq6_normal_equations_pallas_v5, active=active
+            eq6_normal_equations_pallas_v6
+            if kernel_version == 6
+            else eq6_normal_equations_pallas_v5,
+            active=active,
         )
     else:
         active = None
@@ -519,13 +524,17 @@ def lm_fit_batched_pallas(
         smat_np = smat_np[list(active), :]
     smat = jnp.asarray(smat_np, real_dtype)
 
-    def full_eval(u):
+    def full_eval(u, voxel_mask=None):
         x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
                                            kind[None, :])
         grids = _expand_params_batched(x, pmap_static, real_dtype)
+        extra = (
+            {"voxel_mask": voxel_mask} if kernel_version == 6 else {}
+        )
         cost, g_phys, h_phys = kernel_fn(
             grids, fids_re, fids_im, t,
             n_peaks=n_peaks, mhz=mhz, v_tile=v_tile, interpret=interpret,
+            **extra,
         )
         g = jnp.einsum("bp,pf->bf", g_phys, smat) * dxdu
         h = jnp.einsum("pf,bpq,qh->bfh", smat, h_phys, smat)
@@ -551,7 +560,9 @@ def lm_fit_batched_pallas(
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         u_t = u + delta
 
-        cost_t, g_t, h_t = full_eval(u_t)
+        # v6 skips tiles whose 8 voxels are all converged: their (stale)
+        # outputs are filtered below because ``ok`` is gated on ``~done``.
+        cost_t, g_t, h_t = full_eval(u_t, voxel_mask=~done)
         ok = jnp.isfinite(cost_t) & (cost_t < cost) & ~done
         rel_drop = (cost - cost_t) / jnp.maximum(cost, 1e-30)
 
@@ -627,11 +638,12 @@ def crlb_batched_pallas(
         eq6_normal_equations_pallas_v2,
         eq6_normal_equations_pallas_v3,
         eq6_normal_equations_pallas_v5,
+        eq6_normal_equations_pallas_v6,
     )
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag
 
-    if kernel_version == 5:
-        # Active-rows-only kernel: drop fixed params' Jacobian rows (their
+    if kernel_version in (5, 6):
+        # Active-rows-only kernels: drop fixed params' Jacobian rows (their
         # scatter-matrix rows are zero) and fold with the matching smat
         # row subset — identical math, ~44% fewer contraction FLOPs on a
         # g-fixed 5-peak prior.
@@ -639,7 +651,10 @@ def crlb_batched_pallas(
             int(j) for j, ix in enumerate(pmap_static[0]) if ix >= 0
         )
         kernel_fn = functools.partial(
-            eq6_normal_equations_pallas_v5, active=active
+            eq6_normal_equations_pallas_v6
+            if kernel_version == 6
+            else eq6_normal_equations_pallas_v5,
+            active=active,
         )
     else:
         active = None
