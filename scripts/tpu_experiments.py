@@ -635,6 +635,85 @@ phase,"(-180, 180)","(-180, 180)"
 g,"(0, 1)","(0, 1)"
 """
 
+    if "spect" in groups:
+        # Fused spectral Pallas kernel: accuracy + chained timing vs the
+        # einsum pipeline, standalone and end-to-end, over v_tile choices.
+        from xmris_tpu.ops.kernels.dft_pallas import spectrum_pallas
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.planar_pipeline import (
+            spectral_pipeline_planar_raw,
+        )
+
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        w_j = jnp.asarray(weight)
+        f_j = jnp.asarray(freqs)
+        K = 10
+
+        # accuracy oracle (first 64 rows)
+        sl = slice(0, 64)
+        xw = (re_h[sl] + 1j * im_h[sl]).astype(np.complex128) * weight[:NT]
+        host = np.fft.fftshift(
+            np.fft.fft(xw, n=ZF, axis=-1, norm="ortho"), axes=-1
+        )
+        host_scale = np.max(np.abs(host))
+
+        for vt in (16, 32, 64):
+            @jax.jit
+            def run(r, i, _vt=vt):
+                return spectrum_pallas(
+                    r, i, ZF, window=w_j[:NT], v_tile=_vt
+                )
+
+            try:
+                orr, oii = run(re_j, im_j)
+                float(jnp.sum(orr[0]))
+                got = np.asarray(orr[sl]) + 1j * np.asarray(oii[sl])
+                err = float(np.max(np.abs(got - host)) / host_scale)
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    orr, oii = run(re_j, im_j)
+                float(jnp.sum(orr[0]) + jnp.sum(oii[0]))
+                report(
+                    f"spect/kernel/vt{vt}",
+                    ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3),
+                    max_rel_err=err,
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"spect/kernel/vt{vt}", error=repr(e)[:300])
+
+        for tag, cfg in (
+            ("none/pallas", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                           autophase="none",
+                                           dft_variant="pallas")),
+            ("single/pallas", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                             autophase="single",
+                                             dft_variant="pallas")),
+            ("none/flat", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                         autophase="none",
+                                         dft_variant="flat")),
+            ("none/block", PipelineConfig(zero_fill_to=ZF, lb=5.0,
+                                          autophase="none",
+                                          dft_variant="block")),
+        ):
+            try:
+                sr, si, _ = spectral_pipeline_planar_raw(
+                    re_j, im_j, w_j, f_j, cfg
+                )
+                float(jnp.sum(sr[0]))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    sr, si, _ = spectral_pipeline_planar_raw(
+                        re_j, im_j, w_j, f_j, cfg
+                    )
+                float(jnp.sum(sr[0]) + jnp.sum(si[0]))
+                report(
+                    f"spect/pipeline/{tag}",
+                    ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"spect/pipeline/{tag}", error=repr(e)[:300])
+
     if "fit6" in groups:
         # v6 stacked-Gram kernel: kernel-only timing vs v5, plus the
         # converged-tile skip benefit at representative done fractions.

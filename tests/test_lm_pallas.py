@@ -386,6 +386,128 @@ class TestStackedKernel:
         )
 
 
+class TestFactoredBasisKernel:
+    """v7: block-factored transcendental basis (uniform t, n_t % 128 == 0)."""
+
+    def test_v7_matches_v3_subset(self):
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v7,
+        )
+
+        b, n_t, k = 4, 256, 3
+        grids = sane_grids(b, k, seed=11)
+        # Peak 0: pure Lorentzian (g = 0) -> fast envelope path; peaks 1-2
+        # keep random g -> classic envelope with factored angles.
+        grids[:, 4] = 0.0
+        rng = np.random.default_rng(11)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+
+        active = tuple(j for j in range(k * 5) if j != 4)  # g0 fixed
+        env_fast = (True, False, False)
+        c3, g3, h3 = KERNELS[3](
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
+        )
+        c7, g7, h7 = eq6_normal_equations_pallas_v7(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active,
+            env_fast=env_fast, v_tile=2, interpret=True,
+        )
+        sel = list(active)
+        np.testing.assert_allclose(np.asarray(c7), np.asarray(c3), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g7), np.asarray(g3)[:, sel], rtol=1e-4,
+            atol=1e-3 * np.abs(np.asarray(g3)).max(),
+        )
+        np.testing.assert_allclose(
+            np.asarray(h7), np.asarray(h3)[:, sel][:, :, sel], rtol=1e-4,
+            atol=1e-3 * np.abs(np.asarray(h3)).max(),
+        )
+
+    def test_v7_driver_on_lorentzian_prior(self, tmp_path):
+        """Full LM with kernel_version=7 lands in the v5 basin (the 2-peak
+        prior frees g, so v7 runs factored angles + classic envelope)."""
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=4, n_points=256)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(256) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r5 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=30, v_tile=2, interpret=True,
+            kernel_version=5,
+        )
+        r7 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=30, v_tile=2, interpret=True,
+            kernel_version=7,
+        )
+        for amp_col in (0, 5):
+            np.testing.assert_allclose(
+                np.asarray(r7.x_free[:, amp_col]),
+                np.asarray(r5.x_free[:, amp_col]),
+                rtol=0.05,
+            )
+        assert np.all(
+            np.asarray(r7.cost) < np.asarray(r5.cost) * 1.02 + 1e-12
+        )
+        assert np.asarray(r7.converged).all()
+
+    def test_v7_rejects_unaligned_length(self):
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v7,
+        )
+
+        b, n_t, k = 2, 200, 1
+        grids = sane_grids(b, k)
+        yre = np.zeros((b, n_t), np.float32)
+        with pytest.raises(ValueError, match="n_t % 128"):
+            eq6_normal_equations_pallas_v7(
+                jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yre),
+                jnp.asarray(np.arange(n_t, dtype=np.float32)),
+                n_peaks=k, mhz=MHZ, active=tuple(range(5)),
+                env_fast=(False,), v_tile=2, interpret=True,
+            )
+
+    def test_driver_v7_falls_back_on_unaligned_length(self, tmp_path):
+        """lm_fit_batched_pallas(kernel_version=7) on n_t=200 uses v6."""
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=2, n_points=200)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(200) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        res = lm_fit_batched_pallas(
+            jnp.asarray(fids.real), jnp.asarray(fids.imag), t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0, max_iter=20, v_tile=2,
+            interpret=True, kernel_version=7,
+        )
+        assert np.asarray(res.converged).all()
+
+
 class TestFitAmaresEngines:
     def test_pallas_engine_through_accessor(self, tmp_path):
         """fit_amares(engine='pallas') runs in interpret mode off-TPU."""

@@ -446,6 +446,61 @@ def _expand_params_batched(x, pmap_static, dtype):
     return offset[None, :] + jnp.where(idx[None, :] >= 0, scale[None, :] * gathered, 0.0)
 
 
+def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
+    """Resolve a kernel_version to (callable, active-row tuple or None).
+
+    5/6/7 are active-rows kernels: fixed params' Jacobian rows (zero rows
+    of the scatter matrix) are never computed or contracted.  6 adds
+    stacked-voxel MXU Gram dots + converged-tile skipping; 7 adds the
+    block-factored transcendental basis (requires n_t % 128 == 0 and
+    uniform t — every fit_amares time axis qualifies; falls back to 6).
+    """
+    from xmris_tpu.ops.kernels.lm_pallas import (
+        eq6_normal_equations_pallas,
+        eq6_normal_equations_pallas_v2,
+        eq6_normal_equations_pallas_v3,
+        eq6_normal_equations_pallas_v5,
+        eq6_normal_equations_pallas_v6,
+        eq6_normal_equations_pallas_v7,
+    )
+
+    if kernel_version not in (5, 6, 7):
+        return (
+            {
+                1: eq6_normal_equations_pallas,
+                2: eq6_normal_equations_pallas_v2,
+                3: eq6_normal_equations_pallas_v3,
+            }[kernel_version],
+            None,
+        )
+
+    idx = pmap_static[0]
+    offset = pmap_static[2]
+    active = tuple(int(j) for j, ix in enumerate(idx) if ix >= 0)
+    if kernel_version == 7 and n_t % 128 == 0:
+        env_fast = tuple(
+            idx[k * 5 + 4] < 0 and float(offset[k * 5 + 4]) == 0.0
+            for k in range(pmap_static[3])
+        )
+        return (
+            functools.partial(
+                eq6_normal_equations_pallas_v7,
+                active=active,
+                env_fast=env_fast,
+            ),
+            active,
+        )
+    if kernel_version >= 6:
+        return (
+            functools.partial(eq6_normal_equations_pallas_v6, active=active),
+            active,
+        )
+    return (
+        functools.partial(eq6_normal_equations_pallas_v5, active=active),
+        active,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -476,36 +531,9 @@ def lm_fit_batched_pallas(
     accepted-state H/g and only re-damp, so no extra model evaluations are
     spent on failed steps.  Semantics match :func:`lm_fit_batched_planar`.
     """
-    from xmris_tpu.ops.kernels.lm_pallas import (
-        eq6_normal_equations_pallas,
-        eq6_normal_equations_pallas_v2,
-        eq6_normal_equations_pallas_v3,
-        eq6_normal_equations_pallas_v5,
-        eq6_normal_equations_pallas_v6,
+    kernel_fn, active = _select_pallas_kernel(
+        kernel_version, pmap_static, fids_re.shape[-1]
     )
-
-    if kernel_version in (5, 6):
-        # Active-rows-only kernels: drop fixed params' Jacobian rows (their
-        # scatter-matrix rows are zero) and fold with the matching smat
-        # row subset — identical math, ~44% fewer contraction FLOPs on a
-        # g-fixed 5-peak prior.  v6 additionally stacks voxels into each
-        # MXU Gram dot and skips fully-converged tiles.
-        active = tuple(
-            int(j) for j, ix in enumerate(pmap_static[0]) if ix >= 0
-        )
-        kernel_fn = functools.partial(
-            eq6_normal_equations_pallas_v6
-            if kernel_version == 6
-            else eq6_normal_equations_pallas_v5,
-            active=active,
-        )
-    else:
-        active = None
-        kernel_fn = {
-            1: eq6_normal_equations_pallas,
-            2: eq6_normal_equations_pallas_v2,
-            3: eq6_normal_equations_pallas_v3,
-        }[kernel_version]
 
     real_dtype = jnp.float32  # the kernel is float32
     fids_re = fids_re.astype(real_dtype)
@@ -529,7 +557,7 @@ def lm_fit_batched_pallas(
                                            kind[None, :])
         grids = _expand_params_batched(x, pmap_static, real_dtype)
         extra = (
-            {"voxel_mask": voxel_mask} if kernel_version == 6 else {}
+            {"voxel_mask": voxel_mask} if kernel_version >= 6 else {}
         )
         cost, g_phys, h_phys = kernel_fn(
             grids, fids_re, fids_im, t,
@@ -633,36 +661,11 @@ def crlb_batched_pallas(
     ``sqrt(diag(sigma^2 * H^-1))`` via the unrolled Cholesky avoids the XLA
     Jacobian materialization of :func:`crlb_batched_planar` entirely.
     """
-    from xmris_tpu.ops.kernels.lm_pallas import (
-        eq6_normal_equations_pallas,
-        eq6_normal_equations_pallas_v2,
-        eq6_normal_equations_pallas_v3,
-        eq6_normal_equations_pallas_v5,
-        eq6_normal_equations_pallas_v6,
-    )
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag
 
-    if kernel_version in (5, 6):
-        # Active-rows-only kernels: drop fixed params' Jacobian rows (their
-        # scatter-matrix rows are zero) and fold with the matching smat
-        # row subset — identical math, ~44% fewer contraction FLOPs on a
-        # g-fixed 5-peak prior.
-        active = tuple(
-            int(j) for j, ix in enumerate(pmap_static[0]) if ix >= 0
-        )
-        kernel_fn = functools.partial(
-            eq6_normal_equations_pallas_v6
-            if kernel_version == 6
-            else eq6_normal_equations_pallas_v5,
-            active=active,
-        )
-    else:
-        active = None
-        kernel_fn = {
-            1: eq6_normal_equations_pallas,
-            2: eq6_normal_equations_pallas_v2,
-            3: eq6_normal_equations_pallas_v3,
-        }[kernel_version]
+    kernel_fn, active = _select_pallas_kernel(
+        kernel_version, pmap_static, fids_re.shape[-1]
+    )
     real_dtype = jnp.float32
     fids_re = fids_re.astype(real_dtype)
     fids_im = fids_im.astype(real_dtype)

@@ -123,7 +123,18 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
     """
     b, n_time = fids_re.shape
 
-    if cfg.dft_variant == "fused":
+    if cfg.dft_variant == "pallas":
+        # Window + zero-fill + ortho DFT + fftshift in ONE Pallas kernel
+        # with the transform VMEM-resident per voxel tile (the XLA
+        # formulations round-trip every Cooley-Tukey stage through HBM).
+        from xmris_tpu.ops.kernels.dft_pallas import spectrum_pallas
+
+        spec_re, spec_im = spectrum_pallas(
+            fids_re, fids_im, cfg.zero_fill_to,
+            window=weight[:n_time].astype(fids_re.dtype),
+            interpret=jax.default_backend() not in ("tpu",),
+        )
+    elif cfg.dft_variant == "fused":
         # Zero-fill + ortho DFT + fftshift as ONE matmul against a constant
         # rectangular block-complex matrix; the window multiply below is the
         # only elementwise prologue and XLA fuses it into the matmul.
