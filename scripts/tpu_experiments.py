@@ -658,11 +658,11 @@ g,"(0, 1)","(0, 1)"
         )
         host_scale = np.max(np.abs(host))
 
-        for vt in (16, 32, 64):
+        for vt, s2 in ((32, "loop"), (32, "stacked"), (64, "loop")):
             @jax.jit
-            def run(r, i, _vt=vt):
+            def run(r, i, _vt=vt, _s2=s2):
                 return spectrum_pallas(
-                    r, i, ZF, window=w_j[:NT], v_tile=_vt
+                    r, i, ZF, window=w_j[:NT], v_tile=_vt, s2=_s2
                 )
 
             try:
@@ -675,12 +675,12 @@ g,"(0, 1)","(0, 1)"
                     orr, oii = run(re_j, im_j)
                 float(jnp.sum(orr[0]) + jnp.sum(oii[0]))
                 report(
-                    f"spect/kernel/vt{vt}",
+                    f"spect/kernel/vt{vt}/{s2}",
                     ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3),
                     max_rel_err=err,
                 )
             except Exception as e:  # noqa: BLE001
-                report(f"spect/kernel/vt{vt}", error=repr(e)[:300])
+                report(f"spect/kernel/vt{vt}/{s2}", error=repr(e)[:300])
 
         for tag, cfg in (
             ("none/pallas", PipelineConfig(zero_fill_to=ZF, lb=5.0,
@@ -713,6 +713,51 @@ g,"(0, 1)","(0, 1)"
                 )
             except Exception as e:  # noqa: BLE001
                 report(f"spect/pipeline/{tag}", error=repr(e)[:300])
+
+    if "devtime" in groups:
+        # True device time: K pipeline iterations inside ONE jit (single
+        # dispatch), feeding each output back as the next input — the
+        # chained-dispatch floor through the relay is ~4.5 ms/call, which
+        # buries sub-10ms kernels.
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.planar_pipeline import (
+            spectral_pipeline_planar_raw,
+        )
+
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        w_j = jnp.asarray(weight)
+        f_j = jnp.asarray(freqs)
+        K = 20
+
+        for tag in ("einsum", "pallas", "fused", "flat"):
+            cfg = PipelineConfig(zero_fill_to=ZF, lb=5.0, autophase="none",
+                                 dft_variant=tag)
+
+            @jax.jit
+            def loop(r, i, _cfg=cfg):
+                def body(_, carry):
+                    rr, ii = carry
+                    sr, si, _ = spectral_pipeline_planar_raw(
+                        rr, ii, w_j, f_j, _cfg
+                    )
+                    # feed back the first half, renormalized to stay finite
+                    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(sr)), 1e-6)
+                    return (sr[:, :NT] * s, si[:, :NT] * s)
+
+                return jax.lax.fori_loop(0, K, body, (r, i))
+
+            try:
+                out = loop(re_j, im_j)
+                float(jnp.sum(out[0]))  # compile + witness
+                t0 = time.perf_counter()
+                out = loop(re_j, im_j)
+                float(jnp.sum(out[0]) + jnp.sum(out[1]))
+                per = (time.perf_counter() - t0 - 0.042) / K  # minus floor
+                report(f"devtime/pipeline/{tag}",
+                       ms_per_iter=round(per * 1e3, 3))
+            except Exception as e:  # noqa: BLE001
+                report(f"devtime/pipeline/{tag}", error=repr(e)[:300])
 
     if "fit6" in groups:
         # v6 stacked-Gram kernel: kernel-only timing vs v5, plus the

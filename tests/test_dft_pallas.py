@@ -23,18 +23,19 @@ def host_oracle(xr, xi, n_out, window=None, shifted=True):
 
 
 class TestSpectrumPallas:
+    @pytest.mark.parametrize("s2", ["loop", "stacked"])
     @pytest.mark.parametrize(
         "n_in,n_out,shifted", [(1024, 2048, True), (512, 512, False),
                                (256, 1024, True)]
     )
-    def test_matches_numpy(self, n_in, n_out, shifted):
+    def test_matches_numpy(self, n_in, n_out, shifted, s2):
         rng = np.random.default_rng(n_in)
         b = 5
         xr = rng.normal(size=(b, n_in)).astype(np.float32)
         xi = rng.normal(size=(b, n_in)).astype(np.float32)
         sr, si = spectrum_pallas(
             jnp.asarray(xr), jnp.asarray(xi), n_out, shifted=shifted,
-            v_tile=2, interpret=True,
+            v_tile=2, interpret=True, s2=s2,
         )
         ref = host_oracle(xr, xi, n_out, shifted=shifted)
         got = np.asarray(sr) + 1j * np.asarray(si)

@@ -522,7 +522,7 @@ def lm_fit_batched_pallas(
     ftol: float = 1e-10,
     v_tile: int = 8,
     interpret: bool = False,
-    kernel_version: int = 3,
+    kernel_version: int = 6,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -652,7 +652,7 @@ def crlb_batched_pallas(
     mhz: float,
     v_tile: int = 8,
     interpret: bool = False,
-    kernel_version: int = 3,
+    kernel_version: int = 6,
 ):
     """CRLBs from ONE fused-kernel evaluation at the optimum.
 

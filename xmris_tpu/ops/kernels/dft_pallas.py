@@ -104,19 +104,25 @@ def _spectrum_kernel(
     twim_ref,
     f2tre_ref,  # (n2, n2) VMEM — [k2, j2]
     f2tim_ref,
-    ore_ref,  # (Vt*n1, n2) VMEM out — rows (v, k1), lanes k2
+    ore_ref,  # stacked: (n2, Vt*n1); loop: (Vt*n2, n1)
     oim_ref,
-    sre_ref,  # (Vt*n1, n2) VMEM scratch — stage-2 operand layout
+    sre_ref,  # (Vt*n1, n2) VMEM scratch — stacked stage-2 operand
     sim_ref,
     *,
     n1: int,
     n2: int,
     v_tile: int,
+    s2: str,
 ):
-    """All values stay 2D: Mosaic supports neither splitting nor merging the
-    lane dimension of a vector, so the (v, j2)-in-lanes to (v, k1)-in-rows
-    relayout between the stages runs as ``v_tile`` static slice copies into
-    a scratch (lane extraction + sublane-offset store), not a reshape."""
+    """All values stay 2D (Mosaic can neither split nor merge a vector's
+    lane dimension).  Two stage-2 strategies, selected statically:
+
+    * ``"stacked"`` — relayout via static slice copies into a scratch,
+      then ONE long Gram contraction producing (k2, (v, k1)).
+    * ``"loop"`` — per-voxel (n2, n2) x (n1, n2) Gram dots straight off
+      the twiddled stage-1 slices, producing ((v, k2), k1) so the output
+      digit reversal is a free reshape.
+    """
     f32 = jnp.float32
     prec = jax.lax.Precision.HIGHEST
 
@@ -139,49 +145,69 @@ def _spectrum_kernel(
     tr = yr * twr - yi * twi
     ti = yr * twi + yi * twr
 
-    # Relayout (k1, (v, j2)) -> ((v, k1), j2) via static slice copies
-    for v in range(v_tile):
-        sre_ref[v * n1 : (v + 1) * n1, :] = tr[:, v * n2 : (v + 1) * n2]
-        sim_ref[v * n1 : (v + 1) * n1, :] = ti[:, v * n2 : (v + 1) * n2]
-
-    # Stage 2: lane-lane contraction over j2 against F2^T (k2, j2):
-    # (Vt*n1, n2) x (n2, n2) -> (Vt*n1, k2)
-    a_re = sre_ref[:, :]
-    a_im = sim_ref[:, :]
     f2r = f2tre_ref[:, :]
     f2i = f2tim_ref[:, :]
     contract = (((1,), (1,)), ((), ()))
     dg = functools.partial(
         jax.lax.dot_general, preferred_element_type=f32, precision=prec
     )
-    ore_ref[:, :] = dg(a_re, f2r, contract) - dg(a_im, f2i, contract)
-    oim_ref[:, :] = dg(a_re, f2i, contract) + dg(a_im, f2r, contract)
+
+    if s2 == "stacked":
+        # Relayout (k1, (v, j2)) -> ((v, k1), j2) via static slice copies,
+        # then Z^T[k2, (v, k1)] = sum_j2 F2s[j2, k2] Y'[(v, k1), j2] as one
+        # long lane-lane contraction.
+        for v in range(v_tile):
+            sre_ref[v * n1 : (v + 1) * n1, :] = tr[:, v * n2 : (v + 1) * n2]
+            sim_ref[v * n1 : (v + 1) * n1, :] = ti[:, v * n2 : (v + 1) * n2]
+        a_re = sre_ref[:, :]
+        a_im = sim_ref[:, :]
+        ore_ref[:, :] = dg(f2r, a_re, contract) - dg(f2i, a_im, contract)
+        oim_ref[:, :] = dg(f2r, a_im, contract) + dg(f2i, a_re, contract)
+    else:
+        # Per-voxel Gram dots off direct slices: (k2, j2) x (k1, j2)
+        for v in range(v_tile):
+            yv_re = tr[:, v * n2 : (v + 1) * n2]  # (n1, n2)
+            yv_im = ti[:, v * n2 : (v + 1) * n2]
+            zr = dg(f2r, yv_re, contract) - dg(f2i, yv_im, contract)
+            zi = dg(f2r, yv_im, contract) + dg(f2i, yv_re, contract)
+            ore_ref[v * n2 : (v + 1) * n2, :] = zr
+            oim_ref[v * n2 : (v + 1) * n2, :] = zi
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_out", "n2", "shifted", "ortho", "v_tile", "interpret"),
+    static_argnames=(
+        "n_out", "n2", "shifted", "ortho", "v_tile", "interpret", "s2"
+    ),
 )
 def spectrum_pallas(
     xr: jax.Array,  # (..., n_in) real plane
     xi: jax.Array,
     n_out: int,
     window: jax.Array | None = None,  # (n_in,) real apodization weights
-    n2: int = 32,
+    n2: int | None = None,
     shifted: bool = True,
     ortho: bool = True,
     v_tile: int = 32,
     interpret: bool = False,
+    s2: str = "loop",
 ):
     """Fused window -> zero-fill -> ortho DFT -> fftshift of a planar batch.
 
     Matches ``fftshift(fft(pad(x * window), n_out, norm="ortho"))`` to f32
     accuracy (~1e-7 relative).  ``n_in`` and ``n_out`` must be multiples of
     ``n2`` with ``n_out >= n_in``; the batch is padded to ``v_tile``
-    internally.
+    internally.  ``n2=None`` picks the split so the output lane count
+    ``n1 = n_out/n2`` lands at the 128-lane vreg width.
     """
     batch_shape = xr.shape[:-1]
     n_in = xr.shape[-1]
+    if n2 is None:
+        # FLOP-optimal split: total MACs = n_out*(n_in/n2 + n2) per voxel,
+        # minimized near n2 = sqrt(n_in)
+        n2 = 32
+        while n2 > 8 and (n_in % n2 or n_out % n2):
+            n2 //= 2
     xr = xr.reshape(-1, n_in).astype(jnp.float32)
     xi = xi.reshape(-1, n_in).astype(jnp.float32)
     b = xr.shape[0]
@@ -213,12 +239,24 @@ def spectrum_pallas(
     )
 
     kernel = functools.partial(
-        _spectrum_kernel, n1=n1, n2=n2, v_tile=v_tile
+        _spectrum_kernel, n1=n1, n2=n2, v_tile=v_tile, s2=s2
     )
 
     lanes = v_tile * n2
     tw_re_t = np.tile(tw_re, (1, v_tile))  # (n1, Vt*n2), v-major lanes
     tw_im_t = np.tile(tw_im, (1, v_tile))
+
+    if s2 == "stacked":
+        out_spec = pl.BlockSpec(
+            (n2, v_tile * n1), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((n2, b_pad * n1), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (v_tile * n2, n1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((b_pad * n2, n1), jnp.float32)
+
     ore, oim = pl.pallas_call(
         kernel,
         grid=grid,
@@ -232,18 +270,8 @@ def spectrum_pallas(
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (v_tile * n1, n2), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (v_tile * n1, n2), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad * n1, n2), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad * n1, n2), jnp.float32),
-        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_shape, out_shape],
         scratch_shapes=[
             pltpu.VMEM((v_tile * n1, n2), jnp.float32),
             pltpu.VMEM((v_tile * n1, n2), jnp.float32),
@@ -260,13 +288,23 @@ def spectrum_pallas(
         jnp.asarray(f2t_im),
     )
 
-    # Output digit reversal in XLA: rows (v, k1) x lanes k2 -> (B, k2*n1 + k1)
-    out_re = (
-        ore.reshape(b_pad, n1, n2).transpose(0, 2, 1).reshape(b_pad, n_out)[:b]
-    )
-    out_im = (
-        oim.reshape(b_pad, n1, n2).transpose(0, 2, 1).reshape(b_pad, n_out)[:b]
-    )
+    if s2 == "stacked":
+        # Output digit reversal in XLA: (k2, (v, k1)) -> (v, k2*n1 + k1)
+        out_re = (
+            ore.reshape(n2, b_pad, n1)
+            .transpose(1, 0, 2)
+            .reshape(b_pad, n_out)[:b]
+        )
+        out_im = (
+            oim.reshape(n2, b_pad, n1)
+            .transpose(1, 0, 2)
+            .reshape(b_pad, n_out)[:b]
+        )
+    else:
+        # Rows are (v, k2) with k1 on the lanes: k = k1 + n1*k2 is a
+        # contiguity-preserving reshape — no transpose at all.
+        out_re = ore.reshape(b_pad, n_out)[:b]
+        out_im = oim.reshape(b_pad, n_out)[:b]
     return (
         out_re.reshape(batch_shape + (n_out,)),
         out_im.reshape(batch_shape + (n_out,)),
