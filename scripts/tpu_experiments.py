@@ -587,14 +587,16 @@ def main() -> None:
             int(v)
             for v in os.environ.get("XMT_FITBIG_KV", "6,5").split(",")
         ]
+        fit_vt = int(os.environ.get("XMT_FITBIG_VT", "8"))
         for kv, mi in [(kv, 24) for kv in kv_list]:
             def go(kv=kv, mi=mi):
                 res = lm_fit_batched_pallas(
                     re_all, im_all, t, u0, lower, upper, kind, ps, MHZ,
-                    max_iter=mi, kernel_version=kv,
+                    max_iter=mi, kernel_version=kv, v_tile=fit_vt,
                 )
                 sds, _ = crlb_batched_pallas(
-                    re_all, im_all, t, res.x_free, ps, MHZ, kernel_version=kv
+                    re_all, im_all, t, res.x_free, ps, MHZ, kernel_version=kv,
+                    v_tile=fit_vt,
                 )
                 return res, float(jnp.sum(sds))
 
@@ -609,7 +611,7 @@ def main() -> None:
                     ts.append(time.perf_counter() - t0)
                 n_it = np.asarray(res.n_iter)
                 report(
-                    f"fitbig/5peak/v{kv}/mi{mi}",
+                    f"fitbig/5peak/v{kv}/mi{mi}/vt{fit_vt}",
                     ms=round(float(np.median(ts)) * 1e3, 1),
                     compile_s=round(comp, 1),
                     total_cost=float(jnp.sum(res.cost)),
@@ -618,7 +620,7 @@ def main() -> None:
                     n_iter_max=int(n_it.max()),
                 )
             except Exception as e:  # noqa: BLE001
-                report(f"fitbig/5peak/v{kv}/mi{mi}", error=repr(e)[:300])
+                report(f"fitbig/5peak/v{kv}/mi{mi}/vt{fit_vt}", error=repr(e)[:300])
 
     PK2 = """Index,PCr,ATP
 Initial Values,,
@@ -817,12 +819,28 @@ g,"(0, 1)","(0, 1)"
             ),
             "fit6/kernel_only/v5",
         )
+        for vt in (8, 16, 32):
+            chain(
+                lambda vt=vt: eq6_normal_equations_pallas_v6(
+                    grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                    active=active, v_tile=vt,
+                ),
+                f"fit6/kernel_only/v6/vt{vt}",
+            )
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v7,
+        )
+
+        env_fast = tuple(
+            ps[0][k * 5 + 4] < 0 and float(ps[2][k * 5 + 4]) == 0.0
+            for k in range(pk.n_peaks)
+        )
         chain(
-            lambda: eq6_normal_equations_pallas_v6(
+            lambda: eq6_normal_equations_pallas_v7(
                 grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
-                active=active,
+                active=active, env_fast=env_fast,
             ),
-            "fit6/kernel_only/v6",
+            "fit6/kernel_only/v7",
         )
         rng = np.random.default_rng(0)
         for frac in (0.5, 0.9):
