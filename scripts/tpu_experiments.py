@@ -781,7 +781,9 @@ g,"(0, 1)","(0, 1)"
             pk_path = f.name
         pk = load_prior_knowledge(pk_path)
         ps = hashable_pmap(pk.pmap)
-        active = tuple(int(j) for j, ix in enumerate(ps[0]) if ix >= 0)
+        from xmris_tpu.fitting.lm import active_param_rows, lorentzian_env_flags
+
+        active = active_param_rows(ps)
         t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
         re_all = jnp.asarray(re_h)
         im_all = jnp.asarray(im_h)
@@ -831,10 +833,7 @@ g,"(0, 1)","(0, 1)"
             eq6_normal_equations_pallas_v7,
         )
 
-        env_fast = tuple(
-            ps[0][k * 5 + 4] < 0 and float(ps[2][k * 5 + 4]) == 0.0
-            for k in range(pk.n_peaks)
-        )
+        env_fast = lorentzian_env_flags(ps)
         chain(
             lambda: eq6_normal_equations_pallas_v7(
                 grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,

@@ -72,6 +72,27 @@ class TestSpectrumPallas:
         assert err < 2e-6, err
 
 
+class TestSpectrumPallasGuards:
+    def test_rejects_truncation(self):
+        """n_out < n_in would alias the folded sequence, not truncate."""
+        xr = jnp.zeros((2, 512), jnp.float32)
+        with pytest.raises(ValueError, match="zero-fills"):
+            spectrum_pallas(xr, xr, 256, v_tile=2, interpret=True)
+
+    def test_rejects_odd_n2_shift(self):
+        """fftshift folds into the k2 digit only for even n2."""
+        xr = jnp.zeros((2, 36), jnp.float32)
+        with pytest.raises(ValueError, match="even n2"):
+            spectrum_pallas(
+                xr, xr, 36, n2=9, shifted=True, v_tile=2, interpret=True
+            )
+        # unshifted odd n2 is fine
+        sr, si = spectrum_pallas(
+            xr, xr, 36, n2=9, shifted=False, v_tile=2, interpret=True
+        )
+        assert sr.shape == (2, 36)
+
+
 class TestPipelinePallasVariant:
     def test_pipeline_matches_einsum_variant(self):
         from xmris_tpu.parallel.pipeline import PipelineConfig

@@ -468,6 +468,27 @@ class TestFactoredBasisKernel:
         )
         assert np.asarray(r7.converged).all()
 
+    def test_v7_rejects_nonuniform_t(self):
+        """The block factorization is wrong for non-uniform sampling; a
+        concrete non-uniform time axis must be rejected eagerly."""
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v7,
+        )
+
+        b, n_t, k = 2, 256, 1
+        grids = sane_grids(b, k)
+        yre = np.zeros((b, n_t), np.float32)
+        t_bad = np.cumsum(
+            np.random.default_rng(0).uniform(0.5, 1.5, n_t)
+        ).astype(np.float32)
+        with pytest.raises(ValueError, match="uniform"):
+            eq6_normal_equations_pallas_v7(
+                jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yre),
+                jnp.asarray(t_bad), n_peaks=k, mhz=MHZ,
+                active=tuple(range(5)), env_fast=(False,), v_tile=2,
+                interpret=True,
+            )
+
     def test_v7_rejects_unaligned_length(self):
         from xmris_tpu.ops.kernels.lm_pallas import (
             eq6_normal_equations_pallas_v7,

@@ -446,6 +446,22 @@ def _expand_params_batched(x, pmap_static, dtype):
     return offset[None, :] + jnp.where(idx[None, :] >= 0, scale[None, :] * gathered, 0.0)
 
 
+def active_param_rows(pmap_static) -> tuple[int, ...]:
+    """Flat physical-parameter indices with a nonzero scatter-matrix row
+    (free or tied) — the Jacobian rows the active-rows kernels compute."""
+    return tuple(int(j) for j, ix in enumerate(pmap_static[0]) if ix >= 0)
+
+
+def lorentzian_env_flags(pmap_static) -> tuple[bool, ...]:
+    """Per-peak flags: g fixed at exactly 0 (purely Lorentzian), enabling
+    the v7 kernel's block-factored envelope for that peak."""
+    idx, _, offset, n_peaks = pmap_static
+    return tuple(
+        idx[k * 5 + 4] < 0 and float(offset[k * 5 + 4]) == 0.0
+        for k in range(n_peaks)
+    )
+
+
 def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
     """Resolve a kernel_version to (callable, active-row tuple or None).
 
@@ -474,19 +490,13 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
             None,
         )
 
-    idx = pmap_static[0]
-    offset = pmap_static[2]
-    active = tuple(int(j) for j, ix in enumerate(idx) if ix >= 0)
+    active = active_param_rows(pmap_static)
     if kernel_version == 7 and n_t % 128 == 0:
-        env_fast = tuple(
-            idx[k * 5 + 4] < 0 and float(offset[k * 5 + 4]) == 0.0
-            for k in range(pmap_static[3])
-        )
         return (
             functools.partial(
                 eq6_normal_equations_pallas_v7,
                 active=active,
-                env_fast=env_fast,
+                env_fast=lorentzian_env_flags(pmap_static),
             ),
             active,
         )

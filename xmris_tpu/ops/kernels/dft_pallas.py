@@ -61,9 +61,16 @@ def _spectrum_factors(
     n1 = n_out // n2
     if n_in % n2:
         raise ValueError(f"n2={n2} must divide n_in={n_in}")
+    if n_in > n_out:
+        raise ValueError(
+            f"n_in={n_in} > n_out={n_out}: this kernel zero-fills, it does "
+            "not truncate (stage 1 would alias the folded sequence)"
+        )
     n1_in = n_in // n2
-    if shifted and n1 % 2 and n2 % 2:
-        raise ValueError("fftshift folding needs an even factor")
+    if shifted and n2 % 2:
+        # The roll by n_out/2 = n1*(n2/2) is a pure k2-digit permutation
+        # only when n2 is even; odd n2 would touch the k1 digit too.
+        raise ValueError(f"fftshift folding needs an even n2, got {n2}")
 
     k1 = np.arange(n1)[:, None]
     j1 = np.arange(n1_in)[None, :]
@@ -106,9 +113,7 @@ def _spectrum_kernel(
     f2tim_ref,
     ore_ref,  # stacked: (n2, Vt*n1); loop: (Vt*n2, n1)
     oim_ref,
-    sre_ref,  # (Vt*n1, n2) VMEM scratch — stacked stage-2 operand
-    sim_ref,
-    *,
+    *scratch,  # stacked: (sre_ref, sim_ref) of (Vt*n1, n2); loop: none
     n1: int,
     n2: int,
     v_tile: int,
@@ -156,6 +161,7 @@ def _spectrum_kernel(
         # Relayout (k1, (v, j2)) -> ((v, k1), j2) via static slice copies,
         # then Z^T[k2, (v, k1)] = sum_j2 F2s[j2, k2] Y'[(v, k1), j2] as one
         # long lane-lane contraction.
+        sre_ref, sim_ref = scratch
         for v in range(v_tile):
             sre_ref[v * n1 : (v + 1) * n1, :] = tr[:, v * n2 : (v + 1) * n2]
             sim_ref[v * n1 : (v + 1) * n1, :] = ti[:, v * n2 : (v + 1) * n2]
@@ -272,10 +278,16 @@ def spectrum_pallas(
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[out_shape, out_shape],
-        scratch_shapes=[
-            pltpu.VMEM((v_tile * n1, n2), jnp.float32),
-            pltpu.VMEM((v_tile * n1, n2), jnp.float32),
-        ],
+        # The relayout scratch only exists on the stacked path — the loop
+        # path would waste 2 * Vt*n1*n2 floats of VMEM headroom otherwise.
+        scratch_shapes=(
+            [
+                pltpu.VMEM((v_tile * n1, n2), jnp.float32),
+                pltpu.VMEM((v_tile * n1, n2), jnp.float32),
+            ]
+            if s2 == "stacked"
+            else []
+        ),
         interpret=interpret,
     )(
         xr_p,

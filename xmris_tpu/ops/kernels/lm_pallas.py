@@ -731,8 +731,8 @@ def _normal_eq_kernel_v6(
             b_re = env * jnp.cos(ang)
             b_im = env * jnp.sin(ang)
 
-            m_re_new = m_re + b_re
-            m_im_new = m_im + b_im
+            m_re = m_re + b_re
+            m_im = m_im + b_im
 
             if k * 5 + 0 in active_set:
                 safe_amp = jnp.where(amp == 0, 1.0, amp)
@@ -758,8 +758,6 @@ def _normal_eq_kernel_v6(
                 r = row_of[k * 5 + 4]
                 jre_ref[:, r, :] = w_g * b_re
                 jim_ref[:, r, :] = w_g * b_im
-
-            m_re, m_im = m_re_new, m_im_new
 
         for a in range(n_active, a_pad):  # zero padding rows once
             jre_ref[:, a, :] = jnp.zeros((v_tile, n_t), f32)
@@ -1073,14 +1071,8 @@ def _normal_eq_kernel_v7(
                 ]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_peaks", "mhz", "active", "env_fast", "v_tile", "interpret"
-    ),
-)
 def eq6_normal_equations_pallas_v7(
-    params,  # (B, K*5) physical parameter grid, float32
+    params,
     y_re,
     y_im,
     t,
@@ -1096,7 +1088,50 @@ def eq6_normal_equations_pallas_v7(
 
     ``env_fast[k]`` marks peaks whose g is fixed at 0 (purely Lorentzian):
     their envelope factors over blocks too.  Same output contract as v6.
+
+    The factorization ``t[q*128+r] = t[r] + t_q`` holds only for uniform
+    sampling; a concrete non-uniform ``t`` is rejected here.  Traced calls
+    (e.g. from the jitted LM driver) cannot be inspected — the library
+    paths that select v7 (``fit_amares``) build uniform axes by
+    construction, so the guard protects direct eager use.
     """
+    if not isinstance(t, jax.core.Tracer):
+        t_host = np.asarray(t)
+        steps = np.diff(t_host)
+        if steps.size and not np.allclose(
+            steps, steps[0], rtol=1e-4, atol=abs(float(steps[0])) * 1e-4
+        ):
+            raise ValueError(
+                "kernel_version=7 requires a uniformly sampled time axis "
+                "(the block factorization t[q*128+r] = t[r] + t_q fails "
+                "otherwise); use kernel_version=6"
+            )
+    return _eq6_normal_equations_pallas_v7_jit(
+        params, y_re, y_im, t, n_peaks=n_peaks, mhz=mhz, active=active,
+        env_fast=env_fast, voxel_mask=voxel_mask, v_tile=v_tile,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_peaks", "mhz", "active", "env_fast", "v_tile", "interpret"
+    ),
+)
+def _eq6_normal_equations_pallas_v7_jit(
+    params,  # (B, K*5) physical parameter grid, float32
+    y_re,
+    y_im,
+    t,
+    n_peaks: int,
+    mhz: float,
+    active: tuple[int, ...],
+    env_fast: tuple[bool, ...],
+    voxel_mask=None,
+    v_tile: int = 8,
+    interpret: bool = False,
+):
     b, n_t = y_re.shape
     a = len(active)
     a_pad = _round_up(a, 8)
