@@ -1,0 +1,60 @@
+"""Batch-fit CLI: load -> fit_amares -> save, end-to-end on disk."""
+
+import json
+
+import numpy as np
+
+from xmris_tpu.interop.io import load_dataset_npz, save_npz
+from xmris_tpu.runtime.cli import fit_main
+
+
+def test_fit_cli_end_to_end(tmp_path, capsys):
+    from tests.test_fitting import PK_CSV, make_phantom
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV)
+    da = make_phantom(n_voxels=3, n_points=256)
+    inp = tmp_path / "fids.npz"
+    save_npz(da, inp)
+    out = tmp_path / "fit.npz"
+
+    rc = fit_main(
+        [str(inp), str(pk), "-o", str(out), "--engine", "xla",
+         "--max-iter", "40"]
+    )
+    assert rc == 0
+
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["voxels"] == 3
+    assert summary["converged_frac"] == 1.0
+    assert "PCr" in summary["metabolites"]
+    assert summary["voxels_per_s"] > 0
+
+    ds = load_dataset_npz(out)
+    amp = ds["amplitude"]
+    mets = [str(m) for m in amp.coords["Metabolite"].values]
+    pcr = amp.values[..., mets.index("PCr")]
+    np.testing.assert_allclose(np.sort(pcr.ravel()), [10.0, 20.0, 30.0],
+                               rtol=0.1)
+    assert ds["fit_converged"].values.all()
+
+
+def test_fit_cli_component_input(tmp_path, capsys):
+    """Planar (component-dim) archives recombine to complex automatically."""
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.ops.utils import to_real_imag
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV)
+    da = to_real_imag(make_phantom(n_voxels=2, n_points=256))
+    inp = tmp_path / "fids_planar.npz"
+    save_npz(da, inp)
+    out = tmp_path / "fit.npz"
+
+    rc = fit_main(
+        [str(inp), str(pk), "-o", str(out), "--engine", "xla",
+         "--max-iter", "40"]
+    )
+    assert rc == 0
+    ds = load_dataset_npz(out)
+    assert ds["fit_converged"].values.all()

@@ -40,6 +40,7 @@ _API_MODULES = [
     "xmris_tpu.ops.optim",
     "xmris_tpu.ops.utils",
     "xmris_tpu.ops.kernels.dft",
+    "xmris_tpu.ops.kernels.dft_pallas",
     "xmris_tpu.ops.kernels.lm_pallas",
     "xmris_tpu.models.lineshapes",
     "xmris_tpu.fitting.simulation",
@@ -56,6 +57,7 @@ _API_MODULES = [
     "xmris_tpu.visualization.widget",
     "xmris_tpu.interop.xarray",
     "xmris_tpu.interop.io",
+    "xmris_tpu.runtime.cli",
     "xmris_tpu.runtime.config",
     "xmris_tpu.runtime.profiling",
 ]
