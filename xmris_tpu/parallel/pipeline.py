@@ -54,6 +54,12 @@ class PipelineConfig:
     # Planar-engine DFT formulation (None -> ops.kernels.dft.DEFAULT_VARIANT);
     # see dft_planar for the menu.  Only the planar pipeline consumes this.
     dft_variant: str | None = None
+    # Matmul precision for the planar DFT stages (None -> the module default,
+    # HIGHEST).  "high" = 3-pass bf16: the Cooley-Tukey stages contract only
+    # 32-64 elements so the dropped lo*lo term stays ~1e-7 relative (unlike
+    # the dense rect matmul, where K=2048 pushed it to 8.6e-6); "default"
+    # (one bf16 pass, ~1.3e-3) is for throughput experiments only.
+    dft_precision: str | None = None
 
     def __post_init__(self):
         if self.autophase not in ("single", "all", "none"):

@@ -123,6 +123,13 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
     """
     b, n_time = fids_re.shape
 
+    precision = {
+        None: None,
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[cfg.dft_precision]
+
     if cfg.dft_variant == "pallas":
         # Window + zero-fill + ortho DFT + fftshift in ONE Pallas kernel
         # with the transform VMEM-resident per voxel tile (the XLA
@@ -142,7 +149,7 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
 
         w = weight[:n_time][None, :].astype(fids_re.dtype)
         spec_re, spec_im = dft_rect_shifted_planar(
-            fids_re * w, fids_im * w, cfg.zero_fill_to
+            fids_re * w, fids_im * w, cfg.zero_fill_to, precision=precision
         )
     else:
         if cfg.zero_fill_to > n_time:
@@ -156,7 +163,7 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
 
         spec_re, spec_im = dft_planar(
             fids_re, fids_im, cfg.zero_fill_to, ortho=True,
-            variant=cfg.dft_variant,
+            variant=cfg.dft_variant, precision=precision,
         )
         shift = cfg.zero_fill_to // 2
         spec_re = jnp.roll(spec_re, shift, axis=-1)
