@@ -39,6 +39,34 @@ def test_fit_cli_end_to_end(tmp_path, capsys):
     assert ds["fit_converged"].values.all()
 
 
+def test_recon_cli_end_to_end(tmp_path, capsys):
+    """k-space npz -> RSS image npz through the console entry point."""
+    from tests.test_recon import make_kspace
+    from xmris_tpu.interop.io import load_npz
+    from xmris_tpu.runtime.cli import recon_main
+
+    da, _, rss_truth = make_kspace(n=32, n_coils=3)
+    inp = tmp_path / "ksp.npz"
+    save_npz(da, inp)
+    out = tmp_path / "img.npz"
+
+    rc = recon_main([str(inp), "-o", str(out)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["combine"] == "rss"
+    assert summary["shape"] == [32, 32]
+
+    img = load_npz(out)
+    np.testing.assert_allclose(np.abs(img.values), rss_truth, atol=1e-5)
+
+    # SENSE combine path produces a (complex) image of the same shape
+    rc = recon_main([str(inp), "-o", str(tmp_path / "img2.npz"),
+                     "--combine", "sense"])
+    assert rc == 0
+    img2 = load_npz(tmp_path / "img2.npz")
+    assert img2.values.shape == (32, 32)
+
+
 def test_fit_cli_component_input(tmp_path, capsys):
     """Planar (component-dim) archives recombine to complex automatically."""
     from tests.test_fitting import PK_CSV, make_phantom
