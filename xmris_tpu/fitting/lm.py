@@ -296,6 +296,15 @@ def lm_fit_batched_planar(
             chol = jnp.linalg.cholesky(damped)
             delta = jax.scipy.linalg.cho_solve((chol, True), grad)
 
+            # Predicted-decrease exit (see the pallas driver): in the
+            # near-GN regime a predicted relative decrease at f32/f64
+            # resolution means the voxel is finished before the trial.
+            eps_p = jnp.finfo(real_dtype).eps
+            pred_rel = jnp.dot(grad, delta) / (
+                2.0 * jnp.maximum(st["cost"], 1e-300)
+            )
+            done = done | ((pred_rel <= 64.0 * eps_p) & (lam < lam0))
+
             trial = evaluate(st["u"] + delta)
             ok = jnp.isfinite(trial["cost"]) & (trial["cost"] < st["cost"])
             rel_drop = (st["cost"] - trial["cost"]) / jnp.maximum(st["cost"], 1e-300)
@@ -598,6 +607,20 @@ def lm_fit_batched_pallas(
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         u_t = u + delta
 
+        # Predicted-decrease exit: for the damped-Newton step, g . delta / 2
+        # is the model's predicted cost decrease.  In the near-GN regime
+        # (small lam — a damped-short step predicts little by construction),
+        # a predicted RELATIVE decrease at f32 resolution means further
+        # iteration cannot improve the fit: mark done BEFORE paying the
+        # kernel call for the trial.  This retires stragglers ~3 iterations
+        # earlier than the rejection-plateau path (which needs 3 consecutive
+        # no-op trials to trigger).
+        eps = jnp.finfo(real_dtype).eps
+        pred_rel = jnp.einsum("bf,bf->b", g, delta) / (
+            2.0 * jnp.maximum(cost, 1e-30)
+        )
+        done = done | ((pred_rel <= 64.0 * eps) & (lam < lam0))
+
         # v6 skips tiles whose 8 voxels are all converged: their (stale)
         # outputs are filtered below because ``ok`` is gated on ``~done``.
         cost_t, g_t, h_t = full_eval(u_t, voxel_mask=~done)
@@ -619,7 +642,6 @@ def lm_fit_batched_pallas(
         # the numerical optimum).  Without the latter the loop always burns
         # the full max_iter budget — measured done_frac was 0.0 on fully
         # converged grids.
-        eps = jnp.finfo(real_dtype).eps
         plateau = ~ok & ~done & (jnp.abs(rel_drop) <= 64.0 * eps)
         streak = jnp.where(plateau, streak + 1, 0)
         done = done | (ok & (rel_drop < ftol) & (lam < lam0)) | (streak >= 3)
