@@ -152,14 +152,17 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
         outs = []
         for re, im, u0 in chunks:
             if use_pallas:
-                res = solver(
+                # return_hessian: the CRLB derives from the LM loop's
+                # carried Gauss-Newton Hessian — zero extra kernel passes
+                # (mirrors fit_amares).
+                from xmris_tpu.fitting.lm import crlb_from_hessian
+
+                res, h_ext = solver(
                     re, im, t, u0, lower, upper, kind, pmap_static, MHZ,
                     max_iter=max_iter, kernel_version=kernel_version,
+                    return_hessian=True,
                 )
-                sds, _ = crlb_batched_pallas(
-                    re, im, t, res.x_free, pmap_static, MHZ,
-                    kernel_version=kernel_version,
-                )
+                sds, _ = crlb_from_hessian(h_ext, res.cost, re.shape[-1])
             else:
                 res = solver(
                     re, im, t, u0, lower, upper, kind, pmap_static, MHZ,

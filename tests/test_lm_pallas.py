@@ -555,6 +555,52 @@ class TestFitAmaresEngines:
         )
 
 
+class TestHessianReuse:
+    def test_crlb_from_carried_hessian_matches_recompute(self, tmp_path):
+        """return_hessian=True hands back the GN Hessian at the optimum;
+        CRLBs derived from it match the dedicated CRLB kernel pass."""
+        from tests.test_fitting import PK_CSV, make_phantom
+        from xmris_tpu.fitting.lm import (
+            crlb_batched_pallas,
+            crlb_from_hessian,
+        )
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=3, n_points=256)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(256) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        res, h_ext = lm_fit_batched_pallas(
+            re, im, t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0, max_iter=30, v_tile=1,
+            interpret=True, return_hessian=True,
+        )
+        assert h_ext.shape == (3, pk.n_free, pk.n_free)
+
+        sds_h, s2_h = crlb_from_hessian(h_ext, res.cost, 256)
+        sds_k, s2_k = crlb_batched_pallas(
+            re, im, t, res.x_free, hashable_pmap(pk.pmap), 120.0,
+            v_tile=1, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2_h), np.asarray(s2_k), rtol=1e-5
+        )
+        # identical information up to the dxdu divide round-trip and the
+        # f32 inversion along near-flat directions
+        np.testing.assert_allclose(
+            np.asarray(sds_h), np.asarray(sds_k), rtol=0.02
+        )
+
+
 class TestCRLBKernel:
     def test_matches_xla_crlb(self, tmp_path):
         from tests.test_fitting import PK_CSV, make_phantom

@@ -252,6 +252,9 @@ def fit_amares(
         chunk_size = n_spectra if engine == "pallas" else 4096
 
     def run_lm(re_c, im_c, u_init, iters):
+        """Returns (LMResult, h_ext-or-None): the pallas driver hands back
+        the Gauss-Newton Hessian at the optimum for free (the CRLB pass
+        then needs zero extra kernel evaluations)."""
         if engine == "pallas":
             import jax as _jax
 
@@ -262,22 +265,28 @@ def fit_amares(
                 pmap_static, mhz, max_iter=iters,
                 interpret=_jax.default_backend() != "tpu",
                 kernel_version=kernel_version,
+                return_hessian=True,
             )
         from xmris_tpu.fitting.lm import lm_fit_batched_planar
 
-        return lm_fit_batched_planar(
-            re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
-            pmap_static, mhz, max_iter=iters,
+        return (
+            lm_fit_batched_planar(
+                re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
+                pmap_static, mhz, max_iter=iters,
+            ),
+            None,
         )
 
     t_before = time.perf_counter()
-    x_parts, conv_parts = [], []
+    x_parts, conv_parts, h_parts, cost_parts = [], [], [], []
     for start in range(0, n_spectra, chunk_size):
         chunk_np = fid_arrs[start : start + chunk_size]
         re_c = jnp.asarray(np.ascontiguousarray(chunk_np.real))
         im_c = jnp.asarray(np.ascontiguousarray(chunk_np.imag))
-        res = run_lm(re_c, im_c, u0_j[start : start + chunk_size], max_iter)
+        res, h1 = run_lm(re_c, im_c, u0_j[start : start + chunk_size], max_iter)
         x = res.x_free
+        cost_pick = res.cost
+        h_pick = h1
         if initialize_with_lm:
             # Refinement pass: restart every voxel from its own optimum with a
             # fresh damping schedule (the batched analog of lmfit's LM
@@ -288,17 +297,25 @@ def fit_amares(
             u_refined = jnp.asarray(
                 external_to_internal(np.asarray(x), pk.lower, pk.upper, pk.kind)
             )
-            res2 = run_lm(re_c, im_c, u_refined, max_iter)
+            res2, h2 = run_lm(re_c, im_c, u_refined, max_iter)
             better = res2.cost < res.cost
             x = jnp.where(better[:, None], res2.x_free, x)
+            cost_pick = jnp.where(better, res2.cost, res.cost)
+            if h1 is not None:
+                h_pick = jnp.where(better[:, None, None], h2, h1)
             conv = res.converged | res2.converged
         else:
             conv = res.converged
         x_parts.append(np.asarray(x))
         conv_parts.append(np.asarray(conv))
+        cost_parts.append(np.asarray(cost_pick))
+        if h_pick is not None:
+            h_parts.append(np.asarray(h_pick))
 
     x_free = np.concatenate(x_parts, axis=0)
     converged = np.concatenate(conv_parts, axis=0)
+    cost_final = np.concatenate(cost_parts, axis=0)
+    h_final = np.concatenate(h_parts, axis=0) if h_parts else None
 
     elapsed = time.perf_counter() - t_before
     print(
@@ -322,17 +339,16 @@ def fit_amares(
     for start in range(0, n_spectra, chunk_size):
         chunk = fid_arrs[start : start + chunk_size]
         xs = jnp.asarray(x_free[start : start + chunk_size])
-        if engine == "pallas":
-            import jax as _jax
+        if h_final is not None:
+            # Zero-cost CRLB: the LM driver already returned the GN Hessian
+            # (= Fisher information, identity prior) at each voxel's chosen
+            # optimum — no extra kernel evaluation needed.
+            from xmris_tpu.fitting.lm import crlb_from_hessian
 
-            from xmris_tpu.fitting.lm import crlb_batched_pallas
-
-            sds, sigma2 = crlb_batched_pallas(
-                jnp.asarray(np.ascontiguousarray(chunk.real)),
-                jnp.asarray(np.ascontiguousarray(chunk.imag)),
-                t_j, xs, pmap_static, mhz,
-                interpret=_jax.default_backend() != "tpu",
-                kernel_version=kernel_version,
+            sds, sigma2 = crlb_from_hessian(
+                jnp.asarray(h_final[start : start + chunk_size]),
+                jnp.asarray(cost_final[start : start + chunk_size]),
+                chunk.shape[-1],
             )
         else:
             sds, sigma2 = crlb_batched(

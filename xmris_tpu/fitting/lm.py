@@ -523,7 +523,8 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pmap_static", "max_iter", "mhz", "v_tile", "interpret", "kernel_version"
+        "pmap_static", "max_iter", "mhz", "v_tile", "interpret",
+        "kernel_version", "return_hessian",
     ),
 )
 def lm_fit_batched_pallas(
@@ -542,6 +543,7 @@ def lm_fit_batched_pallas(
     v_tile: int = 8,
     interpret: bool = False,
     kernel_version: int = 6,
+    return_hessian: bool = False,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -549,6 +551,13 @@ def lm_fit_batched_pallas(
     returns (cost, g, H) at the trial point; rejected steps reuse the carried
     accepted-state H/g and only re-damp, so no extra model evaluations are
     spent on failed steps.  Semantics match :func:`lm_fit_batched_planar`.
+
+    With ``return_hessian=True`` returns ``(LMResult, h_ext)`` where
+    ``h_ext`` is the (B, F, F) Gauss-Newton Hessian at the optimum in
+    EXTERNAL free-parameter space — the Fisher information the CRLB pass
+    needs, recovered from the loop's carried state for free (the carried H
+    is the external one scaled by the bound-transform diagonal, which we
+    divide back out).
     """
     kernel_fn, active = _select_pallas_kernel(
         kernel_version, pmap_static, fids_re.shape[-1]
@@ -659,16 +668,47 @@ def lm_fit_batched_pallas(
         jnp.zeros((b,), bool),
         jnp.asarray(0, jnp.int32),
     )
-    u, cost, _, _, _, n_acc, _, done, _ = jax.lax.while_loop(cond, step, carry0)
-    x_final, _ = internal_to_external_jax(
+    u, cost, _, h_fin, _, n_acc, _, done, _ = jax.lax.while_loop(
+        cond, step, carry0
+    )
+    x_final, dxdu_fin = internal_to_external_jax(
         u, lower[None, :], upper[None, :], kind[None, :]
     )
     # See the planar driver: a voxel seeded at its optimum exits by
     # rejection plateau with zero accepted steps — that is convergence.
     converged = jnp.isfinite(cost) & ((n_acc > 0) | done)
-    return LMResult(
+    result = LMResult(
         x_free=x_final, cost=cost, n_iter=n_acc, converged=converged, done=done
     )
+    if not return_hessian:
+        return result
+    # The carried H is D @ H_ext @ D with D = diag(dx/du) at the final
+    # (accepted) state; divide the diagonal scaling back out.  A parameter
+    # pinned exactly at a bound has dx/du -> 0 and an unidentifiable CRLB
+    # either way; the guard keeps the algebra finite there.
+    safe_d = jnp.where(jnp.abs(dxdu_fin) < 1e-12, 1.0, dxdu_fin)
+    h_ext = h_fin / (safe_d[:, :, None] * safe_d[:, None, :])
+    return result, h_ext
+
+
+@jax.jit
+def crlb_from_hessian(h_ext, cost, n_t):
+    """CRLB standard deviations from an already-available GN Hessian.
+
+    Same math as :func:`crlb_batched_pallas` (sigma^2 from the final
+    residuals per real channel, identity prior) but with ZERO model
+    evaluations: the LM driver's ``return_hessian=True`` output feeds this
+    directly, saving the whole CRLB kernel pass.
+    """
+    from xmris_tpu.ops.kernels.spd import spd_inverse_diag
+
+    n_free = h_ext.shape[-1]
+    h = h_ext + 1e-12 * jnp.eye(n_free, dtype=h_ext.dtype)[None, :, :]
+    dof = jnp.maximum(2.0 * n_t - n_free, 1.0)
+    sigma2 = cost / dof
+    diag_inv = spd_inverse_diag(h)
+    sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
+    return sds, sigma2
 
 
 @functools.partial(
