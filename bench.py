@@ -97,8 +97,8 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
     import tempfile
 
     from xmris_tpu.fitting.lm import (
-        crlb_batched_pallas,
         crlb_batched_planar,
+        crlb_from_hessian,
         external_to_internal,
         hashable_pmap,
         lm_fit_batched_pallas,
@@ -155,8 +155,6 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
                 # return_hessian: the CRLB derives from the LM loop's
                 # carried Gauss-Newton Hessian — zero extra kernel passes
                 # (mirrors fit_amares).
-                from xmris_tpu.fitting.lm import crlb_from_hessian
-
                 res, h_ext = solver(
                     re, im, t, u0, lower, upper, kind, pmap_static, MHZ,
                     max_iter=max_iter, kernel_version=kernel_version,

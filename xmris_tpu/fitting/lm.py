@@ -297,16 +297,26 @@ def lm_fit_batched_planar(
             delta = jax.scipy.linalg.cho_solve((chol, True), grad)
 
             # Predicted-decrease exit (see the pallas driver): in the
-            # near-GN regime a predicted relative decrease at f32/f64
-            # resolution means the voxel is finished before the trial.
+            # near-GN regime a predicted relative decrease (~ g . delta)
+            # at float resolution means the voxel is finished before the
+            # trial.
             eps_p = jnp.finfo(real_dtype).eps
-            pred_rel = jnp.dot(grad, delta) / (
-                2.0 * jnp.maximum(st["cost"], 1e-300)
+            solve_ok = jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(solve_ok, delta, 0.0)
+            pred_rel = jnp.dot(grad, delta) / jnp.maximum(
+                st["cost"], 1e-300
             )
-            done = done | ((pred_rel <= 64.0 * eps_p) & (lam < lam0))
+            done = done | ((pred_rel <= 64.0 * eps_p) & (lam < lam0) & solve_ok)
 
             trial = evaluate(st["u"] + delta)
-            ok = jnp.isfinite(trial["cost"]) & (trial["cost"] < st["cost"])
+            # Gate on ~done so a voxel retired by the predicted-decrease
+            # exit discards this trial — matching the pallas driver, whose
+            # tile mask drops the evaluation entirely.
+            ok = (
+                jnp.isfinite(trial["cost"])
+                & (trial["cost"] < st["cost"])
+                & ~done
+            )
             rel_drop = (st["cost"] - trial["cost"]) / jnp.maximum(st["cost"], 1e-300)
 
             st_new = jax.tree_util.tree_map(
@@ -612,23 +622,27 @@ def lm_fit_batched_pallas(
         # LM iteration on TPU (see ops/kernels/spd.py).
         from xmris_tpu.ops.kernels.spd import spd_solve_small
 
-        delta = spd_solve_small(damped, g)
-        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        delta_raw = spd_solve_small(damped, g)
+        solve_ok = jnp.all(jnp.isfinite(delta_raw), axis=-1)
+        delta = jnp.where(solve_ok[:, None], delta_raw, 0.0)
         u_t = u + delta
 
-        # Predicted-decrease exit: for the damped-Newton step, g . delta / 2
-        # is the model's predicted cost decrease.  In the near-GN regime
-        # (small lam — a damped-short step predicts little by construction),
-        # a predicted RELATIVE decrease at f32 resolution means further
-        # iteration cannot improve the fit: mark done BEFORE paying the
-        # kernel call for the trial.  This retires stragglers ~3 iterations
-        # earlier than the rejection-plateau path (which needs 3 consecutive
-        # no-op trials to trigger).
+        # Predicted-decrease exit: for the GN model cost(u+d) ~= cost -
+        # 2 g.d + d.H d with (H + lam D) d = g, the predicted decrease is
+        # g.d + lam d.D d >= g.d.  In the near-GN regime (small lam — a
+        # damped-short step predicts little by construction), a predicted
+        # RELATIVE decrease at f32 resolution means further iteration
+        # cannot improve the fit: mark done BEFORE paying the kernel call
+        # for the trial.  This retires stragglers ~3 iterations earlier
+        # than the rejection-plateau path (3 consecutive no-op trials).
+        # Gated on a finite solve: a transiently failed f32 Cholesky
+        # zeroes delta, and the zero step must fall through to the
+        # reject/re-damp path, not read as convergence.
         eps = jnp.finfo(real_dtype).eps
-        pred_rel = jnp.einsum("bf,bf->b", g, delta) / (
-            2.0 * jnp.maximum(cost, 1e-30)
+        pred_rel = jnp.einsum("bf,bf->b", g, delta) / jnp.maximum(
+            cost, 1e-30
         )
-        done = done | ((pred_rel <= 64.0 * eps) & (lam < lam0))
+        done = done | ((pred_rel <= 64.0 * eps) & (lam < lam0) & solve_ok)
 
         # v6 skips tiles whose 8 voxels are all converged: their (stale)
         # outputs are filtered below because ``ok`` is gated on ``~done``.
