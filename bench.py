@@ -178,7 +178,7 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
         )
 
     witness(one_pass())  # compile + execution witness
-    chain = 2 if use_pallas else 1
+    chain = 4 if use_pallas else 1
     times = []
     for _ in range(iters):
         start = time.perf_counter()
@@ -189,7 +189,7 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
     return float(np.median(times))
 
 
-def run_planar(fids, weight, freqs, cfg, iters=3, chain=4):
+def run_planar(fids, weight, freqs, cfg, iters=3, chain=16):
     """Steady-state spectral throughput: ``chain`` back-to-back executions
     per timed pass with ONE witness readback (the scalar readback proves
     execution; through the remote relay each extra readback costs ~40 ms of
