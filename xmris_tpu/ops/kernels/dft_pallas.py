@@ -45,6 +45,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def pallas_split_ok(n_in: int, n_out: int) -> bool:
+    """True when the auto-picked Cooley-Tukey split handles (n_in, n_out):
+    an even n2 >= 8 dividing both, with n_out >= n_in (zero-fill only)."""
+    if n_out < n_in:
+        return False
+    n2 = 32
+    while n2 > 8 and (n_in % n2 or n_out % n2):
+        n2 //= 2
+    return n_in % n2 == 0 and n_out % n2 == 0
+
+
 @functools.lru_cache(maxsize=16)
 def _spectrum_factors(
     n_in: int, n_out: int, n2: int, shifted: bool, ortho: bool
@@ -103,8 +114,9 @@ def _spectrum_factors(
 
 
 def _spectrum_kernel(
-    xre_ref,  # (n1_in, Vt*n2) VMEM — pre-transposed input panel
+    xre_ref,  # (Vt, n1_in, n2) VMEM — natural-layout input block
     xim_ref,
+    wre_ref,  # (n1_in, n2) VMEM — window reshaped to the decimation grid
     f1re_ref,  # (n1, n1_in) VMEM
     f1im_ref,
     twre_ref,  # (n1, Vt*n2) VMEM — twiddle tiled per voxel (v-major lanes)
@@ -113,14 +125,20 @@ def _spectrum_kernel(
     f2tim_ref,
     ore_ref,  # stacked: (n2, Vt*n1); loop: (Vt*n2, n1)
     oim_ref,
+    pre_ref,  # (n1_in, Vt*n2) VMEM scratch — windowed, relayouted panel
+    pim_ref,
     *scratch,  # stacked: (sre_ref, sim_ref) of (Vt*n1, n2); loop: none
     n1: int,
     n2: int,
     v_tile: int,
     s2: str,
 ):
-    """All values stay 2D (Mosaic can neither split nor merge a vector's
-    lane dimension).  Two stage-2 strategies, selected statically:
+    """All values stay 2D after the input relayout (Mosaic can neither
+    split nor merge a vector's lane dimension).  The input arrives in its
+    natural (v, j1, j2) layout and is windowed + relayouted to the
+    (j1, (v, j2)) stage-1 panel with static slice copies — no XLA
+    pre-transpose pass over HBM.  Two stage-2 strategies, selected
+    statically:
 
     * ``"stacked"`` — relayout via static slice copies into a scratch,
       then ONE long Gram contraction producing (k2, (v, k1)).
@@ -134,10 +152,16 @@ def _spectrum_kernel(
     mm = functools.partial(
         jnp.matmul, preferred_element_type=f32, precision=prec
     )
-    xr = xre_ref[:, :]
-    xi = xim_ref[:, :]
     f1r = f1re_ref[:, :]
     f1i = f1im_ref[:, :]
+
+    # Window + relayout (v, j1, j2) -> (j1, (v, j2)) via static copies
+    w2 = wre_ref[:, :]
+    for v in range(v_tile):
+        pre_ref[:, v * n2 : (v + 1) * n2] = xre_ref[v, :, :] * w2
+        pim_ref[:, v * n2 : (v + 1) * n2] = xim_ref[v, :, :] * w2
+    xr = pre_ref[:, :]
+    xi = pim_ref[:, :]
 
     # Stage 1: (n1, n1_in) @ (n1_in, Vt*n2) — contraction over j1
     yr = mm(f1r, xr) - mm(f1i, xi)
@@ -194,7 +218,7 @@ def spectrum_pallas(
     n2: int | None = None,
     shifted: bool = True,
     ortho: bool = True,
-    v_tile: int = 32,
+    v_tile: int = 64,
     interpret: bool = False,
     s2: str = "loop",
 ):
@@ -218,11 +242,6 @@ def spectrum_pallas(
     xi = xi.reshape(-1, n_in).astype(jnp.float32)
     b = xr.shape[0]
 
-    if window is not None:
-        w = window.reshape(1, n_in).astype(jnp.float32)
-        xr = xr * w
-        xi = xi * w
-
     n1 = n_out // n2
     n1_in = n_in // n2
     f1_re, f1_im, tw_re, tw_im, f2t_re, f2t_im = _spectrum_factors(
@@ -236,13 +255,15 @@ def spectrum_pallas(
     b_pad = b + pad_b
     grid = (b_pad // v_tile,)
 
-    # Pre-transpose in XLA: (B, j1, j2) -> (j1, B*j2) panels
-    xr_p = xr.reshape(b_pad, n1_in, n2).transpose(1, 0, 2).reshape(
-        n1_in, b_pad * n2
-    )
-    xi_p = xi.reshape(b_pad, n1_in, n2).transpose(1, 0, 2).reshape(
-        n1_in, b_pad * n2
-    )
+    # Natural layout in, FREE reshape only — the (v, j1, j2) -> (j1, (v,
+    # j2)) relayout happens inside the kernel with slice copies, saving a
+    # full XLA transpose pass over HBM (and the window multiply rides it).
+    xr_p = xr.reshape(b_pad, n1_in, n2)
+    xi_p = xi.reshape(b_pad, n1_in, n2)
+    if window is not None:
+        w2 = window.reshape(n1_in, n2).astype(jnp.float32)
+    else:
+        w2 = jnp.ones((n1_in, n2), jnp.float32)
 
     kernel = functools.partial(
         _spectrum_kernel, n1=n1, n2=n2, v_tile=v_tile, s2=s2
@@ -263,12 +284,23 @@ def spectrum_pallas(
         )
         out_shape = jax.ShapeDtypeStruct((b_pad * n2, n1), jnp.float32)
 
+    input_scratch = [
+        pltpu.VMEM((n1_in, lanes), jnp.float32),
+        pltpu.VMEM((n1_in, lanes), jnp.float32),
+    ]
     ore, oim = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n1_in, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1_in, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (v_tile, n1_in, n2), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (v_tile, n1_in, n2), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n1_in, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n1, n1_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n1, n1_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -278,9 +310,10 @@ def spectrum_pallas(
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[out_shape, out_shape],
-        # The relayout scratch only exists on the stacked path — the loop
-        # path would waste 2 * Vt*n1*n2 floats of VMEM headroom otherwise.
-        scratch_shapes=(
+        # The stage-2 relayout scratch only exists on the stacked path —
+        # the loop path would waste 2 * Vt*n1*n2 floats of VMEM otherwise.
+        scratch_shapes=input_scratch
+        + (
             [
                 pltpu.VMEM((v_tile * n1, n2), jnp.float32),
                 pltpu.VMEM((v_tile * n1, n2), jnp.float32),
@@ -292,6 +325,7 @@ def spectrum_pallas(
     )(
         xr_p,
         xi_p,
+        w2,
         jnp.asarray(f1_re),
         jnp.asarray(f1_im),
         jnp.asarray(tw_re_t),
