@@ -222,6 +222,65 @@ class TestShardedPallasFit:
         # results actually shard over all 8 devices
         assert len(sharded.x_free.sharding.device_set) == 8
 
+    def test_sharded_return_hessian(self, tmp_path):
+        """Sharded return_hessian hands back the same voxel-sharded GN
+        Hessian the single launch computes."""
+        import jax.numpy as jnp
+
+        from tests.test_fitting import PK_CSV, make_phantom
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.parallel import lm_fit_batched_pallas_sharded, make_mesh
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=16, n_points=256)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(256) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            np.broadcast_to(
+                external_to_internal(
+                    pk.init_free, pk.lower, pk.upper, pk.kind
+                ).astype(np.float32)[None, :],
+                (16, pk.n_free),
+            ).copy()
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+
+        single, h_single = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            return_hessian=True,
+        )
+        mesh = make_mesh(8)
+        sharded, h_sharded = lm_fit_batched_pallas_sharded(
+            re, im, *args, mesh=mesh, max_iter=25, v_tile=2, interpret=True,
+            return_hessian=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_sharded), np.asarray(h_single), rtol=1e-6, atol=1e-6
+        )
+        assert len(h_sharded.sharding.device_set) == 8
+
+        sds_s, _ = crlb_from_hessian(h_sharded, sharded.cost, 256)
+        sds_1, _ = crlb_from_hessian(h_single, single.cost, 256)
+        np.testing.assert_allclose(
+            np.asarray(sds_s), np.asarray(sds_1), rtol=1e-5
+        )
+
     def test_batch_must_divide_mesh(self, tmp_path):
         import jax.numpy as jnp
 

@@ -48,6 +48,7 @@ def lm_fit_batched_pallas_sharded(
     v_tile: int = 8,
     interpret: bool = False,
     kernel_version: int = 6,
+    return_hessian: bool = False,
 ) -> LMResult:
     """Fused-kernel bounded LM sharded over the mesh's voxel axis.
 
@@ -55,7 +56,10 @@ def lm_fit_batched_pallas_sharded(
     which must divide by the mesh size; ``t``/``lower``/``upper``/``kind``
     replicate.  ``u0`` must already be per-voxel ``(B, F)`` (broadcast a
     shared seed before calling).  Semantics match
-    :func:`~xmris_tpu.fitting.lm.lm_fit_batched_pallas` exactly.
+    :func:`~xmris_tpu.fitting.lm.lm_fit_batched_pallas` exactly, including
+    ``return_hessian=True`` -> ``(LMResult, h_ext)`` with the per-voxel
+    Gauss-Newton Hessian sharded like the batch (zero-cost CRLBs via
+    :func:`~xmris_tpu.fitting.lm.crlb_from_hessian`).
     """
     n_dev = mesh.shape[axis_name]
     b = fids_re.shape[0]
@@ -77,6 +81,7 @@ def lm_fit_batched_pallas_sharded(
         v_tile=v_tile,
         interpret=interpret,
         kernel_version=kernel_version,
+        return_hessian=return_hessian,
     )
 
     def per_shard(re, im, t, u0, lower, upper, kind):
@@ -84,6 +89,10 @@ def lm_fit_batched_pallas_sharded(
 
     sharded = P(axis_name)
     replicated = P()
+    result_spec = LMResult(
+        x_free=sharded, cost=sharded, n_iter=sharded,
+        converged=sharded, done=sharded,
+    )
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
@@ -91,10 +100,7 @@ def lm_fit_batched_pallas_sharded(
             sharded, sharded, replicated, sharded,
             replicated, replicated, replicated,
         ),
-        out_specs=LMResult(
-            x_free=sharded, cost=sharded, n_iter=sharded,
-            converged=sharded, done=sharded,
-        ),
+        out_specs=(result_spec, sharded) if return_hessian else result_spec,
         check_vma=False,
     )
     return fn(fids_re, fids_im, t, u0, lower, upper, kind)
