@@ -14,7 +14,7 @@ Factorization (n = n1 * n2, decimation x[j1*n2 + j2], output k = k1 + n1*k2):
     Y'[k1, j2] = Y * W_n^{j2 k1}                              twiddle
     X[k1+n1*k2] = sum_{j2} Y'[k1, j2] W_{n2}^{j2 k2}          stage-2 matmul
 
-Three hardware-fit choices:
+Hardware-fit choices:
 
 * **Zero-fill is free.**  With n_in = n/2 and n2 | n_in, only rows
   j1 < n_in/n2 of the stage-1 DFT matrix survive — the factor matrix is
@@ -22,13 +22,16 @@ Three hardware-fit choices:
 * **fftshift is free.**  A half-spectrum roll maps k2 -> (k2 + n2/2) mod n2
   with k1 untouched (n/2 = n1 * n2/2), so the shift is a static column
   permutation of the stage-2 factor matrix.
-* **No in-kernel transposes.**  The batch pre-transposes once in XLA to
-  (j1, B*j2) panels; stage 1 is then a plain matmul (contraction over the
-  sublane dim of the panel), the twiddle broadcasts over voxels, and
-  stage 2 contracts the lane dim against the factor's transpose (the
-  lane-lane ``dot_general`` pattern the LM kernels already use).  The
-  single irreducible output digit-reversal (k1, k2) -> flat k runs in XLA
-  after the kernel.
+* **No XLA layout passes.**  The input arrives in its natural (v, j1, j2)
+  block layout straight from HBM; the window multiply and the relayout to
+  the (j1, (v, j2)) stage-1 panel run inside the kernel as static slice
+  copies (Mosaic can neither split nor merge a vector's lane dimension,
+  so the relayout is copies, not a reshape).  Stage 1 is then a plain
+  matmul, the twiddle is a host-tiled elementwise factor, and stage 2
+  contracts the lane dim against the factor's transpose (the lane-lane
+  ``dot_general`` pattern the LM kernels already use).  The single
+  irreducible output digit-reversal (k1, k2) -> flat k is a FREE reshape
+  on the default per-voxel-transposed ("loop") output layout.
 
 Everything is planar float32 (no complex dtype on device).
 """
@@ -45,14 +48,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pick_n2(n_in: int, n_out: int) -> int:
+    """Auto-pick the Cooley-Tukey split: total MACs = n_out*(n_in/n2 + n2)
+    per voxel, minimized near n2 = sqrt(n_in); halve until it divides."""
+    n2 = 32
+    while n2 > 8 and (n_in % n2 or n_out % n2):
+        n2 //= 2
+    return n2
+
+
 def pallas_split_ok(n_in: int, n_out: int) -> bool:
     """True when the auto-picked Cooley-Tukey split handles (n_in, n_out):
     an even n2 >= 8 dividing both, with n_out >= n_in (zero-fill only)."""
     if n_out < n_in:
         return False
-    n2 = 32
-    while n2 > 8 and (n_in % n2 or n_out % n2):
-        n2 //= 2
+    n2 = _pick_n2(n_in, n_out)
     return n_in % n2 == 0 and n_out % n2 == 0
 
 
@@ -233,11 +243,7 @@ def spectrum_pallas(
     batch_shape = xr.shape[:-1]
     n_in = xr.shape[-1]
     if n2 is None:
-        # FLOP-optimal split: total MACs = n_out*(n_in/n2 + n2) per voxel,
-        # minimized near n2 = sqrt(n_in)
-        n2 = 32
-        while n2 > 8 and (n_in % n2 or n_out % n2):
-            n2 //= 2
+        n2 = _pick_n2(n_in, n_out)
     xr = xr.reshape(-1, n_in).astype(jnp.float32)
     xi = xi.reshape(-1, n_in).astype(jnp.float32)
     b = xr.shape[0]

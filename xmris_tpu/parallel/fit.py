@@ -49,7 +49,7 @@ def lm_fit_batched_pallas_sharded(
     interpret: bool = False,
     kernel_version: int = 6,
     return_hessian: bool = False,
-) -> LMResult:
+) -> "LMResult | tuple[LMResult, jax.Array]":
     """Fused-kernel bounded LM sharded over the mesh's voxel axis.
 
     ``fids_re``/``fids_im``/``u0`` shard on their leading (voxel) axis,

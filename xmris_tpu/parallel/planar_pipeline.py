@@ -131,11 +131,21 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
     }[cfg.dft_precision]
 
     variant = cfg.dft_variant
-    if variant is None and jax.default_backend() == "tpu":
-        # On TPU the fused Pallas kernel beats the einsum formulation by
-        # ~25% (8.5 vs 11.1 ms chained at bench scale — in-kernel window +
-        # relayout skip two full HBM passes) whenever the shapes divide its
-        # Cooley-Tukey split.
+    if (
+        variant is None
+        and cfg.dft_precision is None
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+    ):
+        # On a single TPU chip the fused Pallas kernel beats the einsum
+        # formulation by ~25% (8.5 vs 11.1 ms chained at bench scale —
+        # in-kernel window + relayout skip two full HBM passes) whenever
+        # the shapes divide its Cooley-Tukey split.  Multi-chip keeps the
+        # einsum path: GSPMD partitions it over the voxel axis, while
+        # pl.pallas_call has no partitioning rule (an explicit
+        # dft_variant="pallas" remains available under shard_map).  The
+        # kernel hardcodes HIGHEST precision, so a dft_precision request
+        # also disables the auto-upgrade.
         from xmris_tpu.ops.kernels.dft_pallas import pallas_split_ok
 
         if pallas_split_ok(n_time, cfg.zero_fill_to):
@@ -152,7 +162,7 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
             window=weight[:n_time].astype(fids_re.dtype),
             interpret=jax.default_backend() not in ("tpu",),
         )
-    elif cfg.dft_variant == "fused":
+    elif variant == "fused":
         # Zero-fill + ortho DFT + fftshift as ONE matmul against a constant
         # rectangular block-complex matrix; the window multiply below is the
         # only elementwise prologue and XLA fuses it into the matmul.
@@ -174,7 +184,7 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
 
         spec_re, spec_im = dft_planar(
             fids_re, fids_im, cfg.zero_fill_to, ortho=True,
-            variant=cfg.dft_variant, precision=precision,
+            variant=variant, precision=precision,
         )
         shift = cfg.zero_fill_to // 2
         spec_re = jnp.roll(spec_re, shift, axis=-1)
