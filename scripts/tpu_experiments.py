@@ -909,6 +909,84 @@ g,"(0, 1)","(0, 1)"
             "fit6/kernel_only/v6/tiles10pct",
         )
 
+    if "fitattr" in groups:
+        # Attribute the v6 kernel's ~8 ms: scale n_t (per-element work
+        # halves; fixed per-program cost doesn't) and n_peaks (basis/
+        # Jacobian VPU work scales ~K; Gram dots scale with A_pad).
+        import tempfile
+
+        from xmris_tpu.fitting.lm import (
+            _expand_params_batched,
+            active_param_rows,
+            hashable_pmap,
+        )
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v6,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        PK1 = """Index,PCr
+Initial Values,
+amplitude,10.0
+chemicalshift,0.0
+linewidth,15.0
+phase,0
+g,0
+Bounds,
+amplitude,"(0, "
+chemicalshift,"(-0.5, 0.5)"
+linewidth,"(5.0, 30.0)"
+phase,"(-180, 180)"
+g,fixed
+"""
+
+        def kernel_chain(pk_csv, tag, n_t):
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".csv", delete=False
+            ) as f:
+                f.write(pk_csv)
+                pk_path = f.name
+            pk = load_prior_knowledge(pk_path)
+            ps = hashable_pmap(pk.pmap)
+            active = active_param_rows(ps)
+            t = jnp.asarray((np.arange(n_t) / SW).astype(np.float32))
+            re_all = jnp.asarray(re_h[:, :n_t])
+            im_all = jnp.asarray(im_h[:, :n_t])
+            grids = jnp.asarray(
+                _expand_params_batched(
+                    jnp.asarray(
+                        np.broadcast_to(
+                            pk.init_free.astype(np.float32)[None, :],
+                            (B, pk.n_free),
+                        ).copy()
+                    ),
+                    ps, jnp.float32,
+                )
+            )
+            K = 20
+            try:
+                c, g, h = eq6_normal_equations_pallas_v6(
+                    grids, re_all, im_all, t, n_peaks=pk.n_peaks, mhz=MHZ,
+                    active=active,
+                )
+                float(jnp.sum(c))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    c, g, h = eq6_normal_equations_pallas_v6(
+                        grids, re_all, im_all, t, n_peaks=pk.n_peaks,
+                        mhz=MHZ, active=active,
+                    )
+                float(jnp.sum(c))
+                report(tag,
+                       ms_per_call=round(
+                           (time.perf_counter() - t0) / K * 1e3, 2))
+            except Exception as e:  # noqa: BLE001
+                report(tag, error=repr(e)[:300])
+
+        kernel_chain(bench.PK_CSV, "fitattr/k5/nt1024", 1024)
+        kernel_chain(bench.PK_CSV, "fitattr/k5/nt512", 512)
+        kernel_chain(PK1, "fitattr/k1/nt1024", 1024)
+
     if "fit5" in groups:
         fit_group(bench.PK_CSV, "5peak")
     if "fit2" in groups:
