@@ -529,6 +529,146 @@ class TestFactoredBasisKernel:
         assert np.asarray(res.converged).all()
 
 
+class TestMomentKernel:
+    """v8: moment-based H for purely Lorentzian (g-fixed) priors."""
+
+    def test_v8_matches_v3_subset(self):
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v8,
+        )
+
+        b, n_t, k = 4, 256, 3
+        grids = sane_grids(b, k, seed=21)
+        grids[:, 4::5] = 0.0  # purely Lorentzian
+        rng = np.random.default_rng(21)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+
+        active = tuple(j for j in range(k * 5) if j % 5 != 4)  # g fixed
+        c3, g3, h3 = KERNELS[3](
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, v_tile=2, interpret=True,
+        )
+        c8, g8, h8 = eq6_normal_equations_pallas_v8(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active, v_tile=2,
+            interpret=True,
+        )
+        sel = list(active)
+        np.testing.assert_allclose(np.asarray(c8), np.asarray(c3), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g8), np.asarray(g3)[:, sel], rtol=1e-4,
+            atol=1e-3 * np.abs(np.asarray(g3)).max(),
+        )
+        np.testing.assert_allclose(
+            np.asarray(h8), np.asarray(h3)[:, sel][:, :, sel], rtol=1e-4,
+            atol=1e-3 * np.abs(np.asarray(h3)).max(),
+        )
+
+    def test_v8_rejects_free_g(self):
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v8,
+        )
+
+        grids = sane_grids(2, 1)
+        y = np.zeros((2, 128), np.float32)
+        with pytest.raises(ValueError, match="Lorentzian"):
+            eq6_normal_equations_pallas_v8(
+                jnp.asarray(grids), jnp.asarray(y), jnp.asarray(y),
+                jnp.asarray(np.arange(128, dtype=np.float32)),
+                n_peaks=1, mhz=MHZ, active=tuple(range(5)),
+                v_tile=2, interpret=True,
+            )
+
+    def test_v8_driver_on_lorentzian_prior(self, tmp_path):
+        """Full LM with kernel_version=8 on a g-fixed 3-peak prior lands in
+        the v6 basin; non-Lorentzian priors silently fall back to v6."""
+        mhz, sw, n = 120.0, 10000.0, 256
+        shifts = [0.0, -2.4, -7.5]
+        rows = ["Index," + ",".join(f"M{i}" for i in range(3)),
+                "Initial Values," + "," * 2,
+                "amplitude,8.0,5.0,4.0",
+                "chemicalshift," + ",".join(str(s) for s in shifts),
+                "linewidth,15.0,15.0,15.0",
+                "phase,0,0,0",
+                "g,0,0,0",
+                "Bounds," + "," * 2,
+                "amplitude," + ",".join('"(0, "' for _ in range(3))]
+        rows.append(
+            "chemicalshift,"
+            + ",".join(f'"({s - 0.4}, {s + 0.4})"' for s in shifts)
+        )
+        rows.append("linewidth," + ",".join('"(5, 40)"' for _ in range(3)))
+        rows.append("phase," + ",".join('"(-180, 180)"' for _ in range(3)))
+        rows.append("g," + ",".join("fixed" for _ in range(3)))
+        pk_path = tmp_path / "pk3.csv"
+        pk_path.write_text("\n".join(rows) + "\n")
+        pk = load_prior_knowledge(pk_path)
+
+        t_np = np.arange(n) / sw
+        rng = np.random.default_rng(2)
+        y = sum(
+            a * np.exp((-15 * np.pi + 1j * 2 * np.pi * (s * mhz)) * t_np)
+            for a, s in zip([8.0, 5.0, 4.0], shifts)
+        ) + rng.normal(0, 0.05, n) + 1j * rng.normal(0, 0.05, n)
+        fids = np.stack([y, 0.5 * y]).astype(np.complex64)
+
+        t = jnp.asarray(t_np.astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), mhz,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r6 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=6,
+        )
+        r8 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=8,
+        )
+        amp_cols = [0, 4, 8]  # 4 free per peak, amp first
+        for c in amp_cols:
+            np.testing.assert_allclose(
+                np.asarray(r8.x_free[:, c]), np.asarray(r6.x_free[:, c]),
+                rtol=0.05,
+            )
+        assert np.all(
+            np.asarray(r8.cost) < np.asarray(r6.cost) * 1.02 + 1e-12
+        )
+        assert np.asarray(r8.converged).all()
+
+        # Voigt prior (free g) silently falls back to v6
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p2 = tmp_path / "pk.csv"
+        p2.write_text(PK_CSV)
+        pk2 = load_prior_knowledge(p2)
+        da = make_phantom(n_voxels=2, n_points=256)
+        f2 = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        res = lm_fit_batched_pallas(
+            jnp.asarray(f2.real), jnp.asarray(f2.imag),
+            jnp.asarray((np.arange(256) / 10000.0).astype(np.float32)),
+            jnp.asarray(
+                external_to_internal(
+                    pk2.init_free, pk2.lower, pk2.upper, pk2.kind
+                )
+            ),
+            jnp.asarray(pk2.lower), jnp.asarray(pk2.upper),
+            jnp.asarray(pk2.kind), hashable_pmap(pk2.pmap), 120.0,
+            max_iter=20, v_tile=2, interpret=True, kernel_version=8,
+        )
+        assert np.asarray(res.converged).all()
+
+
 class TestFitAmaresEngines:
     def test_pallas_engine_through_accessor(self, tmp_path):
         """fit_amares(engine='pallas') runs in interpret mode off-TPU."""

@@ -146,7 +146,7 @@ def fit_amares(
     chunk_size: int | None = None,
     engine: str = "auto",
     scale_init_amplitudes: bool = True,
-    kernel_version: int = 6,
+    kernel_version: int = 8,
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -165,9 +165,11 @@ def fit_amares(
     ``engine`` selects the device solver: ``"xla"`` (vmapped planar LM),
     ``"pallas"`` (fused normal-equations kernel, Jacobians never leave VMEM),
     or ``"auto"`` (pallas on TPU, xla elsewhere); ``kernel_version`` picks
-    the pallas formulation (6 = active rows + stacked-voxel MXU Gram dots
-    + converged-tile skipping, the measured-fastest; 5 = active rows only;
-    3 = all rows; 2/1 earlier formulations).
+    the pallas formulation (8 = moment-based H for purely Lorentzian
+    priors, the measured-fastest, auto-falling back to 6 for Voigt
+    priors; 6 = active rows + stacked-voxel MXU Gram dots +
+    converged-tile skipping; 5 = active rows only; 3 = all rows; 2/1
+    earlier formulations).
 
     ``scale_init_amplitudes`` rescales each voxel's initial amplitudes by its
     own first-point magnitude relative to the prior's total (the analog of

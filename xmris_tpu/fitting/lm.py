@@ -497,7 +497,24 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
         eq6_normal_equations_pallas_v5,
         eq6_normal_equations_pallas_v6,
         eq6_normal_equations_pallas_v7,
+        eq6_normal_equations_pallas_v8,
     )
+
+    if kernel_version == 8:
+        # Moment-based H: valid only for purely Lorentzian priors (every
+        # g fixed at 0); anything else falls back to v6.
+        active = active_param_rows(pmap_static)
+        if all(lorentzian_env_flags(pmap_static)):
+            return (
+                functools.partial(
+                    eq6_normal_equations_pallas_v8, active=active
+                ),
+                active,
+            )
+        return (
+            functools.partial(eq6_normal_equations_pallas_v6, active=active),
+            active,
+        )
 
     if kernel_version not in (5, 6, 7):
         return (
@@ -552,7 +569,7 @@ def lm_fit_batched_pallas(
     ftol: float = 1e-10,
     v_tile: int = 8,
     interpret: bool = False,
-    kernel_version: int = 6,
+    kernel_version: int = 8,
     return_hessian: bool = False,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
@@ -738,7 +755,7 @@ def crlb_batched_pallas(
     mhz: float,
     v_tile: int = 8,
     interpret: bool = False,
-    kernel_version: int = 6,
+    kernel_version: int = 8,
 ):
     """CRLBs from ONE fused-kernel evaluation at the optimum.
 

@@ -1215,6 +1215,263 @@ def _eq6_normal_equations_pallas_v7_jit(
     return cost_out[:b, 0], g_out[:b, :a], h_out[:b, :a, :a]
 
 
+# ---------------------------------------------------------------------------
+# v8: moment-based normal equations (g-fixed priors) — no Jacobian storage
+# ---------------------------------------------------------------------------
+
+
+def _normal_eq_kernel_v8(
+    mask_ref,  # (n_tiles,) SMEM
+    params_ref,  # (1, K*5, V) VMEM
+    yre_ref,  # (V, n_t) VMEM
+    yim_ref,  # (V, n_t) VMEM
+    t_ref,  # (1, n_t) VMEM
+    h_ref,  # (1, A_pad*A_pad, V) VMEM out — V on lanes (v2's layout)
+    g_ref,  # (1, A_pad, V) VMEM out
+    cost_ref,  # (1, 1, V) VMEM out
+    *,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int,
+    a_pad: int,
+    active: tuple[int, ...],
+):
+    """Moment-based (cost, g, H) for purely Lorentzian priors (every g
+    fixed at 0).
+
+    Every Jacobian row is then ``(alpha + i*beta) * t^p * B_k`` with
+    per-voxel scalars (amp: (1/a, 0) p=0; cs: (0, 2*pi*MHz) p=1; lw:
+    (-pi, 0) p=1; phase: (0, pi/180) p=0), so the whole Gram matrix
+    collapses to THREE complex moments per peak pair,
+
+        M_q[k, k'] = sum_t t^q B_k conj(B_k'),  q in {0, 1, 2},
+
+    combined entry-wise with scalar coefficients:
+    ``H[r, s] = Re(z_r conj(z_s) M_{p_r + p_s}[k_r, k_s])``.  The gradient
+    likewise needs two residual moments per peak.  Nothing (V, n_t)-sized
+    is ever stored — no Jacobian scratch, no MXU contraction — which
+    removes the VMEM store/load round trips that bind v5/v6/v7.
+    """
+    t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
+    n_t = t.shape[1]
+    f32 = jnp.float32
+    deg = _DEG
+    rows = [(j // 5, j % 5) for j in active]  # (peak, param-type), type < 4
+
+    @pl.when(mask_ref[pl.program_id(0)] != 0)
+    def _body():
+        t2 = t * t
+
+        # Basis per peak (register-resident; K*2 (V, n_t) arrays)
+        b_res, b_ims = [], []
+        amps = []
+        m_re = jnp.zeros((v_tile, n_t), f32)
+        m_im = jnp.zeros((v_tile, n_t), f32)
+        for k in range(n_peaks):
+            amp = params_ref[0, k * 5 + 0, :].reshape(v_tile, 1)
+            cs = params_ref[0, k * 5 + 1, :].reshape(v_tile, 1)
+            lw = params_ref[0, k * 5 + 2, :].reshape(v_tile, 1)
+            ph = params_ref[0, k * 5 + 3, :].reshape(v_tile, 1)
+
+            env = amp * jnp.exp((-jnp.pi) * lw * t)
+            ang = (2.0 * jnp.pi * mhz) * cs * t + ph * deg
+            b_re = env * jnp.cos(ang)
+            b_im = env * jnp.sin(ang)
+            b_res.append(b_re)
+            b_ims.append(b_im)
+            amps.append(amp)
+            m_re = m_re + b_re
+            m_im = m_im + b_im
+
+        r_re = yre_ref[:, :] - m_re
+        r_im = yim_ref[:, :] - m_im
+        cost_ref[0, 0, :] = jnp.sum(r_re * r_re + r_im * r_im, axis=1)
+
+        # Residual moments N_q[k] = sum_t t^q conj(B_k) r,  q in {0, 1}
+        n_mom = {}
+        for k in range(n_peaks):
+            pr = b_res[k] * r_re + b_ims[k] * r_im  # Re(conj(B) r)
+            pi_ = b_res[k] * r_im - b_ims[k] * r_re  # Im(conj(B) r)
+            n_mom[(k, 0)] = (jnp.sum(pr, axis=1), jnp.sum(pi_, axis=1))
+            n_mom[(k, 1)] = (
+                jnp.sum(t * pr, axis=1),
+                jnp.sum(t * pi_, axis=1),
+            )
+
+        # Pair moments M_q[k, k'] for k <= k' (Hermitian: conj for k > k')
+        m_mom = {}
+        for k in range(n_peaks):
+            for kp in range(k, n_peaks):
+                cr = b_res[k] * b_res[kp] + b_ims[k] * b_ims[kp]
+                ci = b_ims[k] * b_res[kp] - b_res[k] * b_ims[kp]
+                m_mom[(k, kp, 0)] = (
+                    jnp.sum(cr, axis=1), jnp.sum(ci, axis=1)
+                )
+                m_mom[(k, kp, 1)] = (
+                    jnp.sum(t * cr, axis=1), jnp.sum(t * ci, axis=1)
+                )
+                m_mom[(k, kp, 2)] = (
+                    jnp.sum(t2 * cr, axis=1), jnp.sum(t2 * ci, axis=1)
+                )
+
+        # Per-row coefficients z = alpha + i*beta and t-power p
+        w_cs = 2.0 * jnp.pi * mhz
+        zero = jnp.zeros((v_tile,), f32)
+        one = jnp.ones((v_tile,), f32)
+
+        def coeff(k, ptype):
+            if ptype == 0:  # amplitude
+                a = amps[k].reshape(v_tile)
+                safe = jnp.where(a == 0, 1.0, a)
+                return one / safe, zero, 0
+            if ptype == 1:  # chemical shift: i * w * t
+                return zero, w_cs * one, 1
+            if ptype == 2:  # linewidth: -pi * t
+                return -jnp.pi * one, zero, 1
+            # phase: i * deg
+            return zero, deg * one, 0
+
+        coeffs = [coeff(k, p) for (k, p) in rows]
+
+        # Gradient: g_r = Re(conj(z_r) N_{p_r}[k_r])
+        #               = alpha*ReN + beta*ImN
+        for r, ((k, _), (al, be, p)) in enumerate(zip(rows, coeffs)):
+            nr, ni = n_mom[(k, p)]
+            g_ref[0, r, :] = al * nr + be * ni
+        for r in range(len(rows), a_pad):
+            g_ref[0, r, :] = zero
+
+        # Hessian entries: H[r, s] = Re(z_r conj(z_s) M_{p_r+p_s}[k_r, k_s])
+        for r, ((kr, _), (ar, br, pr)) in enumerate(zip(rows, coeffs)):
+            for s, ((ks, _), (as_, bs, ps)) in enumerate(zip(rows, coeffs)):
+                if s < r:
+                    continue
+                q = pr + ps
+                if kr <= ks:
+                    mr, mi = m_mom[(kr, ks, q)]
+                else:
+                    mr, mi = m_mom[(ks, kr, q)]
+                    mi = -mi
+                val = (ar * as_ + br * bs) * mr - (br * as_ - ar * bs) * mi
+                h_ref[0, r * a_pad + s, :] = val
+                if s != r:
+                    h_ref[0, s * a_pad + r, :] = val
+        for r in range(len(rows), a_pad):
+            for s in range(a_pad):
+                h_ref[0, r * a_pad + s, :] = zero
+                h_ref[0, s * a_pad + r, :] = zero
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_peaks", "mhz", "active", "v_tile", "interpret"),
+)
+def eq6_normal_equations_pallas_v8(
+    params,  # (B, K*5) physical parameter grid, float32
+    y_re,
+    y_im,
+    t,
+    n_peaks: int,
+    mhz: float,
+    active: tuple[int, ...],
+    voxel_mask=None,
+    v_tile: int = 8,
+    interpret: bool = False,
+):
+    """Moment-based fused normal equations (every peak's g fixed at 0).
+
+    Same contract as :func:`eq6_normal_equations_pallas_v5` (+ the v6
+    ``voxel_mask`` tile skipping).  The caller must guarantee the prior is
+    purely Lorentzian — the driver's kernel selection checks it.
+    """
+    if any(j % 5 == 4 for j in active):
+        raise ValueError(
+            "v8 requires every g fixed (purely Lorentzian prior); "
+            "use kernel_version=6"
+        )
+    b, n_t = y_re.shape
+    a = len(active)
+    a_pad = _round_up(a, 8)
+    p = n_peaks * 5
+
+    pad_b = (-b) % v_tile
+    if pad_b:
+        params = jnp.pad(params, ((0, pad_b), (0, 0)))
+        params = params.at[b:, 0].set(1.0)
+        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
+        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
+    b_pad = b + pad_b
+    grid = (b_pad // v_tile,)
+
+    if voxel_mask is None:
+        tiles_active = jnp.ones((grid[0],), jnp.int32)
+    else:
+        vm = voxel_mask.astype(bool)
+        if pad_b:
+            vm = jnp.pad(vm, (0, pad_b))
+        tiles_active = jnp.any(vm.reshape(grid[0], v_tile), axis=1).astype(
+            jnp.int32
+        )
+
+    params_t = (
+        params.astype(jnp.float32)
+        .reshape(grid[0], v_tile, p)
+        .transpose(0, 2, 1)
+    )
+
+    kernel = functools.partial(
+        _normal_eq_kernel_v8,
+        n_peaks=n_peaks,
+        mhz=float(mhz),
+        v_tile=v_tile,
+        a_pad=a_pad,
+        active=tuple(active),
+    )
+
+    h_out, g_out, cost_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, p, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, a_pad * a_pad, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, a_pad, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], a_pad * a_pad, v_tile), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], a_pad, v_tile), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 1, v_tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        tiles_active,
+        params_t,
+        y_re.astype(jnp.float32),
+        y_im.astype(jnp.float32),
+        t.reshape(1, -1).astype(jnp.float32),
+    )
+    # (G, A*A, V) -> (B, A_pad, A_pad) etc. (v2's transposed output layout)
+    h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, a_pad, a_pad)
+    g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, a_pad)
+    cost = jnp.transpose(cost_out, (0, 2, 1)).reshape(b_pad)
+    return cost[:b], g[:b, :a], h[:b, :a, :a]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_peaks", "mhz", "v_tile", "interpret")
 )

@@ -47,7 +47,7 @@ def lm_fit_batched_pallas_sharded(
     ftol: float = 1e-10,
     v_tile: int = 8,
     interpret: bool = False,
-    kernel_version: int = 6,
+    kernel_version: int = 8,
     return_hessian: bool = False,
 ) -> "LMResult | tuple[LMResult, jax.Array]":
     """Fused-kernel bounded LM sharded over the mesh's voxel axis.
