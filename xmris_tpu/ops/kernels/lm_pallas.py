@@ -36,6 +36,55 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _prepare_tile_batch(params, y_re, y_im, n_peaks, v_tile, voxel_mask=None):
+    """Shared wrapper prologue of the v5-v8 kernels.
+
+    Pads the voxel batch to the tile size (padding voxels get amplitude 1
+    "silence" so the math stays finite and count as inactive in the mask),
+    builds the lane-contiguous (n_tiles, K*5, V) parameter layout, and
+    reduces the optional per-voxel activity mask to per-tile flags.
+
+    Returns ``(params_t, y_re, y_im, tiles_active, b, b_pad, n_tiles)``
+    with the planar batches cast to float32 and ``b`` the original
+    (pre-padding) batch size for output slicing.
+    """
+    b, _ = y_re.shape
+    p = n_peaks * 5
+    pad_b = (-b) % v_tile
+    if pad_b:
+        params = jnp.pad(params, ((0, pad_b), (0, 0)))
+        params = params.at[b:, 0].set(1.0)
+        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
+        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
+    b_pad = b + pad_b
+    n_tiles = b_pad // v_tile
+
+    if voxel_mask is None:
+        tiles_active = jnp.ones((n_tiles,), jnp.int32)
+    else:
+        vm = voxel_mask.astype(bool)
+        if pad_b:
+            vm = jnp.pad(vm, (0, pad_b))  # padding voxels are inactive
+        tiles_active = jnp.any(vm.reshape(n_tiles, v_tile), axis=1).astype(
+            jnp.int32
+        )
+
+    params_t = (
+        params.astype(jnp.float32)
+        .reshape(n_tiles, v_tile, p)
+        .transpose(0, 2, 1)
+    )
+    return (
+        params_t,
+        y_re.astype(jnp.float32),
+        y_im.astype(jnp.float32),
+        tiles_active,
+        b,
+        b_pad,
+        n_tiles,
+    )
+
+
 def _normal_eq_kernel(
     params_ref,  # (V, K*5) VMEM
     yre_ref,  # (V, n_t) VMEM
@@ -598,25 +647,15 @@ def eq6_normal_equations_pallas_v5(
     to those rows (identical math: the dropped rows are exactly the ones
     whose scatter rows are zero).
     """
-    b, n_t = y_re.shape
+    n_t = y_re.shape[-1]
     a = len(active)
     a_pad = _round_up(a, 8)
     p = n_peaks * 5
 
-    pad_b = (-b) % v_tile
-    if pad_b:
-        params = jnp.pad(params, ((0, pad_b), (0, 0)))
-        params = params.at[b:, 0].set(1.0)
-        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
-        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
-    b_pad = b + pad_b
-    grid = (b_pad // v_tile,)
-
-    params_t = (
-        params.astype(jnp.float32)
-        .reshape(grid[0], v_tile, p)
-        .transpose(0, 2, 1)
+    params_t, y_re, y_im, _, b, b_pad, n_tiles = _prepare_tile_batch(
+        params, y_re, y_im, n_peaks, v_tile
     )
+    grid = (n_tiles,)
 
     kernel = functools.partial(
         _normal_eq_kernel_v5,
@@ -820,35 +859,15 @@ def eq6_normal_equations_pallas_v6(
     entirely and their outputs are UNSPECIFIED (stale VMEM) — callers must
     gate on their own convergence state, which the LM driver already does.
     """
-    b, n_t = y_re.shape
+    n_t = y_re.shape[-1]
     a = len(active)
     a_pad = _round_up(a, 8)
     p = n_peaks * 5
 
-    pad_b = (-b) % v_tile
-    if pad_b:
-        params = jnp.pad(params, ((0, pad_b), (0, 0)))
-        params = params.at[b:, 0].set(1.0)
-        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
-        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
-    b_pad = b + pad_b
-    grid = (b_pad // v_tile,)
-
-    if voxel_mask is None:
-        tiles_active = jnp.ones((grid[0],), jnp.int32)
-    else:
-        vm = voxel_mask.astype(bool)
-        if pad_b:
-            vm = jnp.pad(vm, (0, pad_b))  # padding voxels are inactive
-        tiles_active = jnp.any(vm.reshape(grid[0], v_tile), axis=1).astype(
-            jnp.int32
-        )
-
-    params_t = (
-        params.astype(jnp.float32)
-        .reshape(grid[0], v_tile, p)
-        .transpose(0, 2, 1)
+    params_t, y_re, y_im, tiles_active, b, b_pad, n_tiles = (
+        _prepare_tile_batch(params, y_re, y_im, n_peaks, v_tile, voxel_mask)
     )
+    grid = (n_tiles,)
 
     kernel = functools.partial(
         _normal_eq_kernel_v6,
@@ -1132,38 +1151,18 @@ def _eq6_normal_equations_pallas_v7_jit(
     v_tile: int = 8,
     interpret: bool = False,
 ):
-    b, n_t = y_re.shape
+    n_t = y_re.shape[-1]
     a = len(active)
     a_pad = _round_up(a, 8)
-    p = n_peaks * 5
 
     if n_t % 128:
         raise ValueError("v7 requires n_t % 128 == 0; use kernel_version=6")
+    p = n_peaks * 5
 
-    pad_b = (-b) % v_tile
-    if pad_b:
-        params = jnp.pad(params, ((0, pad_b), (0, 0)))
-        params = params.at[b:, 0].set(1.0)
-        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
-        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
-    b_pad = b + pad_b
-    grid = (b_pad // v_tile,)
-
-    if voxel_mask is None:
-        tiles_active = jnp.ones((grid[0],), jnp.int32)
-    else:
-        vm = voxel_mask.astype(bool)
-        if pad_b:
-            vm = jnp.pad(vm, (0, pad_b))
-        tiles_active = jnp.any(vm.reshape(grid[0], v_tile), axis=1).astype(
-            jnp.int32
-        )
-
-    params_t = (
-        params.astype(jnp.float32)
-        .reshape(grid[0], v_tile, p)
-        .transpose(0, 2, 1)
+    params_t, y_re, y_im, tiles_active, b, b_pad, n_tiles = (
+        _prepare_tile_batch(params, y_re, y_im, n_peaks, v_tile, voxel_mask)
     )
+    grid = (n_tiles,)
 
     kernel = functools.partial(
         _normal_eq_kernel_v7,
@@ -1389,35 +1388,15 @@ def eq6_normal_equations_pallas_v8(
             "v8 requires every g fixed (purely Lorentzian prior); "
             "use kernel_version=6"
         )
-    b, n_t = y_re.shape
+    n_t = y_re.shape[-1]
     a = len(active)
     a_pad = _round_up(a, 8)
     p = n_peaks * 5
 
-    pad_b = (-b) % v_tile
-    if pad_b:
-        params = jnp.pad(params, ((0, pad_b), (0, 0)))
-        params = params.at[b:, 0].set(1.0)
-        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
-        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
-    b_pad = b + pad_b
-    grid = (b_pad // v_tile,)
-
-    if voxel_mask is None:
-        tiles_active = jnp.ones((grid[0],), jnp.int32)
-    else:
-        vm = voxel_mask.astype(bool)
-        if pad_b:
-            vm = jnp.pad(vm, (0, pad_b))
-        tiles_active = jnp.any(vm.reshape(grid[0], v_tile), axis=1).astype(
-            jnp.int32
-        )
-
-    params_t = (
-        params.astype(jnp.float32)
-        .reshape(grid[0], v_tile, p)
-        .transpose(0, 2, 1)
+    params_t, y_re, y_im, tiles_active, b, b_pad, n_tiles = (
+        _prepare_tile_batch(params, y_re, y_im, n_peaks, v_tile, voxel_mask)
     )
+    grid = (n_tiles,)
 
     kernel = functools.partial(
         _normal_eq_kernel_v8,

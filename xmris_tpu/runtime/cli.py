@@ -65,7 +65,7 @@ def fit_main(argv: list[str] | None = None) -> int:
     parser.add_argument("--engine", default="auto",
                         choices=("auto", "xla", "pallas"))
     parser.add_argument("--max-iter", type=int, default=60)
-    parser.add_argument("--kernel-version", type=int, default=6)
+    parser.add_argument("--kernel-version", type=int, default=8)
     parser.add_argument("--chunk-size", type=int, default=None)
     parser.add_argument("--no-init-lm", action="store_true",
                         help="skip the template-fit initialization pass")
