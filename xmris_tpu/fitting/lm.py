@@ -482,13 +482,20 @@ def lorentzian_env_flags(pmap_static) -> tuple[bool, ...]:
 
 
 def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
-    """Resolve a kernel_version to (callable, active-row tuple or None).
+    """Resolve a kernel_version to (callable, active rows, default v_tile).
 
     5/6/7 are active-rows kernels: fixed params' Jacobian rows (zero rows
     of the scatter matrix) are never computed or contracted.  6 adds
     stacked-voxel MXU Gram dots + converged-tile skipping; 7 adds the
     block-factored transcendental basis (requires n_t % 128 == 0 and
     uniform t — every fit_amares time axis qualifies; falls back to 6).
+    8 is the moment-based formulation for purely Lorentzian priors
+    (falls back to 6 otherwise); its per-program work is small enough
+    that larger tiles amortize the fixed grid cost (measured end-to-end:
+    v_tile 64 = 41.0 ms, 32 = 42.4, 8 = 50.4), so it carries default
+    v_tile 64 while
+    the Jacobian-materializing kernels keep 8 (their VMEM scratch scales
+    with the tile and larger tiles measured no better).
     """
     from xmris_tpu.ops.kernels.lm_pallas import (
         eq6_normal_equations_pallas,
@@ -510,10 +517,12 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
                     eq6_normal_equations_pallas_v8, active=active
                 ),
                 active,
+                64,
             )
         return (
             functools.partial(eq6_normal_equations_pallas_v6, active=active),
             active,
+            8,
         )
 
     if kernel_version not in (5, 6, 7):
@@ -524,6 +533,7 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
                 3: eq6_normal_equations_pallas_v3,
             }[kernel_version],
             None,
+            8,
         )
 
     active = active_param_rows(pmap_static)
@@ -535,15 +545,18 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
                 env_fast=lorentzian_env_flags(pmap_static),
             ),
             active,
+            8,
         )
     if kernel_version >= 6:
         return (
             functools.partial(eq6_normal_equations_pallas_v6, active=active),
             active,
+            8,
         )
     return (
         functools.partial(eq6_normal_equations_pallas_v5, active=active),
         active,
+        8,
     )
 
 
@@ -567,7 +580,7 @@ def lm_fit_batched_pallas(
     max_iter: int = 50,
     lam0: float = 1e-3,
     ftol: float = 1e-10,
-    v_tile: int = 8,
+    v_tile: int | None = None,
     interpret: bool = False,
     kernel_version: int = 8,
     return_hessian: bool = False,
@@ -586,9 +599,11 @@ def lm_fit_batched_pallas(
     is the external one scaled by the bound-transform diagonal, which we
     divide back out).
     """
-    kernel_fn, active = _select_pallas_kernel(
+    kernel_fn, active, vt_default = _select_pallas_kernel(
         kernel_version, pmap_static, fids_re.shape[-1]
     )
+    if v_tile is None:
+        v_tile = vt_default
 
     real_dtype = jnp.float32  # the kernel is float32
     fids_re = fids_re.astype(real_dtype)
@@ -753,7 +768,7 @@ def crlb_batched_pallas(
     x_free,  # (B, F) external free parameters at the optimum
     pmap_static,
     mhz: float,
-    v_tile: int = 8,
+    v_tile: int | None = None,
     interpret: bool = False,
     kernel_version: int = 8,
 ):
@@ -766,9 +781,11 @@ def crlb_batched_pallas(
     """
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag
 
-    kernel_fn, active = _select_pallas_kernel(
+    kernel_fn, active, vt_default = _select_pallas_kernel(
         kernel_version, pmap_static, fids_re.shape[-1]
     )
+    if v_tile is None:
+        v_tile = vt_default
     real_dtype = jnp.float32
     fids_re = fids_re.astype(real_dtype)
     fids_im = fids_im.astype(real_dtype)

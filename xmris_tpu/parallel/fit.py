@@ -45,7 +45,7 @@ def lm_fit_batched_pallas_sharded(
     max_iter: int = 50,
     lam0: float = 1e-3,
     ftol: float = 1e-10,
-    v_tile: int = 8,
+    v_tile: int | None = None,
     interpret: bool = False,
     kernel_version: int = 8,
     return_hessian: bool = False,
