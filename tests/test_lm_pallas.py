@@ -669,6 +669,66 @@ class TestMomentKernel:
         assert np.asarray(res.converged).all()
 
 
+class TestMomentKernelTies:
+    def test_v8_driver_with_tied_amplitude(self, tmp_path):
+        """v8 + tied amplitude (0.5*PCr) + fixed g: the kernel's
+        physical-space H must compose correctly with the driver's
+        scatter-matrix tie folding — compare against the v3 path."""
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        csv = PK_CSV.replace(
+            "amplitude,10.0,5.0", 'amplitude,10.0,0.5*PCr'
+        ).replace('"(0, 1)","(0, 1)"', "fixed,fixed")
+        p = tmp_path / "pk_tied.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        assert pk.n_free == 7  # 2 peaks x 4 free, minus the tied amplitude
+        # Phantom with ATP = 0.5 * PCr so the tie is consistent with truth
+        mhz, sw, n = 120.0, 10000.0, 256
+        t_np = np.arange(n) / sw
+        rng = np.random.default_rng(5)
+        data = []
+        for a in (10.0, 24.0):
+            y = a * np.exp((-15 * np.pi) * t_np)
+            y = y + 0.5 * a * np.exp(
+                (-20 * np.pi + 1j * 2 * np.pi * (-7.5 * mhz)) * t_np
+            )
+            data.append(y + rng.normal(0, 0.05, n) + 1j * rng.normal(0, 0.05, n))
+        fids = np.stack(data).astype(np.complex64)
+
+        t = jnp.asarray(t_np.astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), mhz,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r3 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=3,
+        )
+        r8 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=8,
+        )
+        # PCr amplitude is free slot 0; both engines recover the truth
+        np.testing.assert_allclose(
+            np.asarray(r8.x_free[:, 0]), [10.0, 24.0], rtol=0.05
+        )
+        np.testing.assert_allclose(
+            np.asarray(r8.x_free[:, 0]), np.asarray(r3.x_free[:, 0]),
+            rtol=0.02,
+        )
+        assert np.all(
+            np.asarray(r8.cost) < np.asarray(r3.cost) * 1.02 + 1e-12
+        )
+        assert np.asarray(r8.converged).all()
+
+
 class TestFitAmaresEngines:
     def test_pallas_engine_through_accessor(self, tmp_path):
         """fit_amares(engine='pallas') runs in interpret mode off-TPU."""
