@@ -326,6 +326,9 @@ def supervise() -> None:
                 "value": 0.0,
                 "unit": "voxels/s",
                 "vs_baseline": 0.0,
+                "engine": "none",
+                "backend": "none",
+                "fallback": True,
             }
         )
     print(line)
@@ -371,7 +374,8 @@ def main() -> None:
             engine = "complex"
 
     n_voxels = int(np.prod(GRID))
-    if os.environ.get("XMT_BENCH_SCOPE") == "spectral":
+    fallback = os.environ.get("XMT_BENCH_SCOPE") == "spectral"
+    if fallback:
         vox_per_s = n_voxels / spectral_s
         metric = (
             "MRSI voxels/sec (32x32x16x2048 spectral pipeline only — "
@@ -396,6 +400,11 @@ def main() -> None:
                 "value": round(vox_per_s, 1),
                 "unit": "voxels/s",
                 "vs_baseline": round(vox_per_s / TARGET_VOXELS_PER_S, 3),
+                # Self-describing engine/fallback flags: a wedged-relay
+                # CPU-fallback run must never be mistaken for a TPU number.
+                "engine": engine,
+                "backend": backend,
+                "fallback": fallback,
             }
         )
     )

@@ -925,3 +925,120 @@ class TestLargerPriors:
                 np.asarray(h[i]), h_ref, rtol=1e-4,
                 atol=1e-3 * np.abs(h_ref).max(),
             )
+
+
+class TestRound3Guards:
+    """Round-3 hardening: v7 uniform-t guard, zero-cost voxels, pinned CRLBs."""
+
+    def _pk_and_data(self, tmp_path, n_t=256):
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=2, n_points=n_t)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        return pk, jnp.asarray(fids.real), jnp.asarray(fids.imag)
+
+    def test_v7_rejects_nonuniform_concrete_t(self, tmp_path):
+        pk, re, im = self._pk_and_data(tmp_path)
+        # quadratic warp: clearly non-uniform spacing
+        t_bad = jnp.asarray(
+            ((np.arange(256) / 10000.0) ** 2 * 50.0).astype(np.float32)
+        )
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        with pytest.raises(ValueError, match="uniformly sampled"):
+            lm_fit_batched_pallas(
+                re, im, t_bad, u0,
+                jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+                jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
+                max_iter=5, v_tile=2, interpret=True, kernel_version=7,
+            )
+
+    def test_v7_traced_t_requires_flag(self, tmp_path):
+        import jax
+
+        pk, re, im = self._pk_and_data(tmp_path)
+        t = jnp.asarray((np.arange(256) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
+        )
+
+        def run(tt, **kw):
+            return lm_fit_batched_pallas(
+                re, im, tt, u0, *args,
+                max_iter=5, v_tile=2, interpret=True, kernel_version=7, **kw
+            ).cost
+
+        # Traced t cannot be validated -> must be explicitly vouched for
+        with pytest.raises(ValueError, match="require_uniform_t"):
+            jax.jit(run)(t)
+        cost = jax.jit(
+            lambda tt: run(tt, require_uniform_t=True)
+        )(t)
+        assert np.all(np.isfinite(np.asarray(cost)))
+
+    def test_zero_cost_voxel_converges_f32(self, tmp_path):
+        """A voxel whose cost is exactly 0 (all-zero FID perfectly fit by a
+        zero-amplitude model) must converge instead of NaN-ing the
+        predicted-decrease ratio and burning the max_iter budget (the old
+        1e-300 divisor guard underflowed to 0.0 in float32)."""
+        csv = (
+            "Index,PCr\n"
+            "Initial Values,\n"
+            "amplitude,0.0\n"
+            "chemicalshift,0.0\n"
+            "linewidth,15.0\n"
+            "phase,10\n"
+            "g,0\n"
+            "Bounds,\n"
+            "amplitude,fixed\n"
+            "chemicalshift,fixed\n"
+            "linewidth,fixed\n"
+            'phase,"(-180, 180)"\n'
+            "g,fixed\n"
+        )
+        p = tmp_path / "pk0.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        n_t = 128
+        re = jnp.zeros((2, n_t), jnp.float32)
+        im = jnp.zeros((2, n_t), jnp.float32)
+        t = jnp.asarray((np.arange(n_t) / 5000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        ).astype(jnp.float32)
+        res = lm_fit_batched_planar(
+            re, im, t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
+            max_iter=10,
+        )
+        assert np.asarray(res.cost).tolist() == [0.0, 0.0]
+        assert np.asarray(res.converged).all()
+        # exits via the rejection plateau in ~3 iterations, not max_iter
+        assert np.asarray(res.n_iter).max() == 0
+
+    def test_crlb_from_hessian_flags_unidentifiable(self):
+        """A zero Hessian row (pinned-at-bound or structurally dead
+        parameter) reports an infinite CRLB, not a huge-but-finite ridge
+        artifact."""
+        from xmris_tpu.fitting.lm import crlb_from_hessian
+
+        h = np.zeros((1, 3, 3), np.float32)
+        h[0, 0, 0] = 4.0
+        h[0, 1, 1] = 9.0
+        # row/col 2 zeroed: unidentifiable
+        cost = jnp.asarray([2.0], jnp.float32)
+        sds, s2 = crlb_from_hessian(jnp.asarray(h), cost, 64)
+        sds = np.asarray(sds)
+        assert np.isfinite(sds[0, 0]) and np.isfinite(sds[0, 1])
+        assert np.isinf(sds[0, 2])

@@ -5,6 +5,7 @@ real Bruker AVANCE NEO 3T data with hand-curated ground truth (water at
 4.680 ppm / -2.58 Hz).
 """
 
+import os
 import pathlib
 
 import numpy as np
@@ -15,10 +16,14 @@ from xmris_tpu import ATTRS, DIMS, XmrArray
 from xmris_tpu.interop.io import load_dataarray, load_npz, save_npz
 from xmris_tpu.vendor.bruker import build_fid, remove_digital_filter, reshape_bruker_raw
 
-BRUKER_NC = pathlib.Path("/root/reference/tests/data/nspect_slab_1H/rawdatajob0.nc")
-C13_TOML = pathlib.Path(
-    "/root/reference/tests/data/nspect_slab_13C/ground_truth.toml"
+# Scanner fixtures live in the reference checkout (not vendored here);
+# point XMRIS_TPU_REFDATA at a copy of its tests/data directory on other
+# machines.  Every dependent test skips gracefully when absent.
+_REFDATA = pathlib.Path(
+    os.environ.get("XMRIS_TPU_REFDATA", "/root/reference/tests/data")
 )
+BRUKER_NC = _REFDATA / "nspect_slab_1H" / "rawdatajob0.nc"
+C13_TOML = _REFDATA / "nspect_slab_13C" / "ground_truth.toml"
 
 
 class TestRemoveDigitalFilter:

@@ -300,13 +300,22 @@ def lm_fit_batched_planar(
             # near-GN regime a predicted relative decrease (~ g . delta)
             # at float resolution means the voxel is finished before the
             # trial.
+            # Guard divisor must be representable in the working dtype:
+            # 1e-300 underflows to 0.0 in float32 and a perfectly fit
+            # all-zero voxel would produce 0/0 = NaN, fail every done
+            # comparison, and burn the whole max_iter budget.
             eps_p = jnp.finfo(real_dtype).eps
+            tiny = jnp.asarray(jnp.finfo(real_dtype).tiny, real_dtype)
             solve_ok = jnp.all(jnp.isfinite(delta))
             delta = jnp.where(solve_ok, delta, 0.0)
-            pred_rel = jnp.dot(grad, delta) / jnp.maximum(
-                st["cost"], 1e-300
+            pred_rel = jnp.dot(grad, delta) / jnp.maximum(st["cost"], tiny)
+            # pred_rel >= 0 excludes the finite-yet-negative case (an f32
+            # ascent direction from a near-indefinite damped solve) from
+            # reading as convergence.
+            done = done | (
+                (pred_rel >= 0.0) & (pred_rel <= 64.0 * eps_p)
+                & (lam < lam0) & solve_ok
             )
-            done = done | ((pred_rel <= 64.0 * eps_p) & (lam < lam0) & solve_ok)
 
             trial = evaluate(st["u"] + delta)
             # Gate on ~done so a voxel retired by the predicted-decrease
@@ -317,7 +326,7 @@ def lm_fit_batched_planar(
                 & (trial["cost"] < st["cost"])
                 & ~done
             )
-            rel_drop = (st["cost"] - trial["cost"]) / jnp.maximum(st["cost"], 1e-300)
+            rel_drop = (st["cost"] - trial["cost"]) / jnp.maximum(st["cost"], tiny)
 
             st_new = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), trial, st
@@ -560,6 +569,73 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
     )
 
 
+def _check_uniform_t_v7(t, require_uniform_t: bool) -> None:
+    """Hard guard for the v7 kernel's uniform-sampling precondition.
+
+    v7's block-factored basis assumes ``t[q*128 + r] = t[r] + t_q``; a
+    non-uniform axis silently computes wrong Jacobians.  Concrete axes are
+    validated here (eagerly, before tracing erases the values); a traced
+    axis cannot be checked and must be explicitly vouched for with
+    ``require_uniform_t=True``.
+    """
+    if isinstance(t, jax.core.Tracer):
+        if not require_uniform_t:
+            raise ValueError(
+                "kernel_version=7 requires a uniformly sampled time axis, "
+                "but t is traced and cannot be validated. Pass "
+                "require_uniform_t=True to assert uniformity, or use "
+                "kernel_version=6/8."
+            )
+        return
+    eps = float(np.finfo(getattr(t, "dtype", np.float64)).eps)
+    t_np = np.asarray(t, dtype=np.float64)
+    if t_np.size >= 3:
+        dt = np.diff(t_np)
+        # Tolerance scaled to the axis dtype: a float32 uniform axis carries
+        # ~eps*max|t| quantization per sample, so adjacent diffs wobble by
+        # up to ~2x that even when genuinely uniform.
+        tol = 16.0 * eps * max(float(np.max(np.abs(t_np))), 1e-30)
+        if float(np.max(np.abs(dt - dt[0]))) > tol:
+            raise ValueError(
+                "kernel_version=7 requires a uniformly sampled time axis; "
+                "got non-uniform spacing. Use kernel_version=6/8 instead."
+            )
+
+
+def lm_fit_batched_pallas(
+    fids_re,
+    fids_im,
+    t,
+    u0,
+    lower,
+    upper,
+    kind,
+    pmap_static,
+    mhz: float,
+    max_iter: int = 50,
+    lam0: float = 1e-3,
+    ftol: float = 1e-10,
+    v_tile: int | None = None,
+    interpret: bool = False,
+    kernel_version: int = 8,
+    return_hessian: bool = False,
+    require_uniform_t: bool = False,
+):
+    """Public entry: validates v7's uniform-t precondition eagerly, then
+    dispatches to the jitted implementation (see
+    :func:`_lm_fit_batched_pallas_impl` for the full docstring)."""
+    # Only guard when v7 will actually run: on n_t % 128 != 0 the selector
+    # falls back to v6, which has no uniformity precondition.
+    if kernel_version == 7 and fids_re.shape[-1] % 128 == 0:
+        _check_uniform_t_v7(t, require_uniform_t)
+    return _lm_fit_batched_pallas_impl(
+        fids_re, fids_im, t, u0, lower, upper, kind, pmap_static, mhz,
+        max_iter=max_iter, lam0=lam0, ftol=ftol, v_tile=v_tile,
+        interpret=interpret, kernel_version=kernel_version,
+        return_hessian=return_hessian,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -567,7 +643,7 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
         "kernel_version", "return_hessian",
     ),
 )
-def lm_fit_batched_pallas(
+def _lm_fit_batched_pallas_impl(
     fids_re,
     fids_im,
     t,
@@ -674,7 +750,14 @@ def lm_fit_batched_pallas(
         pred_rel = jnp.einsum("bf,bf->b", g, delta) / jnp.maximum(
             cost, 1e-30
         )
-        done = done | ((pred_rel <= 64.0 * eps) & (lam < lam0) & solve_ok)
+        # pred_rel >= 0 excludes a finite-yet-negative prediction (f32
+        # ascent direction from a near-indefinite damped solve) from
+        # reading as convergence; such a step falls through to the
+        # reject/re-damp path instead.
+        done = done | (
+            (pred_rel >= 0.0) & (pred_rel <= 64.0 * eps)
+            & (lam < lam0) & solve_ok
+        )
 
         # v6 skips tiles whose 8 voxels are all converged: their (stale)
         # outputs are filtered below because ``ok`` is gated on ``~done``.
@@ -730,10 +813,16 @@ def lm_fit_batched_pallas(
         return result
     # The carried H is D @ H_ext @ D with D = diag(dx/du) at the final
     # (accepted) state; divide the diagonal scaling back out.  A parameter
-    # pinned exactly at a bound has dx/du -> 0 and an unidentifiable CRLB
-    # either way; the guard keeps the algebra finite there.
-    safe_d = jnp.where(jnp.abs(dxdu_fin) < 1e-12, 1.0, dxdu_fin)
+    # pinned exactly at a bound has dx/du -> 0: its external Fisher row is
+    # unrecoverable from the carried H, so instead of leaving a bound-scaled
+    # near-zero row (which reads as a huge-but-finite CRLB), zero the
+    # row/column outright — crlb_from_hessian maps a zero diagonal to an
+    # infinite CRLB, explicitly flagging the parameter as unidentifiable.
+    pinned = jnp.abs(dxdu_fin) < 1e-12
+    safe_d = jnp.where(pinned, 1.0, dxdu_fin)
     h_ext = h_fin / (safe_d[:, :, None] * safe_d[:, None, :])
+    keep = (~pinned).astype(h_ext.dtype)
+    h_ext = h_ext * keep[:, :, None] * keep[:, None, :]
     return result, h_ext
 
 
@@ -745,6 +834,11 @@ def crlb_from_hessian(h_ext, cost, n_t):
     residuals per real channel, identity prior) but with ZERO model
     evaluations: the LM driver's ``return_hessian=True`` output feeds this
     directly, saving the whole CRLB kernel pass.
+
+    A zero diagonal entry of ``h_ext`` marks an unidentifiable parameter
+    (the LM driver zeroes the rows of parameters pinned at a bound, and a
+    structurally zero Jacobian row lands here too): its CRLB is reported as
+    ``inf`` rather than a misleading huge-but-finite ridge artifact.
     """
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag
 
@@ -754,6 +848,8 @@ def crlb_from_hessian(h_ext, cost, n_t):
     sigma2 = cost / dof
     diag_inv = spd_inverse_diag(h)
     sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
+    unident = jnp.diagonal(h_ext, axis1=1, axis2=2) <= 0.0
+    sds = jnp.where(unident, jnp.inf, sds)
     return sds, sigma2
 
 

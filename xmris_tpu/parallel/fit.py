@@ -71,8 +71,17 @@ def lm_fit_batched_pallas_sharded(
     if u0.ndim == 1:
         u0 = jnp.broadcast_to(u0[None, :], (b, u0.shape[0]))
 
+    if kernel_version == 7 and fids_re.shape[-1] % 128 == 0:
+        # Validate v7's uniform-t precondition here, where t is still
+        # concrete — inside shard_map it is traced and unverifiable.
+        # (On n_t % 128 != 0 the selector falls back to v6: no precondition.)
+        from xmris_tpu.fitting.lm import _check_uniform_t_v7
+
+        _check_uniform_t_v7(t, require_uniform_t=False)
+
     solver = functools.partial(
         lm_fit_batched_pallas,
+        require_uniform_t=True,  # validated above for v7; no-op otherwise
         pmap_static=pmap_static,
         mhz=mhz,
         max_iter=max_iter,
