@@ -107,7 +107,7 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
     from xmris_tpu.fitting.prior import load_prior_knowledge
 
     use_pallas = jax.default_backend() == "tpu"
-    kernel_version = int(os.environ.get("XMT_KERNEL_VERSION", "8"))
+    kernel_version = int(os.environ.get("XMT_KERNEL_VERSION", "9"))
     if max_iter is None:
         max_iter = int(os.environ.get("XMT_FIT_MAX_ITER", "24"))
     if chunk_size is None:

@@ -23,7 +23,7 @@ def host_oracle(xr, xi, n_out, window=None, shifted=True):
 
 
 class TestSpectrumPallas:
-    @pytest.mark.parametrize("s2", ["loop", "stacked"])
+    @pytest.mark.parametrize("s2", ["loop", "stacked", "stacked2"])
     @pytest.mark.parametrize(
         "n_in,n_out,shifted", [(1024, 2048, True), (512, 512, False),
                                (256, 1024, True)]
@@ -41,6 +41,33 @@ class TestSpectrumPallas:
         got = np.asarray(sr) + 1j * np.asarray(si)
         err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
         assert err < 2e-6, err
+
+    @pytest.mark.parametrize("s2", ["loop", "stacked2"])
+    @pytest.mark.parametrize("n2", [16, 32, 64])
+    def test_pre_relayout_and_n2(self, s2, n2):
+        """The XLA-prebuilt stage-1 panel path and non-default Cooley-Tukey
+        splits match the oracle (window folded either way)."""
+        rng = np.random.default_rng(n2)
+        b, n_in, n_out = 5, 1024, 2048
+        xr = rng.normal(size=(b, n_in)).astype(np.float32)
+        xi = rng.normal(size=(b, n_in)).astype(np.float32)
+        w = np.exp(-np.arange(n_in) / 300.0).astype(np.float32)
+        sr, si = spectrum_pallas(
+            jnp.asarray(xr), jnp.asarray(xi), n_out, window=jnp.asarray(w),
+            n2=n2, v_tile=2, interpret=True, s2=s2, pre_relayout=True,
+        )
+        ref = host_oracle(xr, xi, n_out, window=w)
+        got = np.asarray(sr) + 1j * np.asarray(si)
+        err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert err < 2e-6, err
+        # and without pre_relayout at the same split
+        sr2, si2 = spectrum_pallas(
+            jnp.asarray(xr), jnp.asarray(xi), n_out, window=jnp.asarray(w),
+            n2=n2, v_tile=2, interpret=True, s2=s2,
+        )
+        got2 = np.asarray(sr2) + 1j * np.asarray(si2)
+        err2 = np.max(np.abs(got2 - ref)) / np.max(np.abs(ref))
+        assert err2 < 2e-6, err2
 
     def test_window_fused(self):
         rng = np.random.default_rng(1)

@@ -1042,3 +1042,223 @@ class TestRound3Guards:
         sds = np.asarray(sds)
         assert np.isfinite(sds[0, 0]) and np.isfinite(sds[0, 1])
         assert np.isinf(sds[0, 2])
+
+
+class TestGeneralizedMomentKernel:
+    """v9: moment-based normal equations valid for every Eq.6 prior."""
+
+    def _xla_reference(self, grids, yre, yim, t, k):
+        """Brute-force (cost, g, H) over ALL K*5 physical rows."""
+        from xmris_tpu.fitting.lm import eq6_basis_planar, eq6_jacobian_planar
+
+        tj = jnp.asarray(t)
+        outs = []
+        for i in range(grids.shape[0]):
+            grid = jnp.asarray(grids[i].reshape(k, 5))
+            m_re, m_im, b_re, b_im = eq6_basis_planar(tj, grid, MHZ)
+            jre = eq6_jacobian_planar(tj, grid, b_re, b_im, MHZ)[0].reshape(
+                len(t), -1
+            )
+            jim = eq6_jacobian_planar(tj, grid, b_re, b_im, MHZ)[1].reshape(
+                len(t), -1
+            )
+            rre = yre[i] - np.asarray(m_re)
+            rim = yim[i] - np.asarray(m_im)
+            c = float(np.sum(rre**2 + rim**2))
+            g = np.asarray(jre).T @ rre + np.asarray(jim).T @ rim
+            h = (
+                np.asarray(jre).T @ np.asarray(jre)
+                + np.asarray(jim).T @ np.asarray(jim)
+            )
+            outs.append((c, g, h))
+        return outs
+
+    @pytest.mark.parametrize("n_t,k", [(256, 2), (512, 3)])
+    def test_voigt_free_g_parity(self, n_t, k):
+        """Voigt grids (g in (0,1)) with ALL rows active — incl. the g rows
+        and the degree-2 linewidth rows — match the XLA Jacobian reference."""
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v9,
+        )
+
+        b = 5
+        rng = np.random.default_rng(n_t)
+        grids = sane_grids(b, k, seed=n_t)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+
+        active = tuple(range(k * 5))  # every row, g included
+        cost, g, h = eq6_normal_equations_pallas_v9(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active,
+            g_zero=(False,) * k, v_tile=2, interpret=True,
+        )
+        for i, (c_ref, g_ref, h_ref) in enumerate(
+            self._xla_reference(grids, yre, yim, t, k)
+        ):
+            assert float(cost[i]) == pytest.approx(c_ref, rel=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(g[i]), g_ref, rtol=1e-4,
+                atol=1e-4 * np.abs(g_ref).max(),
+            )
+            np.testing.assert_allclose(
+                np.asarray(h[i]), h_ref, rtol=1e-4,
+                atol=1e-3 * np.abs(h_ref).max(),
+            )
+
+    def test_matches_v8_on_lorentzian(self):
+        """On a purely Lorentzian prior v9 reduces exactly to v8's math."""
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v8,
+            eq6_normal_equations_pallas_v9,
+        )
+
+        b, n_t, k = 4, 256, 2
+        rng = np.random.default_rng(7)
+        grids = sane_grids(b, k, seed=7)
+        grids[:, 4::5] = 0.0  # Lorentzian: g = 0
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+        active = tuple(j for j in range(k * 5) if j % 5 != 4)
+
+        out8 = eq6_normal_equations_pallas_v8(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active,
+            v_tile=2, interpret=True,
+        )
+        out9 = eq6_normal_equations_pallas_v9(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active,
+            g_zero=(True,) * k, v_tile=2, interpret=True,
+        )
+        for a8, a9 in zip(out8, out9):
+            # identical math, different accumulation order -> f32 rounding
+            np.testing.assert_allclose(
+                np.asarray(a9), np.asarray(a8), rtol=2e-5, atol=1e-5
+            )
+
+    def test_accept_gate_cost_always_valid(self):
+        """With cost_prev below every achievable cost the moment work is
+        skipped, but the cost output stays exact."""
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v9,
+        )
+
+        b, n_t, k = 4, 256, 2
+        rng = np.random.default_rng(3)
+        grids = sane_grids(b, k, seed=3)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+        active = tuple(range(k * 5))
+
+        c_open, g_open, h_open = eq6_normal_equations_pallas_v9(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active,
+            g_zero=(False,) * k, v_tile=2, interpret=True,
+        )
+        c_gated, _, _ = eq6_normal_equations_pallas_v9(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+            jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active,
+            g_zero=(False,) * k, v_tile=2, interpret=True,
+            cost_prev=jnp.zeros((b,), jnp.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_gated), np.asarray(c_open), rtol=1e-6
+        )
+
+    def test_driver_v9_on_voigt_prior(self, tmp_path):
+        """kernel_version=9 fits the free-g prior (no v6 fallback) and
+        matches the all-rows v3 baseline."""
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)  # g free in (0, 1) for both peaks
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=3, n_points=512)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(512) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r3 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=30, v_tile=2, interpret=True,
+            kernel_version=3,
+        )
+        r9 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=30, v_tile=2, interpret=True,
+            kernel_version=9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r9.x_free[:, 0]), [10.0, 20.0, 30.0], rtol=0.05
+        )
+        np.testing.assert_allclose(
+            np.asarray(r9.x_free), np.asarray(r3.x_free), rtol=0.05, atol=0.05
+        )
+        assert np.all(
+            np.asarray(r9.cost) < np.asarray(r3.cost) * 1.02 + 1e-12
+        )
+        assert np.asarray(r9.converged).all()
+
+    def test_driver_v9_matches_v8_on_lorentzian_prior(self, tmp_path):
+        from tests.test_fitting import make_phantom
+
+        csv = (
+            "Index,PCr,ATP\n"
+            "Initial Values,,\n"
+            "amplitude,10.0,5.0\n"
+            "chemicalshift,0.0,-7.5\n"
+            "linewidth,15.0,20.0\n"
+            "phase,0,0\n"
+            "g,0,0\n"
+            "Bounds,,\n"
+            'amplitude,"(0, ","(0, "\n'
+            'chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"\n'
+            'linewidth,"(5.0, 30.0)","(10.0, 40.0)"\n'
+            'phase,"(-180, 180)","(-180, 180)"\n'
+            "g,fixed,fixed\n"
+        )
+        p = tmp_path / "pk.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=3, n_points=512)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(512) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r8 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=8,
+        )
+        r9 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r9.x_free), np.asarray(r8.x_free), rtol=0.02, atol=0.02
+        )
+        assert np.all(
+            np.asarray(r9.cost) < np.asarray(r8.cost) * 1.02 + 1e-12
+        )
+        assert np.asarray(r9.converged).all()

@@ -146,7 +146,7 @@ def fit_amares(
     chunk_size: int | None = None,
     engine: str = "auto",
     scale_init_amplitudes: bool = True,
-    kernel_version: int = 8,
+    kernel_version: int = 9,
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 

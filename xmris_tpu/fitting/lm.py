@@ -505,6 +505,10 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
     v_tile 64 while
     the Jacobian-materializing kernels keep 8 (their VMEM scratch scales
     with the tile and larger tiles measured no better).
+    9 (the default) generalizes the moment formulation to EVERY Eq.6
+    prior (Voigt / free-g included — coefficient polynomials up to t^2,
+    moments up to t^4) and adds accept gating: rejected LM trials skip
+    the moment/H/g work per tile (the driver only consumes their cost).
     """
     from xmris_tpu.ops.kernels.lm_pallas import (
         eq6_normal_equations_pallas,
@@ -514,7 +518,20 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
         eq6_normal_equations_pallas_v6,
         eq6_normal_equations_pallas_v7,
         eq6_normal_equations_pallas_v8,
+        eq6_normal_equations_pallas_v9,
     )
+
+    if kernel_version == 9:
+        active = active_param_rows(pmap_static)
+        return (
+            functools.partial(
+                eq6_normal_equations_pallas_v9,
+                active=active,
+                g_zero=lorentzian_env_flags(pmap_static),
+            ),
+            active,
+            64,
+        )
 
     if kernel_version == 8:
         # Moment-based H: valid only for purely Lorentzian priors (every
@@ -617,7 +634,7 @@ def lm_fit_batched_pallas(
     ftol: float = 1e-10,
     v_tile: int | None = None,
     interpret: bool = False,
-    kernel_version: int = 8,
+    kernel_version: int = 9,
     return_hessian: bool = False,
     require_uniform_t: bool = False,
 ):
@@ -658,7 +675,7 @@ def _lm_fit_batched_pallas_impl(
     ftol: float = 1e-10,
     v_tile: int | None = None,
     interpret: bool = False,
-    kernel_version: int = 8,
+    kernel_version: int = 9,
     return_hessian: bool = False,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
@@ -698,13 +715,18 @@ def _lm_fit_batched_pallas_impl(
         smat_np = smat_np[list(active), :]
     smat = jnp.asarray(smat_np, real_dtype)
 
-    def full_eval(u, voxel_mask=None):
+    def full_eval(u, voxel_mask=None, cost_prev=None):
         x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
                                            kind[None, :])
         grids = _expand_params_batched(x, pmap_static, real_dtype)
         extra = (
             {"voxel_mask": voxel_mask} if kernel_version >= 6 else {}
         )
+        if kernel_version >= 9:
+            # Accept gate: tiles where no voxel improves on its previous
+            # accepted cost skip the moment/H/g work (the driver discards
+            # rejected trials' H/g anyway).
+            extra["cost_prev"] = cost_prev
         cost, g_phys, h_phys = kernel_fn(
             grids, fids_re, fids_im, t,
             n_peaks=n_peaks, mhz=mhz, v_tile=v_tile, interpret=interpret,
@@ -761,7 +783,7 @@ def _lm_fit_batched_pallas_impl(
 
         # v6 skips tiles whose 8 voxels are all converged: their (stale)
         # outputs are filtered below because ``ok`` is gated on ``~done``.
-        cost_t, g_t, h_t = full_eval(u_t, voxel_mask=~done)
+        cost_t, g_t, h_t = full_eval(u_t, voxel_mask=~done, cost_prev=cost)
         ok = jnp.isfinite(cost_t) & (cost_t < cost) & ~done
         rel_drop = (cost - cost_t) / jnp.maximum(cost, 1e-30)
 
@@ -866,7 +888,7 @@ def crlb_batched_pallas(
     mhz: float,
     v_tile: int | None = None,
     interpret: bool = False,
-    kernel_version: int = 8,
+    kernel_version: int = 9,
 ):
     """CRLBs from ONE fused-kernel evaluation at the optimum.
 

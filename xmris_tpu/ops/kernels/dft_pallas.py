@@ -133,15 +133,14 @@ def _spectrum_kernel(
     twim_ref,
     f2tre_ref,  # (n2, n2) VMEM — [k2, j2]
     f2tim_ref,
-    ore_ref,  # stacked: (n2, Vt*n1); loop: (Vt*n2, n1)
+    ore_ref,  # stacked: (n2, Vt*n1); loop/stacked2: (Vt*n2, n1)
     oim_ref,
-    pre_ref,  # (n1_in, Vt*n2) VMEM scratch — windowed, relayouted panel
-    pim_ref,
-    *scratch,  # stacked: (sre_ref, sim_ref) of (Vt*n1, n2); loop: none
+    *scratch,  # [pre_ref, pim_ref] unless pre_panel; then stacked scratch
     n1: int,
     n2: int,
     v_tile: int,
     s2: str,
+    pre_panel: bool = False,
 ):
     """All values stay 2D after the input relayout (Mosaic can neither
     split nor merge a vector's lane dimension).  The input arrives in its
@@ -151,10 +150,20 @@ def _spectrum_kernel(
     statically:
 
     * ``"stacked"`` — relayout via static slice copies into a scratch,
-      then ONE long Gram contraction producing (k2, (v, k1)).
+      then ONE long Gram contraction producing (k2, (v, k1)); the output
+      digit reversal happens in XLA (a transpose pass over HBM).
+    * ``"stacked2"`` — same ONE long Gram contraction, but the digit
+      reversal is a third in-kernel slice-copy loop ((n2, n1) blocks per
+      voxel), producing the loop path's ((v, k2), k1) layout so no XLA
+      post-pass exists.  Trades 64 fill/drain-bound tiny MXU dots for 64
+      VPU block copies.
     * ``"loop"`` — per-voxel (n2, n2) x (n1, n2) Gram dots straight off
       the twiddled stage-1 slices, producing ((v, k2), k1) so the output
       digit reversal is a free reshape.
+
+    With ``pre_panel`` the (j1, (v, j2)) stage-1 panel arrives pre-built
+    (window + relayout done by ONE fused XLA transpose pass over HBM);
+    the in-kernel copy loop disappears.
     """
     f32 = jnp.float32
     prec = jax.lax.Precision.HIGHEST
@@ -165,13 +174,21 @@ def _spectrum_kernel(
     f1r = f1re_ref[:, :]
     f1i = f1im_ref[:, :]
 
-    # Window + relayout (v, j1, j2) -> (j1, (v, j2)) via static copies
-    w2 = wre_ref[:, :]
-    for v in range(v_tile):
-        pre_ref[:, v * n2 : (v + 1) * n2] = xre_ref[v, :, :] * w2
-        pim_ref[:, v * n2 : (v + 1) * n2] = xim_ref[v, :, :] * w2
-    xr = pre_ref[:, :]
-    xi = pim_ref[:, :]
+    if pre_panel:
+        # Panel arrives ready: (j1, (v, j2)) with the window already folded
+        xr = xre_ref[:, :]
+        xi = xim_ref[:, :]
+        s_scratch = scratch
+    else:
+        # Window + relayout (v, j1, j2) -> (j1, (v, j2)) via static copies
+        pre_ref, pim_ref = scratch[0], scratch[1]
+        s_scratch = scratch[2:]
+        w2 = wre_ref[:, :]
+        for v in range(v_tile):
+            pre_ref[:, v * n2 : (v + 1) * n2] = xre_ref[v, :, :] * w2
+            pim_ref[:, v * n2 : (v + 1) * n2] = xim_ref[v, :, :] * w2
+        xr = pre_ref[:, :]
+        xi = pim_ref[:, :]
 
     # Stage 1: (n1, n1_in) @ (n1_in, Vt*n2) — contraction over j1
     yr = mm(f1r, xr) - mm(f1i, xi)
@@ -191,18 +208,31 @@ def _spectrum_kernel(
         jax.lax.dot_general, preferred_element_type=f32, precision=prec
     )
 
-    if s2 == "stacked":
+    if s2 in ("stacked", "stacked2"):
         # Relayout (k1, (v, j2)) -> ((v, k1), j2) via static slice copies,
         # then Z^T[k2, (v, k1)] = sum_j2 F2s[j2, k2] Y'[(v, k1), j2] as one
         # long lane-lane contraction.
-        sre_ref, sim_ref = scratch
+        sre_ref, sim_ref = s_scratch
         for v in range(v_tile):
             sre_ref[v * n1 : (v + 1) * n1, :] = tr[:, v * n2 : (v + 1) * n2]
             sim_ref[v * n1 : (v + 1) * n1, :] = ti[:, v * n2 : (v + 1) * n2]
         a_re = sre_ref[:, :]
         a_im = sim_ref[:, :]
-        ore_ref[:, :] = dg(f2r, a_re, contract) - dg(f2i, a_im, contract)
-        oim_ref[:, :] = dg(f2r, a_im, contract) + dg(f2i, a_re, contract)
+        zr = dg(f2r, a_re, contract) - dg(f2i, a_im, contract)
+        zi = dg(f2r, a_im, contract) + dg(f2i, a_re, contract)
+        if s2 == "stacked":
+            ore_ref[:, :] = zr
+            oim_ref[:, :] = zi
+        else:
+            # In-kernel digit reversal: (k2, (v, k1)) -> ((v, k2), k1) via
+            # per-voxel (n2, n1) block copies — no XLA transpose pass.
+            for v in range(v_tile):
+                ore_ref[v * n2 : (v + 1) * n2, :] = zr[
+                    :, v * n1 : (v + 1) * n1
+                ]
+                oim_ref[v * n2 : (v + 1) * n2, :] = zi[
+                    :, v * n1 : (v + 1) * n1
+                ]
     else:
         # Per-voxel Gram dots off direct slices: (k2, j2) x (k1, j2)
         for v in range(v_tile):
@@ -217,7 +247,8 @@ def _spectrum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_out", "n2", "shifted", "ortho", "v_tile", "interpret", "s2"
+        "n_out", "n2", "shifted", "ortho", "v_tile", "interpret", "s2",
+        "pre_relayout",
     ),
 )
 def spectrum_pallas(
@@ -231,6 +262,7 @@ def spectrum_pallas(
     v_tile: int = 64,
     interpret: bool = False,
     s2: str = "loop",
+    pre_relayout: bool = False,
 ):
     """Fused window -> zero-fill -> ortho DFT -> fftshift of a planar batch.
 
@@ -239,6 +271,11 @@ def spectrum_pallas(
     ``n2`` with ``n_out >= n_in``; the batch is padded to ``v_tile``
     internally.  ``n2=None`` picks the split so the output lane count
     ``n1 = n_out/n2`` lands at the 128-lane vreg width.
+
+    ``s2`` selects the stage-2 strategy (``"loop"`` / ``"stacked"`` /
+    ``"stacked2"``, see :func:`_spectrum_kernel`); ``pre_relayout=True``
+    builds the (j1, (v, j2)) stage-1 panel with one fused XLA
+    window+transpose pass over HBM instead of in-kernel slice copies.
     """
     batch_shape = xr.shape[:-1]
     n_in = xr.shape[-1]
@@ -261,18 +298,35 @@ def spectrum_pallas(
     b_pad = b + pad_b
     grid = (b_pad // v_tile,)
 
-    # Natural layout in, FREE reshape only — the (v, j1, j2) -> (j1, (v,
-    # j2)) relayout happens inside the kernel with slice copies, saving a
-    # full XLA transpose pass over HBM (and the window multiply rides it).
-    xr_p = xr.reshape(b_pad, n1_in, n2)
-    xi_p = xi.reshape(b_pad, n1_in, n2)
     if window is not None:
         w2 = window.reshape(n1_in, n2).astype(jnp.float32)
     else:
         w2 = jnp.ones((n1_in, n2), jnp.float32)
 
+    if pre_relayout:
+        # One fused XLA pass: window multiply + (v, j1, j2) -> (j1, (v, j2))
+        # transpose over HBM; the kernel reads the panel directly.
+        xr_p = (
+            (xr.reshape(b_pad, n1_in, n2) * w2[None])
+            .transpose(1, 0, 2)
+            .reshape(n1_in, b_pad * n2)
+        )
+        xi_p = (
+            (xi.reshape(b_pad, n1_in, n2) * w2[None])
+            .transpose(1, 0, 2)
+            .reshape(n1_in, b_pad * n2)
+        )
+    else:
+        # Natural layout in, FREE reshape only — the (v, j1, j2) -> (j1,
+        # (v, j2)) relayout happens inside the kernel with slice copies,
+        # saving a full XLA transpose pass over HBM (and the window
+        # multiply rides it).
+        xr_p = xr.reshape(b_pad, n1_in, n2)
+        xi_p = xi.reshape(b_pad, n1_in, n2)
+
     kernel = functools.partial(
-        _spectrum_kernel, n1=n1, n2=n2, v_tile=v_tile, s2=s2
+        _spectrum_kernel, n1=n1, n2=n2, v_tile=v_tile, s2=s2,
+        pre_panel=pre_relayout,
     )
 
     lanes = v_tile * n2
@@ -290,22 +344,36 @@ def spectrum_pallas(
         )
         out_shape = jax.ShapeDtypeStruct((b_pad * n2, n1), jnp.float32)
 
-    input_scratch = [
-        pltpu.VMEM((n1_in, lanes), jnp.float32),
-        pltpu.VMEM((n1_in, lanes), jnp.float32),
-    ]
+    if pre_relayout:
+        x_specs = [
+            pl.BlockSpec(
+                (n1_in, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n1_in, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ]
+        input_scratch = []
+    else:
+        x_specs = [
+            pl.BlockSpec(
+                (v_tile, n1_in, n2), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (v_tile, n1_in, n2), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        input_scratch = [
+            pltpu.VMEM((n1_in, lanes), jnp.float32),
+            pltpu.VMEM((n1_in, lanes), jnp.float32),
+        ]
     ore, oim = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (v_tile, n1_in, n2), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (v_tile, n1_in, n2), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        in_specs=x_specs
+        + [
             pl.BlockSpec((n1_in, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n1, n1_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n1, n1_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -316,7 +384,7 @@ def spectrum_pallas(
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[out_shape, out_shape],
-        # The stage-2 relayout scratch only exists on the stacked path —
+        # The stage-2 relayout scratch only exists on the stacked paths —
         # the loop path would waste 2 * Vt*n1*n2 floats of VMEM otherwise.
         scratch_shapes=input_scratch
         + (
@@ -324,7 +392,7 @@ def spectrum_pallas(
                 pltpu.VMEM((v_tile * n1, n2), jnp.float32),
                 pltpu.VMEM((v_tile * n1, n2), jnp.float32),
             ]
-            if s2 == "stacked"
+            if s2 in ("stacked", "stacked2")
             else []
         ),
         interpret=interpret,

@@ -1538,3 +1538,320 @@ def eq6_normal_equations_pallas_v2(
     g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, p_pad)
     cost = jnp.transpose(cost_out, (0, 2, 1)).reshape(b_pad)
     return cost[:b], g[:b, :p], h[:b, :p, :p]
+
+
+# ---------------------------------------------------------------------------
+# v9: generalized moments (any Eq.6 prior incl. Voigt/free-g) + accept gating
+# ---------------------------------------------------------------------------
+
+
+def _v9_row_degrees(ptype: int, g_fixed_zero: bool) -> tuple[int, ...]:
+    """Static t-power degrees of a Jacobian row's coefficient polynomial.
+
+    Every Eq.6 partial is ``(sum_d z_d t^d) * B_k`` (see
+    :func:`xmris_tpu.fitting.lm.eq6_jacobian_planar`):
+
+      amp   -> z_0 = 1/a
+      cs    -> z_1 = i*2*pi*MHz
+      lw    -> z_1 = -pi*(1-g), z_2 = -pi*g   (degree 1 only when g == 0)
+      phase -> z_0 = i*pi/180
+      g     -> z_1 = pi*lw,     z_2 = -pi*lw
+    """
+    if ptype in (0, 3):
+        return (0,)
+    if ptype == 1:
+        return (1,)
+    if ptype == 2:
+        return (1,) if g_fixed_zero else (1, 2)
+    return (1, 2)  # ptype == 4 (g)
+
+
+def _normal_eq_kernel_v9(
+    mask_ref,  # (n_tiles,) SMEM
+    params_ref,  # (1, K*5, V) VMEM
+    yre_ref,  # (V, n_t) VMEM
+    yim_ref,  # (V, n_t) VMEM
+    t_ref,  # (1, n_t) VMEM
+    cprev_ref,  # (1, 1, V) VMEM — previous accepted cost (accept gate)
+    h_ref,  # (1, A_pad*A_pad, V) VMEM out
+    g_ref,  # (1, A_pad, V) VMEM out
+    cost_ref,  # (1, 1, V) VMEM out
+    *,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int,
+    a_pad: int,
+    active: tuple[int, ...],
+    g_zero: tuple[bool, ...],
+):
+    """v8's moment-based (cost, g, H) generalized to ANY Eq.6 prior.
+
+    Every Jacobian row is ``(z_0 + z_1 t + z_2 t^2) * B_k`` with per-voxel
+    complex coefficients (see :func:`_v9_row_degrees`), so the Gram matrix
+    collapses to complex moments ``M_q[k,k'] = sum_t t^q B_k conj(B_k')``
+    for ``q`` up to 4, combined entry-wise with scalar coefficient products
+    — Lorentzian priors reduce exactly to v8's three moments; Voigt and
+    free-g priors add the t^3/t^4 moments instead of falling back to the
+    Jacobian-materializing v6 path.
+
+    Accept gating: the model + cost always evaluate, but the moment/H/g
+    work — the bulk of the kernel — runs only when at least one voxel of
+    the tile improves on ``cprev_ref`` (its previous accepted cost).  In
+    the LM driver rejected trials only ever consume the trial cost, so
+    tiles that reject skip ~3/4 of the kernel; callers that always need
+    H/g pass ``cost_prev = +inf``.
+    """
+    t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
+    n_t = t.shape[1]
+    f32 = jnp.float32
+    deg = _DEG
+    rows = [(j // 5, j % 5) for j in active]
+    row_degs = [_v9_row_degrees(p, g_zero[k]) for (k, p) in rows]
+
+    # Static moment requirements
+    need_n: dict[int, set] = {}
+    need_m: dict[tuple[int, int], set] = {}
+    for (k, _), degs in zip(rows, row_degs):
+        need_n.setdefault(k, set()).update(degs)
+    for (kr, _), degs_r in zip(rows, row_degs):
+        for (ks, _), degs_s in zip(rows, row_degs):
+            key = (min(kr, ks), max(kr, ks))
+            qs = need_m.setdefault(key, set())
+            for d in degs_r:
+                for e in degs_s:
+                    qs.add(d + e)
+    q_max = max((max(qs) for qs in need_m.values()), default=2)
+
+    @pl.when(mask_ref[pl.program_id(0)] != 0)
+    def _body():
+        # t powers up to the statically needed maximum
+        tp = [jnp.ones((1, n_t), f32), t]
+        for _ in range(2, q_max + 1):
+            tp.append(tp[-1] * t)
+
+        # Basis per peak + model + cost (always computed)
+        b_res, b_ims, amps, lws, gs = [], [], [], [], []
+        m_re = jnp.zeros((v_tile, n_t), f32)
+        m_im = jnp.zeros((v_tile, n_t), f32)
+        for k in range(n_peaks):
+            amp = params_ref[0, k * 5 + 0, :].reshape(v_tile, 1)
+            cs = params_ref[0, k * 5 + 1, :].reshape(v_tile, 1)
+            lw = params_ref[0, k * 5 + 2, :].reshape(v_tile, 1)
+            ph = params_ref[0, k * 5 + 3, :].reshape(v_tile, 1)
+            gv = params_ref[0, k * 5 + 4, :].reshape(v_tile, 1)
+
+            if g_zero[k]:
+                env = amp * jnp.exp((-jnp.pi) * lw * t)
+            else:
+                env = amp * jnp.exp(
+                    (-jnp.pi) * lw * (1.0 - gv + gv * t) * t
+                )
+            ang = (2.0 * jnp.pi * mhz) * cs * t + ph * deg
+            b_re = env * jnp.cos(ang)
+            b_im = env * jnp.sin(ang)
+            b_res.append(b_re)
+            b_ims.append(b_im)
+            amps.append(amp)
+            lws.append(lw)
+            gs.append(gv)
+            m_re = m_re + b_re
+            m_im = m_im + b_im
+
+        r_re = yre_ref[:, :] - m_re
+        r_im = yim_ref[:, :] - m_im
+        cost = jnp.sum(r_re * r_re + r_im * r_im, axis=1)
+        cost_ref[0, 0, :] = cost
+
+        improved = jnp.any(cost < cprev_ref[0, 0, :])
+
+        @pl.when(improved)
+        def _moments():
+            # Residual moments N_q[k] = sum_t t^q conj(B_k) r
+            n_mom = {}
+            for k, qs in need_n.items():
+                pr = b_res[k] * r_re + b_ims[k] * r_im
+                pi_ = b_res[k] * r_im - b_ims[k] * r_re
+                for q in sorted(qs):
+                    n_mom[(k, q)] = (
+                        jnp.sum(tp[q] * pr, axis=1),
+                        jnp.sum(tp[q] * pi_, axis=1),
+                    )
+
+            # Pair moments M_q[k, k'] = sum_t t^q B_k conj(B_k'), k <= k'
+            m_mom = {}
+            for (k, kp), qs in need_m.items():
+                cr = b_res[k] * b_res[kp] + b_ims[k] * b_ims[kp]
+                ci = b_ims[k] * b_res[kp] - b_res[k] * b_ims[kp]
+                for q in sorted(qs):
+                    m_mom[(k, kp, q)] = (
+                        jnp.sum(tp[q] * cr, axis=1),
+                        jnp.sum(tp[q] * ci, axis=1),
+                    )
+
+            # Per-row coefficient term lists [(alpha, beta, degree), ...]
+            w_cs = 2.0 * jnp.pi * mhz
+            zero = jnp.zeros((v_tile,), f32)
+            one = jnp.ones((v_tile,), f32)
+
+            def coeff_terms(k, ptype):
+                if ptype == 0:  # amplitude
+                    a_ = amps[k].reshape(v_tile)
+                    safe = jnp.where(a_ == 0, 1.0, a_)
+                    return [(one / safe, zero, 0)]
+                if ptype == 1:  # chemical shift
+                    return [(zero, w_cs * one, 1)]
+                if ptype == 2:  # linewidth
+                    if g_zero[k]:
+                        return [(-jnp.pi * one, zero, 1)]
+                    gv = gs[k].reshape(v_tile)
+                    return [
+                        (-jnp.pi * (1.0 - gv), zero, 1),
+                        (-jnp.pi * gv, zero, 2),
+                    ]
+                if ptype == 3:  # phase
+                    return [(zero, deg * one, 0)]
+                d_ = jnp.pi * lws[k].reshape(v_tile)  # g row
+                return [(d_, zero, 1), (-d_, zero, 2)]
+
+            terms = [coeff_terms(k, p) for (k, p) in rows]
+
+            # Gradient: g_r = sum_d Re(conj(z_{r,d}) N_d[k_r])
+            for r, ((k, _), tlist) in enumerate(zip(rows, terms)):
+                acc = zero
+                for al, be, d in tlist:
+                    nr, ni = n_mom[(k, d)]
+                    acc = acc + al * nr + be * ni
+                g_ref[0, r, :] = acc
+            for r in range(len(rows), a_pad):
+                g_ref[0, r, :] = zero
+
+            # Hessian: H[r,s] = sum_{d,e} Re(z_{r,d} conj(z_{s,e})
+            #                                M_{d+e}[k_r, k_s])
+            for r, ((kr, _), tr_) in enumerate(zip(rows, terms)):
+                for s, ((ks, _), ts_) in enumerate(zip(rows, terms)):
+                    if s < r:
+                        continue
+                    acc = zero
+                    for ar, br, d in tr_:
+                        for as_, bs, e in ts_:
+                            q = d + e
+                            if kr <= ks:
+                                mr, mi = m_mom[(kr, ks, q)]
+                            else:
+                                mr, mi = m_mom[(ks, kr, q)]
+                                mi = -mi
+                            acc = acc + (
+                                (ar * as_ + br * bs) * mr
+                                - (br * as_ - ar * bs) * mi
+                            )
+                    h_ref[0, r * a_pad + s, :] = acc
+                    if s != r:
+                        h_ref[0, s * a_pad + r, :] = acc
+            for r in range(len(rows), a_pad):
+                for s in range(a_pad):
+                    h_ref[0, r * a_pad + s, :] = zero
+                    h_ref[0, s * a_pad + r, :] = zero
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_peaks", "mhz", "active", "g_zero", "v_tile", "interpret"),
+)
+def eq6_normal_equations_pallas_v9(
+    params,  # (B, K*5) physical parameter grid, float32
+    y_re,
+    y_im,
+    t,
+    n_peaks: int,
+    mhz: float,
+    active: tuple[int, ...],
+    g_zero: tuple[bool, ...],
+    voxel_mask=None,
+    cost_prev=None,  # (B,) previous accepted cost; None -> +inf (no gate)
+    v_tile: int = 8,
+    interpret: bool = False,
+):
+    """Generalized moment-based fused normal equations with accept gating.
+
+    Same contract as :func:`eq6_normal_equations_pallas_v8` but valid for
+    EVERY Eq.6 prior (Voigt / free-g included) and with an optional
+    ``cost_prev`` gate: tiles where no voxel's new cost improves on its
+    previous accepted cost skip the moment/H/g computation entirely (their
+    H/g outputs are unspecified — the LM driver discards them, exactly as
+    it discards rejected trials).
+    """
+    n_t = y_re.shape[-1]
+    a = len(active)
+    a_pad = _round_up(a, 8)
+    p = n_peaks * 5
+
+    params_t, y_re, y_im, tiles_active, b, b_pad, n_tiles = (
+        _prepare_tile_batch(params, y_re, y_im, n_peaks, v_tile, voxel_mask)
+    )
+    grid = (n_tiles,)
+
+    if cost_prev is None:
+        cprev = jnp.full((b_pad,), jnp.inf, jnp.float32)
+    else:
+        # Padding voxels get 0: a (nonnegative) trial cost never strictly
+        # improves on 0, so the pad tail cannot force moment work.
+        cprev = jnp.pad(
+            cost_prev.astype(jnp.float32), (0, b_pad - b)
+        )
+    cprev_t = cprev.reshape(n_tiles, 1, v_tile)
+
+    kernel = functools.partial(
+        _normal_eq_kernel_v9,
+        n_peaks=n_peaks,
+        mhz=float(mhz),
+        v_tile=v_tile,
+        a_pad=a_pad,
+        active=tuple(active),
+        g_zero=tuple(bool(z) for z in g_zero),
+    )
+
+    h_out, g_out, cost_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, p, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, a_pad * a_pad, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, a_pad, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], a_pad * a_pad, v_tile), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], a_pad, v_tile), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 1, v_tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        tiles_active,
+        params_t,
+        y_re.astype(jnp.float32),
+        y_im.astype(jnp.float32),
+        t.reshape(1, -1).astype(jnp.float32),
+        cprev_t,
+    )
+    h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, a_pad, a_pad)
+    g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, a_pad)
+    cost = jnp.transpose(cost_out, (0, 2, 1)).reshape(b_pad)
+    return cost[:b], g[:b, :a], h[:b, :a, :a]

@@ -47,7 +47,7 @@ def lm_fit_batched_pallas_sharded(
     ftol: float = 1e-10,
     v_tile: int | None = None,
     interpret: bool = False,
-    kernel_version: int = 8,
+    kernel_version: int = 9,
     return_hessian: bool = False,
 ) -> "LMResult | tuple[LMResult, jax.Array]":
     """Fused-kernel bounded LM sharded over the mesh's voxel axis.
