@@ -220,6 +220,124 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 report(f"spec3/{tag}", error=repr(e)[:300])
 
+    # ---- round-3b: ungated v9, v_tile sweep, fixed stacked2 --------------
+    if "r3b" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import template_seeded_x0
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.ops.kernels.dft_pallas import spectrum_pallas
+
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+
+        pk_voigt_fixed = bench.PK_CSV.replace(
+            "g,0,0,0,0,0", "g,0.2,0.2,0.2,0.2,0.2"
+        )
+        cases = [
+            # (tag, csv, kv, v_tile, gate)
+            ("lorentzian/v9ungated/vt64", bench.PK_CSV, 9, None, False),
+            ("lorentzian/v9ungated/vt128", bench.PK_CSV, 9, 128, False),
+            ("lorentzian/v8/vt128", bench.PK_CSV, 8, 128, False),
+            ("voigt_fixed/v9ungated/vt64", pk_voigt_fixed, 9, None, False),
+        ]
+        for tag, csv, kv, vt, gate in cases:
+            try:
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".csv", delete=False
+                ) as f:
+                    f.write(csv)
+                pk = load_prior_knowledge(f.name)
+                ps = hashable_pmap(pk.pmap)
+                lower = jnp.asarray(pk.lower)
+                upper = jnp.asarray(pk.upper)
+                kind = jnp.asarray(pk.kind)
+                x0 = template_seeded_x0(fids, pk, t, MHZ)
+                u0 = jnp.asarray(
+                    external_to_internal(
+                        x0, pk.lower, pk.upper, pk.kind
+                    ).astype(np.float32)
+                )
+
+                def one_pass(kv=kv, ps=ps, lower=lower, upper=upper,
+                             kind=kind, u0=u0, vt=vt, gate=gate):
+                    res, h_ext = lm_fit_batched_pallas(
+                        re_j, im_j, t, u0, lower, upper, kind, ps, MHZ,
+                        max_iter=24, kernel_version=kv, return_hessian=True,
+                        interpret=interp, v_tile=vt, gate_rejects=gate,
+                    )
+                    sds, _ = crlb_from_hessian(h_ext, res.cost, NT)
+                    return res, sds
+
+                t0 = time.perf_counter()
+                res, sds = one_pass()
+                wit = float(jnp.sum(res.cost))
+                comp = time.perf_counter() - t0
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(4):
+                        res, sds = one_pass()
+                    float(jnp.sum(res.x_free) + jnp.sum(sds))
+                    ts.append((time.perf_counter() - t0) / 4)
+                report(
+                    f"r3b/fit/{tag}",
+                    ms=round(float(np.median(ts)) * 1e3, 1),
+                    compile_s=round(comp, 1),
+                    total_cost=wit,
+                    conv_frac=float(np.mean(np.asarray(res.converged))),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"r3b/fit/{tag}", error=repr(e)[:300])
+
+        w_j = jnp.asarray(weight[:NT])
+        sl = slice(0, 64)
+        xw = (re_h[sl] + 1j * im_h[sl]).astype(np.complex128) * weight[:NT]
+        host = np.fft.fftshift(
+            np.fft.fft(xw, n=ZF, axis=-1, norm="ortho"), axes=-1
+        )
+        host_scale = np.max(np.abs(host))
+        for tag, n2, s2, vt in (
+            ("stacked2/n2_32/vt64", 32, "stacked2", 64),
+            ("stacked2/n2_32/vt128", 32, "stacked2", 128),
+            ("loop/n2_32/vt128", 32, "loop", 128),
+        ):
+            @jax.jit
+            def run(r, i, _n2=n2, _s2=s2, _vt=vt):
+                return spectrum_pallas(
+                    r, i, ZF, window=w_j, n2=_n2, v_tile=_vt, s2=_s2,
+                    interpret=interp,
+                )
+
+            try:
+                t0 = time.perf_counter()
+                orr, oii = run(re_j, im_j)
+                float(jnp.sum(orr[0]))
+                comp = time.perf_counter() - t0
+                got = np.asarray(orr[sl]) + 1j * np.asarray(oii[sl])
+                err = float(np.max(np.abs(got - host)) / host_scale)
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    orr, oii = run(re_j, im_j)
+                float(jnp.sum(orr[0]) + jnp.sum(oii[0]))
+                report(
+                    f"r3b/spec/{tag}",
+                    ms_per_call=round(
+                        (time.perf_counter() - t0) / 10 * 1e3, 3
+                    ),
+                    compile_s=round(comp, 1),
+                    max_rel_err=err,
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"r3b/spec/{tag}", error=repr(e)[:300])
+
     # ---- grid-scale per-voxel autophase ----------------------------------
     if "apall" in groups:
         from xmris_tpu.parallel.pipeline import PipelineConfig

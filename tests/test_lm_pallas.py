@@ -1262,3 +1262,81 @@ class TestGeneralizedMomentKernel:
             np.asarray(r9.cost) < np.asarray(r8.cost) * 1.02 + 1e-12
         )
         assert np.asarray(r9.converged).all()
+
+
+class TestV9FactoredBasis:
+    """v9's block-factored basis (uniform t) matches the direct basis."""
+
+    @pytest.mark.parametrize("lorentzian", [True, False])
+    def test_factored_matches_direct(self, lorentzian):
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v9,
+        )
+
+        b, n_t, k = 4, 256, 3
+        rng = np.random.default_rng(11)
+        grids = sane_grids(b, k, seed=11)
+        if lorentzian:
+            grids[:, 4::5] = 0.0
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = (np.arange(n_t) / 5000.0).astype(np.float32)
+        active = tuple(
+            j for j in range(k * 5) if (j % 5 != 4 or not lorentzian)
+        )
+        g_zero = (lorentzian,) * k
+
+        outs = {}
+        for fac in (False, True):
+            outs[fac] = eq6_normal_equations_pallas_v9(
+                jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yim),
+                jnp.asarray(t), n_peaks=k, mhz=MHZ, active=active,
+                g_zero=g_zero, v_tile=2, interpret=True, factored_t=fac,
+            )
+        for name, a, b_ in zip(("cost", "g", "h"), outs[False], outs[True]):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=2e-4,
+                atol=2e-4 * float(np.max(np.abs(np.asarray(a)))) + 1e-6,
+                err_msg=name,
+            )
+
+    def test_driver_autoselects_factored_on_uniform_t(self, tmp_path):
+        """A concrete uniform t with n_t % 128 == 0 silently enables the
+        factored basis; fit results match the direct-basis path."""
+        from tests.test_fitting import PK_CSV, make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=2, n_points=256)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t_uniform = jnp.asarray((np.arange(256) / 10000.0).astype(np.float32))
+        # a non-uniform axis silently falls back to the direct basis
+        t_warped = jnp.asarray(
+            ((np.arange(256) / 10000.0) ** 1.5).astype(np.float32)
+        )
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r_fac = lm_fit_batched_pallas(
+            re, im, t_uniform, u0, *args, max_iter=25, v_tile=2,
+            interpret=True, kernel_version=9,
+        )
+        assert np.asarray(r_fac.converged).all()
+        np.testing.assert_allclose(
+            np.asarray(r_fac.x_free[:, 0]), [10.0, 20.0], rtol=0.05
+        )
+        # warped axis: must not raise, still converges (direct basis)
+        r_warp = lm_fit_batched_pallas(
+            re, im, t_warped, u0, *args, max_iter=25, v_tile=2,
+            interpret=True, kernel_version=9,
+        )
+        assert np.isfinite(np.asarray(r_warp.cost)).all()

@@ -490,7 +490,9 @@ def lorentzian_env_flags(pmap_static) -> tuple[bool, ...]:
     )
 
 
-def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
+def _select_pallas_kernel(
+    kernel_version: int, pmap_static, n_t: int, factored_ok: bool = False
+):
     """Resolve a kernel_version to (callable, active rows, default v_tile).
 
     5/6/7 are active-rows kernels: fixed params' Jacobian rows (zero rows
@@ -522,15 +524,20 @@ def _select_pallas_kernel(kernel_version: int, pmap_static, n_t: int):
     )
 
     if kernel_version == 9:
+        # v_tile 128 measured best for the moment kernels (33.0 ms vs
+        # 37.3 at 64 on the 5-peak bench fit — fewer programs amortize the
+        # fixed per-launch grid cost; VMEM per tile stays small because
+        # nothing (V, n_t)-sized beyond the basis is materialized).
         active = active_param_rows(pmap_static)
         return (
             functools.partial(
                 eq6_normal_equations_pallas_v9,
                 active=active,
                 g_zero=lorentzian_env_flags(pmap_static),
+                factored_t=factored_ok and n_t % 128 == 0,
             ),
             active,
-            64,
+            128,
         )
 
     if kernel_version == 8:
@@ -604,19 +611,25 @@ def _check_uniform_t_v7(t, require_uniform_t: bool) -> None:
                 "kernel_version=6/8."
             )
         return
+    if not _t_is_uniform(t):
+        raise ValueError(
+            "kernel_version=7 requires a uniformly sampled time axis; "
+            "got non-uniform spacing. Use kernel_version=6/8 instead."
+        )
+
+
+def _t_is_uniform(t) -> bool:
+    """Eager uniformity test of a CONCRETE time axis, with tolerance
+    scaled to the axis dtype (a float32 uniform axis carries ~eps*max|t|
+    quantization per sample, so adjacent diffs wobble by up to ~2x that
+    even when genuinely uniform)."""
     eps = float(np.finfo(getattr(t, "dtype", np.float64)).eps)
     t_np = np.asarray(t, dtype=np.float64)
-    if t_np.size >= 3:
-        dt = np.diff(t_np)
-        # Tolerance scaled to the axis dtype: a float32 uniform axis carries
-        # ~eps*max|t| quantization per sample, so adjacent diffs wobble by
-        # up to ~2x that even when genuinely uniform.
-        tol = 16.0 * eps * max(float(np.max(np.abs(t_np))), 1e-30)
-        if float(np.max(np.abs(dt - dt[0]))) > tol:
-            raise ValueError(
-                "kernel_version=7 requires a uniformly sampled time axis; "
-                "got non-uniform spacing. Use kernel_version=6/8 instead."
-            )
+    if t_np.size < 3:
+        return True
+    dt = np.diff(t_np)
+    tol = 16.0 * eps * max(float(np.max(np.abs(t_np))), 1e-30)
+    return float(np.max(np.abs(dt - dt[0]))) <= tol
 
 
 def lm_fit_batched_pallas(
@@ -637,19 +650,34 @@ def lm_fit_batched_pallas(
     kernel_version: int = 9,
     return_hessian: bool = False,
     require_uniform_t: bool = False,
+    gate_rejects: bool = False,
 ):
     """Public entry: validates v7's uniform-t precondition eagerly, then
     dispatches to the jitted implementation (see
-    :func:`_lm_fit_batched_pallas_impl` for the full docstring)."""
+    :func:`_lm_fit_batched_pallas_impl` for the full docstring).
+
+    ``gate_rejects=True`` enables v9's per-tile accept gate (rejected
+    trials skip the moment/H/g work).  Measured SLOWER on v5e at bench
+    conditions — the dynamic ``pl.when`` serializes more than the skipped
+    work saves — so it defaults off; kept for non-seeded workloads with
+    long rejection phases.
+    """
     # Only guard when v7 will actually run: on n_t % 128 != 0 the selector
     # falls back to v6, which has no uniformity precondition.
     if kernel_version == 7 and fids_re.shape[-1] % 128 == 0:
         _check_uniform_t_v7(t, require_uniform_t)
+    # v9's block-factored basis has the same uniform-t precondition but
+    # falls back to the direct basis instead of raising: enable it when
+    # the axis is vouched for (require_uniform_t) or concretely uniform.
+    uniform_t_ok = require_uniform_t or (
+        not isinstance(t, jax.core.Tracer) and _t_is_uniform(t)
+    )
     return _lm_fit_batched_pallas_impl(
         fids_re, fids_im, t, u0, lower, upper, kind, pmap_static, mhz,
         max_iter=max_iter, lam0=lam0, ftol=ftol, v_tile=v_tile,
         interpret=interpret, kernel_version=kernel_version,
-        return_hessian=return_hessian,
+        return_hessian=return_hessian, gate_rejects=gate_rejects,
+        uniform_t_ok=uniform_t_ok,
     )
 
 
@@ -657,7 +685,7 @@ def lm_fit_batched_pallas(
     jax.jit,
     static_argnames=(
         "pmap_static", "max_iter", "mhz", "v_tile", "interpret",
-        "kernel_version", "return_hessian",
+        "kernel_version", "return_hessian", "gate_rejects", "uniform_t_ok",
     ),
 )
 def _lm_fit_batched_pallas_impl(
@@ -677,6 +705,8 @@ def _lm_fit_batched_pallas_impl(
     interpret: bool = False,
     kernel_version: int = 9,
     return_hessian: bool = False,
+    gate_rejects: bool = False,
+    uniform_t_ok: bool = False,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -693,7 +723,8 @@ def _lm_fit_batched_pallas_impl(
     divide back out).
     """
     kernel_fn, active, vt_default = _select_pallas_kernel(
-        kernel_version, pmap_static, fids_re.shape[-1]
+        kernel_version, pmap_static, fids_re.shape[-1],
+        factored_ok=uniform_t_ok,
     )
     if v_tile is None:
         v_tile = vt_default
@@ -722,10 +753,11 @@ def _lm_fit_batched_pallas_impl(
         extra = (
             {"voxel_mask": voxel_mask} if kernel_version >= 6 else {}
         )
-        if kernel_version >= 9:
+        if kernel_version >= 9 and gate_rejects:
             # Accept gate: tiles where no voxel improves on its previous
             # accepted cost skip the moment/H/g work (the driver discards
-            # rejected trials' H/g anyway).
+            # rejected trials' H/g anyway).  Opt-in: measured slower at
+            # bench conditions (see the public wrapper's docstring).
             extra["cost_prev"] = cost_prev
         cost, g_phys, h_phys = kernel_fn(
             grids, fids_re, fids_im, t,

@@ -129,8 +129,8 @@ def _spectrum_kernel(
     wre_ref,  # (n1_in, n2) VMEM — window reshaped to the decimation grid
     f1re_ref,  # (n1, n1_in) VMEM
     f1im_ref,
-    twre_ref,  # (n1, Vt*n2) VMEM — twiddle tiled per voxel (v-major lanes)
-    twim_ref,
+    twre_ref,  # (n1, n2) VMEM — per-voxel twiddle pattern (applied in the
+    twim_ref,  # per-voxel stage-2 loops, so it is never tiled across lanes)
     f2tre_ref,  # (n2, n2) VMEM — [k2, j2]
     f2tim_ref,
     ore_ref,  # stacked: (n2, Vt*n1); loop/stacked2: (Vt*n2, n1)
@@ -194,12 +194,13 @@ def _spectrum_kernel(
     yr = mm(f1r, xr) - mm(f1i, xi)
     yi = mm(f1r, xi) + mm(f1i, xr)
 
-    # Twiddle: elementwise complex on (n1, Vt*n2); the factor repeats its
-    # (n1, n2) pattern per voxel and was tiled on the host
+    # Twiddle: the factor repeats its (n1, n2) pattern per voxel, so it is
+    # applied on each voxel's (n1, n2) slice inside the stage-2 loops
+    # below instead of materializing a lane-tiled (n1, Vt*n2) copy — that
+    # tiled factor plus the twiddled intermediate cost ~3 MB of VMEM at
+    # v_tile=64 and blew the 16 MB scoped budget (measured OOM).
     twr = twre_ref[:, :]
     twi = twim_ref[:, :]
-    tr = yr * twr - yi * twi
-    ti = yr * twi + yi * twr
 
     f2r = f2tre_ref[:, :]
     f2i = f2tim_ref[:, :]
@@ -209,13 +210,16 @@ def _spectrum_kernel(
     )
 
     if s2 in ("stacked", "stacked2"):
-        # Relayout (k1, (v, j2)) -> ((v, k1), j2) via static slice copies,
-        # then Z^T[k2, (v, k1)] = sum_j2 F2s[j2, k2] Y'[(v, k1), j2] as one
-        # long lane-lane contraction.
-        sre_ref, sim_ref = s_scratch
+        # Twiddle + relayout (k1, (v, j2)) -> ((v, k1), j2) via static
+        # slice copies, then Z^T[k2, (v, k1)] = sum_j2 F2s[j2, k2]
+        # Y'[(v, k1), j2] as one long lane-lane contraction.
+        sre_ref, sim_ref = s_scratch[0], s_scratch[1]
         for v in range(v_tile):
-            sre_ref[v * n1 : (v + 1) * n1, :] = tr[:, v * n2 : (v + 1) * n2]
-            sim_ref[v * n1 : (v + 1) * n1, :] = ti[:, v * n2 : (v + 1) * n2]
+            sl = slice(v * n2, (v + 1) * n2)
+            yv_re = yr[:, sl]
+            yv_im = yi[:, sl]
+            sre_ref[v * n1 : (v + 1) * n1, :] = yv_re * twr - yv_im * twi
+            sim_ref[v * n1 : (v + 1) * n1, :] = yv_re * twi + yv_im * twr
         a_re = sre_ref[:, :]
         a_im = sim_ref[:, :]
         zr = dg(f2r, a_re, contract) - dg(f2i, a_im, contract)
@@ -234,10 +238,11 @@ def _spectrum_kernel(
                     :, v * n1 : (v + 1) * n1
                 ]
     else:
-        # Per-voxel Gram dots off direct slices: (k2, j2) x (k1, j2)
+        # Per-voxel: twiddle the slice, then Gram dots (k2, j2) x (k1, j2)
         for v in range(v_tile):
-            yv_re = tr[:, v * n2 : (v + 1) * n2]  # (n1, n2)
-            yv_im = ti[:, v * n2 : (v + 1) * n2]
+            sl = slice(v * n2, (v + 1) * n2)
+            yv_re = yr[:, sl] * twr - yi[:, sl] * twi  # (n1, n2)
+            yv_im = yr[:, sl] * twi + yi[:, sl] * twr
             zr = dg(f2r, yv_re, contract) - dg(f2i, yv_im, contract)
             zi = dg(f2r, yv_im, contract) + dg(f2i, yv_re, contract)
             ore_ref[v * n2 : (v + 1) * n2, :] = zr
@@ -248,7 +253,7 @@ def _spectrum_kernel(
     jax.jit,
     static_argnames=(
         "n_out", "n2", "shifted", "ortho", "v_tile", "interpret", "s2",
-        "pre_relayout",
+        "pre_relayout", "vmem_limit_mb",
     ),
 )
 def spectrum_pallas(
@@ -263,6 +268,7 @@ def spectrum_pallas(
     interpret: bool = False,
     s2: str = "loop",
     pre_relayout: bool = False,
+    vmem_limit_mb: int | None = None,
 ):
     """Fused window -> zero-fill -> ortho DFT -> fftshift of a planar batch.
 
@@ -330,8 +336,6 @@ def spectrum_pallas(
     )
 
     lanes = v_tile * n2
-    tw_re_t = np.tile(tw_re, (1, v_tile))  # (n1, Vt*n2), v-major lanes
-    tw_im_t = np.tile(tw_im, (1, v_tile))
 
     if s2 == "stacked":
         out_spec = pl.BlockSpec(
@@ -377,8 +381,8 @@ def spectrum_pallas(
             pl.BlockSpec((n1_in, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n1, n1_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n1, n1_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -395,6 +399,16 @@ def spectrum_pallas(
             if s2 in ("stacked", "stacked2")
             else []
         ),
+        # Mosaic's default scoped-VMEM budget is 16 MB; the stacked paths'
+        # unrolled relayout loops account above it at large tiles even
+        # though the declared buffers are far smaller.
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+            if vmem_limit_mb
+            else None
+        ),
         interpret=interpret,
     )(
         xr_p,
@@ -402,8 +416,8 @@ def spectrum_pallas(
         w2,
         jnp.asarray(f1_re),
         jnp.asarray(f1_im),
-        jnp.asarray(tw_re_t),
-        jnp.asarray(tw_im_t),
+        jnp.asarray(tw_re),
+        jnp.asarray(tw_im),
         jnp.asarray(f2t_re),
         jnp.asarray(f2t_im),
     )

@@ -1572,17 +1572,15 @@ def _normal_eq_kernel_v9(
     yre_ref,  # (V, n_t) VMEM
     yim_ref,  # (V, n_t) VMEM
     t_ref,  # (1, n_t) VMEM
-    cprev_ref,  # (1, 1, V) VMEM — previous accepted cost (accept gate)
-    h_ref,  # (1, A_pad*A_pad, V) VMEM out
-    g_ref,  # (1, A_pad, V) VMEM out
-    cost_ref,  # (1, 1, V) VMEM out
-    *,
+    *rest,  # [cprev_ref (1, 1, V) if gated] + [h_ref, g_ref, cost_ref]
     n_peaks: int,
     mhz: float,
     v_tile: int,
     a_pad: int,
     active: tuple[int, ...],
     g_zero: tuple[bool, ...],
+    gated: bool,
+    factored_t: bool,
 ):
     """v8's moment-based (cost, g, H) generalized to ANY Eq.6 prior.
 
@@ -1594,13 +1592,20 @@ def _normal_eq_kernel_v9(
     free-g priors add the t^3/t^4 moments instead of falling back to the
     Jacobian-materializing v6 path.
 
-    Accept gating: the model + cost always evaluate, but the moment/H/g
-    work — the bulk of the kernel — runs only when at least one voxel of
-    the tile improves on ``cprev_ref`` (its previous accepted cost).  In
-    the LM driver rejected trials only ever consume the trial cost, so
-    tiles that reject skip ~3/4 of the kernel; callers that always need
-    H/g pass ``cost_prev = +inf``.
+    Accept gating (``gated=True``): the model + cost always evaluate, but
+    the moment/H/g work — the bulk of the kernel — runs only when at least
+    one voxel of the tile improves on ``cprev_ref`` (its previous accepted
+    cost).  In the LM driver rejected trials only ever consume the trial
+    cost, so tiles that reject skip ~3/4 of the kernel.  Measured on v5e
+    at bench conditions (template-seeded, 2-3 accepted steps) the dynamic
+    ``pl.when`` costs MORE than the skipped moments save (37.4 vs 33.2 ms
+    fit+CRLB), so the driver defaults to the ungated variant, where the
+    conditional (and the cprev input) is compiled out entirely.
     """
+    if gated:
+        cprev_ref, h_ref, g_ref, cost_ref = rest
+    else:
+        h_ref, g_ref, cost_ref = rest
     t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
     n_t = t.shape[1]
     f32 = jnp.float32
@@ -1629,7 +1634,17 @@ def _normal_eq_kernel_v9(
         for _ in range(2, q_max + 1):
             tp.append(tp[-1] * t)
 
-        # Basis per peak + model + cost (always computed)
+        # Basis per peak + model + cost (always computed).  With
+        # ``factored_t`` (uniform t, n_t % 128 == 0) the basis factors over
+        # 128-sample blocks exactly as in v7 — v9 has NO MXU work to
+        # overlap the transcendentals with, so the ~7.5x fewer exp/cos/sin
+        # lanes convert directly into kernel time.
+        if factored_t:
+            n_q = n_t // 128
+            t_r = t[:, :128]  # (1, 128) first-block times
+            t0 = t_ref[0, 0]
+            t_qs = [t_ref[0, q * 128] - t0 for q in range(n_q)]
+
         b_res, b_ims, amps, lws, gs = [], [], [], [], []
         m_re = jnp.zeros((v_tile, n_t), f32)
         m_im = jnp.zeros((v_tile, n_t), f32)
@@ -1640,15 +1655,50 @@ def _normal_eq_kernel_v9(
             ph = params_ref[0, k * 5 + 3, :].reshape(v_tile, 1)
             gv = params_ref[0, k * 5 + 4, :].reshape(v_tile, 1)
 
-            if g_zero[k]:
-                env = amp * jnp.exp((-jnp.pi) * lw * t)
+            d_ = jnp.pi * lw
+            w_ = (2.0 * jnp.pi * mhz) * cs
+            if factored_t and g_zero[k]:
+                # Lorentzian: rank-1 block factorization of the FULL basis
+                ang_r = w_ * t_r + ph * deg
+                er = jnp.exp(-d_ * t_r)
+                gr_re = er * jnp.cos(ang_r)
+                gr_im = er * jnp.sin(ang_r)
+                blocks_re, blocks_im = [], []
+                for q in range(n_q):
+                    tq = t_qs[q]
+                    fq = amp * jnp.exp(-d_ * tq)  # (V, 1)
+                    ang_q = w_ * tq
+                    fq_re = fq * jnp.cos(ang_q)
+                    fq_im = fq * jnp.sin(ang_q)
+                    blocks_re.append(fq_re * gr_re - fq_im * gr_im)
+                    blocks_im.append(fq_re * gr_im + fq_im * gr_re)
+                b_re = jnp.concatenate(blocks_re, axis=1)
+                b_im = jnp.concatenate(blocks_im, axis=1)
+            elif factored_t:
+                # Voigt: classic envelope, factored angle
+                env = amp * jnp.exp(-d_ * (1.0 - gv + gv * t) * t)
+                ang_r = w_ * t_r + ph * deg
+                cr_ = jnp.cos(ang_r)
+                sr_ = jnp.sin(ang_r)
+                blocks_re, blocks_im = [], []
+                for q in range(n_q):
+                    ang_q = w_ * t_qs[q]
+                    cq = jnp.cos(ang_q)
+                    sq = jnp.sin(ang_q)
+                    blocks_re.append(cq * cr_ - sq * sr_)
+                    blocks_im.append(cq * sr_ + sq * cr_)
+                b_re = env * jnp.concatenate(blocks_re, axis=1)
+                b_im = env * jnp.concatenate(blocks_im, axis=1)
             else:
-                env = amp * jnp.exp(
-                    (-jnp.pi) * lw * (1.0 - gv + gv * t) * t
-                )
-            ang = (2.0 * jnp.pi * mhz) * cs * t + ph * deg
-            b_re = env * jnp.cos(ang)
-            b_im = env * jnp.sin(ang)
+                if g_zero[k]:
+                    env = amp * jnp.exp((-jnp.pi) * lw * t)
+                else:
+                    env = amp * jnp.exp(
+                        (-jnp.pi) * lw * (1.0 - gv + gv * t) * t
+                    )
+                ang = (2.0 * jnp.pi * mhz) * cs * t + ph * deg
+                b_re = env * jnp.cos(ang)
+                b_im = env * jnp.sin(ang)
             b_res.append(b_re)
             b_ims.append(b_im)
             amps.append(amp)
@@ -1662,9 +1712,6 @@ def _normal_eq_kernel_v9(
         cost = jnp.sum(r_re * r_re + r_im * r_im, axis=1)
         cost_ref[0, 0, :] = cost
 
-        improved = jnp.any(cost < cprev_ref[0, 0, :])
-
-        @pl.when(improved)
         def _moments():
             # Residual moments N_q[k] = sum_t t^q conj(B_k) r
             n_mom = {}
@@ -1752,10 +1799,18 @@ def _normal_eq_kernel_v9(
                     h_ref[0, r * a_pad + s, :] = zero
                     h_ref[0, s * a_pad + r, :] = zero
 
+        if gated:
+            pl.when(jnp.any(cost < cprev_ref[0, 0, :]))(_moments)
+        else:
+            _moments()
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_peaks", "mhz", "active", "g_zero", "v_tile", "interpret"),
+    static_argnames=(
+        "n_peaks", "mhz", "active", "g_zero", "v_tile", "interpret",
+        "factored_t",
+    ),
 )
 def eq6_normal_equations_pallas_v9(
     params,  # (B, K*5) physical parameter grid, float32
@@ -1770,6 +1825,7 @@ def eq6_normal_equations_pallas_v9(
     cost_prev=None,  # (B,) previous accepted cost; None -> +inf (no gate)
     v_tile: int = 8,
     interpret: bool = False,
+    factored_t: bool = False,
 ):
     """Generalized moment-based fused normal equations with accept gating.
 
@@ -1778,8 +1834,10 @@ def eq6_normal_equations_pallas_v9(
     ``cost_prev`` gate: tiles where no voxel's new cost improves on its
     previous accepted cost skip the moment/H/g computation entirely (their
     H/g outputs are unspecified — the LM driver discards them, exactly as
-    it discards rejected trials).
+    it discards rejected trials).  ``cost_prev=None`` (the default, and the
+    measured-faster configuration) compiles the gate out entirely.
     """
+    gated = cost_prev is not None
     n_t = y_re.shape[-1]
     a = len(active)
     a_pad = _round_up(a, 8)
@@ -1790,15 +1848,18 @@ def eq6_normal_equations_pallas_v9(
     )
     grid = (n_tiles,)
 
-    if cost_prev is None:
-        cprev = jnp.full((b_pad,), jnp.inf, jnp.float32)
-    else:
+    extra_in_specs = []
+    extra_inputs = []
+    if gated:
         # Padding voxels get 0: a (nonnegative) trial cost never strictly
         # improves on 0, so the pad tail cannot force moment work.
-        cprev = jnp.pad(
-            cost_prev.astype(jnp.float32), (0, b_pad - b)
+        cprev = jnp.pad(cost_prev.astype(jnp.float32), (0, b_pad - b))
+        extra_inputs.append(cprev.reshape(n_tiles, 1, v_tile))
+        extra_in_specs.append(
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         )
-    cprev_t = cprev.reshape(n_tiles, 1, v_tile)
 
     kernel = functools.partial(
         _normal_eq_kernel_v9,
@@ -1808,6 +1869,8 @@ def eq6_normal_equations_pallas_v9(
         a_pad=a_pad,
         active=tuple(active),
         g_zero=tuple(bool(z) for z in g_zero),
+        gated=gated,
+        factored_t=bool(factored_t) and n_t % 128 == 0,
     )
 
     h_out, g_out, cost_out = pl.pallas_call(
@@ -1821,10 +1884,8 @@ def eq6_normal_equations_pallas_v9(
             pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        ]
+        + extra_in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, a_pad * a_pad, v_tile), lambda i: (i, 0, 0),
@@ -1849,7 +1910,7 @@ def eq6_normal_equations_pallas_v9(
         y_re.astype(jnp.float32),
         y_im.astype(jnp.float32),
         t.reshape(1, -1).astype(jnp.float32),
-        cprev_t,
+        *extra_inputs,
     )
     h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, a_pad, a_pad)
     g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, a_pad)

@@ -79,9 +79,16 @@ def lm_fit_batched_pallas_sharded(
 
         _check_uniform_t_v7(t, require_uniform_t=False)
 
+    # Inside shard_map t is traced, so uniformity must be established here:
+    # v9 enables its block-factored basis only when this concrete check
+    # passes (it falls back to the direct basis otherwise).
+    from xmris_tpu.fitting.lm import _t_is_uniform
+
+    t_uniform = not isinstance(t, jax.core.Tracer) and _t_is_uniform(t)
+
     solver = functools.partial(
         lm_fit_batched_pallas,
-        require_uniform_t=True,  # validated above for v7; no-op otherwise
+        require_uniform_t=t_uniform,
         pmap_static=pmap_static,
         mhz=mhz,
         max_iter=max_iter,
