@@ -338,6 +338,197 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 report(f"r3b/spec/{tag}", error=repr(e)[:300])
 
+    # ---- round-3c: factored-basis v9 (auto-selected on uniform t) --------
+    if "r3c" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import template_seeded_x0
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        pk_voigt_fixed = bench.PK_CSV.replace(
+            "g,0,0,0,0,0", "g,0.2,0.2,0.2,0.2,0.2"
+        )
+
+        # (tag, csv, max_iter) — v9/vt128, factored basis auto-on
+        for tag, csv, mi in (
+            ("lorentzian/v9fac/vt128/mi24", bench.PK_CSV, 24),
+            ("lorentzian/v9fac/vt128/mi8", bench.PK_CSV, 8),
+            ("voigt_fixed/v9fac/vt128/mi24", pk_voigt_fixed, 24),
+        ):
+            try:
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".csv", delete=False
+                ) as f:
+                    f.write(csv)
+                pk = load_prior_knowledge(f.name)
+                ps = hashable_pmap(pk.pmap)
+                lower = jnp.asarray(pk.lower)
+                upper = jnp.asarray(pk.upper)
+                kind = jnp.asarray(pk.kind)
+                x0 = template_seeded_x0(fids, pk, t, MHZ)
+                u0 = jnp.asarray(
+                    external_to_internal(
+                        x0, pk.lower, pk.upper, pk.kind
+                    ).astype(np.float32)
+                )
+
+                def one_pass(ps=ps, lower=lower, upper=upper, kind=kind,
+                             u0=u0, mi=mi):
+                    res, h_ext = lm_fit_batched_pallas(
+                        re_j, im_j, t, u0, lower, upper, kind, ps, MHZ,
+                        max_iter=mi, kernel_version=9, return_hessian=True,
+                        interpret=interp,
+                    )
+                    sds, _ = crlb_from_hessian(h_ext, res.cost, NT)
+                    return res, sds
+
+                t0 = time.perf_counter()
+                res, sds = one_pass()
+                wit = float(jnp.sum(res.cost))
+                comp = time.perf_counter() - t0
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(4):
+                        res, sds = one_pass()
+                    float(jnp.sum(res.x_free) + jnp.sum(sds))
+                    ts.append((time.perf_counter() - t0) / 4)
+                report(
+                    f"r3c/fit/{tag}",
+                    ms=round(float(np.median(ts)) * 1e3, 1),
+                    compile_s=round(comp, 1),
+                    total_cost=wit,
+                    conv_frac=float(np.mean(np.asarray(res.converged))),
+                    n_iter_max=int(np.asarray(res.n_iter).max()),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"r3c/fit/{tag}", error=repr(e)[:300])
+
+    # ---- round-3d: in-kernel free-fold + per-launch kernel cost ----------
+    if "r3d" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import template_seeded_x0
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v9,
+        )
+
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        pk_voigt_fixed = bench.PK_CSV.replace(
+            "g,0,0,0,0,0", "g,0.2,0.2,0.2,0.2,0.2"
+        )
+
+        for tag, csv in (
+            ("lorentzian/v9fold/vt128", bench.PK_CSV),
+            ("voigt_fixed/v9fold/vt128", pk_voigt_fixed),
+        ):
+            try:
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".csv", delete=False
+                ) as f:
+                    f.write(csv)
+                pk = load_prior_knowledge(f.name)
+                ps = hashable_pmap(pk.pmap)
+                lower = jnp.asarray(pk.lower)
+                upper = jnp.asarray(pk.upper)
+                kind = jnp.asarray(pk.kind)
+                x0 = template_seeded_x0(fids, pk, t, MHZ)
+                u0 = jnp.asarray(
+                    external_to_internal(
+                        x0, pk.lower, pk.upper, pk.kind
+                    ).astype(np.float32)
+                )
+
+                def one_pass(ps=ps, lower=lower, upper=upper, kind=kind,
+                             u0=u0):
+                    res, h_ext = lm_fit_batched_pallas(
+                        re_j, im_j, t, u0, lower, upper, kind, ps, MHZ,
+                        max_iter=24, kernel_version=9, return_hessian=True,
+                        interpret=interp,
+                    )
+                    sds, _ = crlb_from_hessian(h_ext, res.cost, NT)
+                    return res, sds
+
+                t0 = time.perf_counter()
+                res, sds = one_pass()
+                wit = float(jnp.sum(res.cost))
+                comp = time.perf_counter() - t0
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(4):
+                        res, sds = one_pass()
+                    float(jnp.sum(res.x_free) + jnp.sum(sds))
+                    ts.append((time.perf_counter() - t0) / 4)
+                report(
+                    f"r3d/fit/{tag}",
+                    ms=round(float(np.median(ts)) * 1e3, 1),
+                    compile_s=round(comp, 1),
+                    total_cost=wit,
+                    conv_frac=float(np.mean(np.asarray(res.converged))),
+                )
+
+                # Per-launch kernel cost: one folded normal-equations call
+                # chained x10 (the LM loop's dominant unit)
+                active = tuple(
+                    j for j, ix in enumerate(ps[0]) if ix >= 0
+                )
+                g_zero = tuple(
+                    ps[0][k * 5 + 4] < 0 and float(ps[2][k * 5 + 4]) == 0.0
+                    for k in range(ps[3])
+                )
+                from xmris_tpu.fitting.lm import (
+                    _expand_params_batched,
+                    internal_to_external_jax,
+                )
+
+                @jax.jit
+                def kernel_once(u):
+                    x, dxdu = internal_to_external_jax(
+                        u, lower[None, :], upper[None, :], kind[None, :]
+                    )
+                    grids = _expand_params_batched(x, ps, jnp.float32)
+                    return eq6_normal_equations_pallas_v9(
+                        grids, re_j, im_j, t, n_peaks=ps[3], mhz=MHZ,
+                        active=active, g_zero=g_zero, v_tile=128,
+                        fold_slots=tuple(int(ps[0][j]) for j in active),
+                        fold_scales=tuple(float(ps[1][j]) for j in active),
+                        n_free=pk.n_free, dxdu=dxdu,
+                    )
+
+                c, g_, h_ = kernel_once(u0)
+                float(jnp.sum(c))
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    c, g_, h_ = kernel_once(u0)
+                float(jnp.sum(c) + jnp.sum(h_[0]))
+                report(
+                    f"r3d/kernel_once/{tag}",
+                    ms_per_call=round(
+                        (time.perf_counter() - t0) / 10 * 1e3, 3
+                    ),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"r3d/fit/{tag}", error=repr(e)[:300])
+
     # ---- grid-scale per-voxel autophase ----------------------------------
     if "apall" in groups:
         from xmris_tpu.parallel.pipeline import PipelineConfig

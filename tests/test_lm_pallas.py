@@ -1340,3 +1340,138 @@ class TestV9FactoredBasis:
             interpret=True, kernel_version=9,
         )
         assert np.isfinite(np.asarray(r_warp.cost)).all()
+
+
+class TestV9FreeFold:
+    """v9's in-kernel free-space fold matches the einsum fold."""
+
+    def test_folded_matches_einsum_fold(self, tmp_path):
+        """cost/g/h from the folded kernel == smat-einsum of the physical
+        outputs (including a TIED parameter so rows merge)."""
+        from tests.test_fitting import PK_CSV
+        from xmris_tpu.fitting.lm import _scatter_matrix
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v9,
+        )
+
+        p = tmp_path / "pk.csv"
+        # tie ATP amplitude to PCr amplitude at half scale if supported;
+        # otherwise the plain prior still pins the fold path
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        ps = hashable_pmap(pk.pmap)
+        active = tuple(j for j, ix in enumerate(ps[0]) if ix >= 0)
+        g_zero = tuple(
+            ps[0][k * 5 + 4] < 0 and float(ps[2][k * 5 + 4]) == 0.0
+            for k in range(ps[3])
+        )
+        n_free = pk.n_free
+        b, n_t = 4, 256
+        rng = np.random.default_rng(5)
+        x = np.column_stack([
+            rng.uniform(2, 20, b), rng.uniform(-0.3, 0.3, b),
+            rng.uniform(8, 25, b), rng.uniform(-40, 40, b),
+            rng.uniform(0.1, 0.9, b),
+            rng.uniform(2, 10, b), rng.uniform(-7.9, -7.1, b),
+            rng.uniform(12, 35, b), rng.uniform(-40, 40, b),
+            rng.uniform(0.1, 0.9, b),
+        ]).astype(np.float32)[:, :n_free]
+        from xmris_tpu.fitting.lm import _expand_params_batched
+
+        grids = _expand_params_batched(jnp.asarray(x), ps, jnp.float32)
+        yre = rng.normal(size=(b, n_t)).astype(np.float32)
+        yim = rng.normal(size=(b, n_t)).astype(np.float32)
+        t = jnp.asarray((np.arange(n_t) / 5000.0).astype(np.float32))
+        dxdu = jnp.asarray(
+            rng.uniform(0.5, 2.0, size=(b, n_free)).astype(np.float32)
+        )
+
+        c_p, g_p, h_p = eq6_normal_equations_pallas_v9(
+            grids, jnp.asarray(yre), jnp.asarray(yim), t,
+            n_peaks=ps[3], mhz=120.0, active=active, g_zero=g_zero,
+            v_tile=2, interpret=True,
+        )
+        c_f, g_f, h_f = eq6_normal_equations_pallas_v9(
+            grids, jnp.asarray(yre), jnp.asarray(yim), t,
+            n_peaks=ps[3], mhz=120.0, active=active, g_zero=g_zero,
+            v_tile=2, interpret=True,
+            fold_slots=tuple(int(ps[0][j]) for j in active),
+            fold_scales=tuple(float(ps[1][j]) for j in active),
+            n_free=n_free, dxdu=dxdu,
+        )
+        smat = jnp.asarray(
+            _scatter_matrix(ps, n_free)[list(active), :], jnp.float32
+        )
+        g_ref = jnp.einsum("bp,pf->bf", g_p, smat) * dxdu
+        h_ref = jnp.einsum("pf,bpq,qh->bfh", smat, h_p, smat)
+        h_ref = h_ref * dxdu[:, :, None] * dxdu[:, None, :]
+        np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_p), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_f), np.asarray(g_ref), rtol=2e-5,
+            atol=1e-4 * float(np.max(np.abs(np.asarray(g_ref)))),
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_f), np.asarray(h_ref), rtol=2e-5,
+            atol=1e-4 * float(np.max(np.abs(np.asarray(h_ref)))),
+        )
+
+    def test_driver_folded_matches_v8(self, tmp_path):
+        """End-to-end: the folded v9 driver reproduces the v8 fit."""
+        from tests.test_fitting import make_phantom
+
+        csv = (
+            "Index,PCr,ATP\n"
+            "Initial Values,,\n"
+            "amplitude,10.0,5.0\n"
+            "chemicalshift,0.0,-7.5\n"
+            "linewidth,15.0,20.0\n"
+            "phase,0,0\n"
+            "g,0,0\n"
+            "Bounds,,\n"
+            'amplitude,"(0, ","(0, "\n'
+            'chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"\n'
+            'linewidth,"(5.0, 30.0)","(10.0, 40.0)"\n'
+            'phase,"(-180, 180)","(-180, 180)"\n'
+            "g,fixed,fixed\n"
+        )
+        p = tmp_path / "pk.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=3, n_points=512)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(512) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r8 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=8,
+        )
+        r9, h_ext = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=9, return_hessian=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r9.x_free), np.asarray(r8.x_free), rtol=0.02, atol=0.02
+        )
+        assert np.asarray(r9.converged).all()
+        # zero-cost CRLB path stays consistent with the dedicated recompute
+        from xmris_tpu.fitting.lm import crlb_batched_pallas, crlb_from_hessian
+
+        sds_h, _ = crlb_from_hessian(h_ext, r9.cost, 512)
+        sds_k, _ = crlb_batched_pallas(
+            re, im, t, r9.x_free, hashable_pmap(pk.pmap), 120.0,
+            v_tile=2, interpret=True, kernel_version=9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sds_h), np.asarray(sds_k), rtol=0.05
+        )

@@ -746,6 +746,12 @@ def _lm_fit_batched_pallas_impl(
         smat_np = smat_np[list(active), :]
     smat = jnp.asarray(smat_np, real_dtype)
 
+    if kernel_version >= 9:
+        # Free-space fold inside the kernel: per-active-row free slot +
+        # scatter scale; the bound-transform diagonal rides in as dxdu.
+        fold_slots = tuple(int(pmap_static[0][j]) for j in active)
+        fold_scales = tuple(float(pmap_static[1][j]) for j in active)
+
     def full_eval(u, voxel_mask=None, cost_prev=None):
         x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
                                            kind[None, :])
@@ -753,12 +759,24 @@ def _lm_fit_batched_pallas_impl(
         extra = (
             {"voxel_mask": voxel_mask} if kernel_version >= 6 else {}
         )
-        if kernel_version >= 9 and gate_rejects:
-            # Accept gate: tiles where no voxel improves on its previous
-            # accepted cost skip the moment/H/g work (the driver discards
-            # rejected trials' H/g anyway).  Opt-in: measured slower at
-            # bench conditions (see the public wrapper's docstring).
-            extra["cost_prev"] = cost_prev
+        if kernel_version >= 9:
+            if gate_rejects:
+                # Accept gate: tiles where no voxel improves on its
+                # previous accepted cost skip the moment/H/g work (the
+                # driver discards rejected trials' H/g anyway).  Opt-in:
+                # measured slower at bench conditions (see the public
+                # wrapper's docstring).
+                extra["cost_prev"] = cost_prev
+            # The kernel emits the FREE-parameter system directly — no
+            # per-iteration batched einsums over HBM.
+            return kernel_fn(
+                grids, fids_re, fids_im, t,
+                n_peaks=n_peaks, mhz=mhz, v_tile=v_tile,
+                interpret=interpret,
+                fold_slots=fold_slots, fold_scales=fold_scales,
+                n_free=n_free, dxdu=dxdu,
+                **extra,
+            )
         cost, g_phys, h_phys = kernel_fn(
             grids, fids_re, fids_im, t,
             n_peaks=n_peaks, mhz=mhz, v_tile=v_tile, interpret=interpret,
@@ -947,11 +965,26 @@ def crlb_batched_pallas(
     smat = jnp.asarray(smat_np, real_dtype)
 
     grids = _expand_params_batched(x_free, pmap_static, real_dtype)
-    cost, _, h_phys = kernel_fn(
-        grids, fids_re, fids_im, t.astype(real_dtype),
-        n_peaks=pmap_static[3], mhz=mhz, v_tile=v_tile, interpret=interpret,
-    )
-    h = jnp.einsum("pf,bpq,qh->bfh", smat, h_phys, smat)
+    if kernel_version >= 9:
+        # Folded kernel with a unit bound-transform diagonal: H arrives in
+        # EXTERNAL free-parameter space directly.
+        fold_slots = tuple(int(pmap_static[0][j]) for j in active)
+        fold_scales = tuple(float(pmap_static[1][j]) for j in active)
+        cost, _, h = kernel_fn(
+            grids, fids_re, fids_im, t.astype(real_dtype),
+            n_peaks=pmap_static[3], mhz=mhz, v_tile=v_tile,
+            interpret=interpret,
+            fold_slots=fold_slots, fold_scales=fold_scales,
+            n_free=n_free,
+            dxdu=jnp.ones((fids_re.shape[0], n_free), real_dtype),
+        )
+    else:
+        cost, _, h_phys = kernel_fn(
+            grids, fids_re, fids_im, t.astype(real_dtype),
+            n_peaks=pmap_static[3], mhz=mhz, v_tile=v_tile,
+            interpret=interpret,
+        )
+        h = jnp.einsum("pf,bpq,qh->bfh", smat, h_phys, smat)
     h = h + 1e-12 * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
 
     dof = jnp.maximum(2.0 * t.shape[0] - n_free, 1.0)

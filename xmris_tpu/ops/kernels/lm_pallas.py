@@ -1572,7 +1572,8 @@ def _normal_eq_kernel_v9(
     yre_ref,  # (V, n_t) VMEM
     yim_ref,  # (V, n_t) VMEM
     t_ref,  # (1, n_t) VMEM
-    *rest,  # [cprev_ref (1, 1, V) if gated] + [h_ref, g_ref, cost_ref]
+    *rest,  # [dxdu_ref (1, F, V) if fold] + [cprev_ref (1, 1, V) if gated]
+    #         + [h_ref, g_ref, cost_ref]
     n_peaks: int,
     mhz: float,
     v_tile: int,
@@ -1581,6 +1582,7 @@ def _normal_eq_kernel_v9(
     g_zero: tuple[bool, ...],
     gated: bool,
     factored_t: bool,
+    fold: tuple | None,  # (slots, scales, n_free): emit FREE-space H/g
 ):
     """v8's moment-based (cost, g, H) generalized to ANY Eq.6 prior.
 
@@ -1601,11 +1603,19 @@ def _normal_eq_kernel_v9(
     ``pl.when`` costs MORE than the skipped moments save (37.4 vs 33.2 ms
     fit+CRLB), so the driver defaults to the ungated variant, where the
     conditional (and the cprev input) is compiled out entirely.
+
+    Free-space fold (``fold=(slots, scales, n_free)``): the scatter-matrix
+    fold and the bound-transform diagonal — which the LM driver otherwise
+    applies as per-iteration batched einsums over HBM — collapse into the
+    per-slot coefficient scalars: row ``r``'s terms are scaled by
+    ``scales[r] * dxdu[:, slots[r]]`` and rows sharing a free slot (tied
+    parameters) merge, so ``h_ref``/``g_ref`` hold the FREE-parameter
+    (B, F, F)/(B, F) system directly.
     """
-    if gated:
-        cprev_ref, h_ref, g_ref, cost_ref = rest
-    else:
-        h_ref, g_ref, cost_ref = rest
+    rest = list(rest)
+    dxdu_ref = rest.pop(0) if fold is not None else None
+    cprev_ref = rest.pop(0) if gated else None
+    h_ref, g_ref, cost_ref = rest
     t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
     n_t = t.shape[1]
     f32 = jnp.float32
@@ -1762,42 +1772,63 @@ def _normal_eq_kernel_v9(
 
             terms = [coeff_terms(k, p) for (k, p) in rows]
 
-            # Gradient: g_r = sum_d Re(conj(z_{r,d}) N_d[k_r])
-            for r, ((k, _), tlist) in enumerate(zip(rows, terms)):
-                acc = zero
-                for al, be, d in tlist:
-                    nr, ni = n_mom[(k, d)]
-                    acc = acc + al * nr + be * ni
-                g_ref[0, r, :] = acc
-            for r in range(len(rows), a_pad):
-                g_ref[0, r, :] = zero
+            # Group rows into output entries: physical rows map 1:1 when
+            # not folding; with ``fold``, rows merge into their free slots
+            # with the scatter scale and the bound-transform diagonal
+            # folded into the coefficients.
+            if fold is None:
+                entries = [
+                    [(k, tlist)] for (k, _), tlist in zip(rows, terms)
+                ]
+            else:
+                slots, scales, n_free = fold
+                entries = [[] for _ in range(n_free)]
+                for r, ((k, _), tlist) in enumerate(zip(rows, terms)):
+                    m = dxdu_ref[0, slots[r], :] * scales[r]  # (V,)
+                    entries[slots[r]].append(
+                        (k, [(al * m, be * m, d) for al, be, d in tlist])
+                    )
+            n_out = len(entries)
 
-            # Hessian: H[r,s] = sum_{d,e} Re(z_{r,d} conj(z_{s,e})
-            #                                M_{d+e}[k_r, k_s])
-            for r, ((kr, _), tr_) in enumerate(zip(rows, terms)):
-                for s, ((ks, _), ts_) in enumerate(zip(rows, terms)):
-                    if s < r:
+            # Gradient: g_f = sum_{rows in f} sum_d Re(conj(z_d) N_d[k])
+            for f_, elist in enumerate(entries):
+                acc = zero
+                for k, tlist in elist:
+                    for al, be, d in tlist:
+                        nr, ni = n_mom[(k, d)]
+                        acc = acc + al * nr + be * ni
+                g_ref[0, f_, :] = acc
+            for f_ in range(n_out, a_pad):
+                g_ref[0, f_, :] = zero
+
+            # Hessian: H[f,h] = sum over the entries' row pairs of
+            # sum_{d,e} Re(z_{d} conj(z_{e}) M_{d+e}[k_r, k_s])
+            for f_, el_f in enumerate(entries):
+                for h2, el_h in enumerate(entries):
+                    if h2 < f_:
                         continue
                     acc = zero
-                    for ar, br, d in tr_:
-                        for as_, bs, e in ts_:
-                            q = d + e
-                            if kr <= ks:
-                                mr, mi = m_mom[(kr, ks, q)]
-                            else:
-                                mr, mi = m_mom[(ks, kr, q)]
-                                mi = -mi
-                            acc = acc + (
-                                (ar * as_ + br * bs) * mr
-                                - (br * as_ - ar * bs) * mi
-                            )
-                    h_ref[0, r * a_pad + s, :] = acc
-                    if s != r:
-                        h_ref[0, s * a_pad + r, :] = acc
-            for r in range(len(rows), a_pad):
-                for s in range(a_pad):
-                    h_ref[0, r * a_pad + s, :] = zero
-                    h_ref[0, s * a_pad + r, :] = zero
+                    for kr, tr_ in el_f:
+                        for ks, ts_ in el_h:
+                            for ar, br, d in tr_:
+                                for as_, bs, e in ts_:
+                                    q = d + e
+                                    if kr <= ks:
+                                        mr, mi = m_mom[(kr, ks, q)]
+                                    else:
+                                        mr, mi = m_mom[(ks, kr, q)]
+                                        mi = -mi
+                                    acc = acc + (
+                                        (ar * as_ + br * bs) * mr
+                                        - (br * as_ - ar * bs) * mi
+                                    )
+                    h_ref[0, f_ * a_pad + h2, :] = acc
+                    if h2 != f_:
+                        h_ref[0, h2 * a_pad + f_, :] = acc
+            for f_ in range(n_out, a_pad):
+                for s_ in range(a_pad):
+                    h_ref[0, f_ * a_pad + s_, :] = zero
+                    h_ref[0, s_ * a_pad + f_, :] = zero
 
         if gated:
             pl.when(jnp.any(cost < cprev_ref[0, 0, :]))(_moments)
@@ -1809,7 +1840,7 @@ def _normal_eq_kernel_v9(
     jax.jit,
     static_argnames=(
         "n_peaks", "mhz", "active", "g_zero", "v_tile", "interpret",
-        "factored_t",
+        "factored_t", "fold_slots", "fold_scales", "n_free",
     ),
 )
 def eq6_normal_equations_pallas_v9(
@@ -1826,6 +1857,10 @@ def eq6_normal_equations_pallas_v9(
     v_tile: int = 8,
     interpret: bool = False,
     factored_t: bool = False,
+    fold_slots: tuple[int, ...] | None = None,  # per-active-row free slot
+    fold_scales: tuple[float, ...] | None = None,  # per-active-row scale
+    n_free: int | None = None,
+    dxdu=None,  # (B, n_free) bound-transform diagonal (required with fold)
 ):
     """Generalized moment-based fused normal equations with accept gating.
 
@@ -1836,11 +1871,18 @@ def eq6_normal_equations_pallas_v9(
     H/g outputs are unspecified — the LM driver discards them, exactly as
     it discards rejected trials).  ``cost_prev=None`` (the default, and the
     measured-faster configuration) compiles the gate out entirely.
+
+    With ``fold_slots``/``fold_scales``/``n_free``/``dxdu`` the outputs are
+    the FREE-parameter system (B, n_free)/(B, n_free, n_free) with the
+    scatter fold and bound-transform diagonal already applied — the LM
+    driver then consumes H/g directly with no per-iteration einsums.
     """
     gated = cost_prev is not None
+    folded = fold_slots is not None
     n_t = y_re.shape[-1]
     a = len(active)
-    a_pad = _round_up(a, 8)
+    a_pad = _round_up(n_free if folded else a, 8)
+    n_keep = n_free if folded else a
     p = n_peaks * 5
 
     params_t, y_re, y_im, tiles_active, b, b_pad, n_tiles = (
@@ -1850,6 +1892,19 @@ def eq6_normal_equations_pallas_v9(
 
     extra_in_specs = []
     extra_inputs = []
+    if folded:
+        # (B, F) -> (n_tiles, F, V) lane-contiguous per-tile layout
+        dx = dxdu.astype(jnp.float32)
+        dx = jnp.pad(dx, ((0, b_pad - b), (0, 0)))
+        extra_inputs.append(
+            dx.reshape(n_tiles, v_tile, n_free).transpose(0, 2, 1)
+        )
+        extra_in_specs.append(
+            pl.BlockSpec(
+                (1, n_free, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
     if gated:
         # Padding voxels get 0: a (nonnegative) trial cost never strictly
         # improves on 0, so the pad tail cannot force moment work.
@@ -1871,6 +1926,11 @@ def eq6_normal_equations_pallas_v9(
         g_zero=tuple(bool(z) for z in g_zero),
         gated=gated,
         factored_t=bool(factored_t) and n_t % 128 == 0,
+        fold=(
+            (tuple(fold_slots), tuple(fold_scales), int(n_free))
+            if folded
+            else None
+        ),
     )
 
     h_out, g_out, cost_out = pl.pallas_call(
@@ -1915,4 +1975,4 @@ def eq6_normal_equations_pallas_v9(
     h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, a_pad, a_pad)
     g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, a_pad)
     cost = jnp.transpose(cost_out, (0, 2, 1)).reshape(b_pad)
-    return cost[:b], g[:b, :a], h[:b, :a, :a]
+    return cost[:b], g[:b, :n_keep], h[:b, :n_keep, :n_keep]
