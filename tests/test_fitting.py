@@ -444,3 +444,48 @@ class TestFitParity1e6:
             assert abs(ours[i] - ref_val) / scale < 1e-6, (
                 f"param {pk.free_labels[i]}: {ours[i]} vs {ref_val}"
             )
+
+
+class TestLinearSeed:
+    """Linear LS amplitude/phase seeding at the template optimum."""
+
+    def test_seed_recovers_known_amplitudes(self, pk_file):
+        from xmris_tpu.fitting.amares import (
+            _linear_amp_phase_seed,
+            template_seeded_x0,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        pk = load_prior_knowledge(pk_file)
+        da = make_phantom(n_voxels=4, n_points=1024, noise=0.1)
+        fids = np.asarray(
+            da.transpose("voxel", DIMS.time).values
+        ).astype(np.complex64)
+        import jax.numpy as jnp
+
+        t = jnp.asarray((np.arange(1024) / 10000.0).astype(np.float32))
+        # template = true parameters: seed should nail amplitudes
+        # free-slot order: amp, cs, lw, phase, g per peak
+        x_t = np.array([10.0, 0.0, 15.0, 0.0, 0.0, 5.0, -7.5, 20.0, 0.0, 0.0],
+                       dtype=np.float64)[: pk.n_free]
+        amp, ph = _linear_amp_phase_seed(fids, x_t, pk, t, 120.0)
+        np.testing.assert_allclose(
+            amp[:, 0], [10.0, 20.0, 30.0, 40.0], rtol=0.02
+        )
+        np.testing.assert_allclose(amp[:, 1], [5.0] * 4, rtol=0.1)
+        assert np.all(np.abs(ph) < 5.0)  # phantom is zero-phase
+
+        # integrated: template_seeded_x0 seeds per-voxel amplitudes
+        x0 = template_seeded_x0(fids, pk, t, 120.0)
+        amp_slot = int(pk.pmap.idx[0])
+        np.testing.assert_allclose(
+            x0[:, amp_slot], [10.0, 20.0, 30.0, 40.0], rtol=0.1
+        )
+
+    def test_fit_accuracy_unchanged_with_seed(self, pk_file):
+        """fit_amares with the linear seed still recovers ground truth."""
+        da = make_phantom(n_voxels=3, n_points=512)
+        ds = da.xmr.fit_amares(pk_file, engine="xla", max_iter=40)
+        pcr = ds["amplitude"].sel({"Metabolite": "PCr"}).values
+        np.testing.assert_allclose(pcr, [10.0, 20.0, 30.0], rtol=0.1)
+        assert ds["fit_converged"].values.all()

@@ -61,6 +61,60 @@ def select_template_fid(fid_arrs: np.ndarray, announce: bool = True) -> int:
     return best_idx
 
 
+def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz):
+    """Per-voxel LS amplitudes/phases given the template's cs/lw/g.
+
+    With frequencies, linewidths and g frozen at the template optimum, the
+    complex amplitude ``a_k e^{i phi_k}`` of every peak enters Eq.6
+    LINEARLY, so the whole grid's optimal amplitudes and phases come from
+    ONE shared (2K, 2K) normal-equations solve against each voxel's data —
+    a near-exact seed for 2 of the 4 parameter families per peak, which
+    cuts the batched LM's accepted steps (the reference's initializer
+    scales amplitudes by a single scalar instead, ``amares.py:314-324``).
+
+    Returns ``(amp, phase_deg)`` numpy arrays of shape (B, K).
+    """
+    import jax
+
+    from xmris_tpu.fitting.lm import (
+        _pmap_jax,
+        eq6_basis_planar,
+        expand_params,
+    )
+
+    @jax.jit
+    def solve(y_re, y_im, x_t, t):
+        pmap = _pmap_jax(hashable_pmap(pk.pmap), y_re.dtype)
+        grid = expand_params(x_t, pmap)
+        grid = grid.at[:, 0].set(1.0).at[:, 3].set(0.0)  # unit amp, 0 phase
+        _, _, b_re, b_im = eq6_basis_planar(t, grid, mhz)  # (n_t, K)
+        # G = B^H B (K, K) complex, shared across voxels
+        g_r = b_re.T @ b_re + b_im.T @ b_im
+        g_i = b_re.T @ b_im - b_im.T @ b_re
+        # N = B^H y per voxel: (K, B)
+        n_r = b_re.T @ y_re.T + b_im.T @ y_im.T
+        n_i = b_re.T @ y_im.T - b_im.T @ y_re.T
+        k = g_r.shape[0]
+        ridge = 1e-8 * jnp.trace(g_r) / k
+        g_r = g_r + ridge * jnp.eye(k, dtype=g_r.dtype)
+        # complex solve as the real 2K x 2K block system
+        top = jnp.concatenate([g_r, -g_i], axis=1)
+        bot = jnp.concatenate([g_i, g_r], axis=1)
+        block = jnp.concatenate([top, bot], axis=0)
+        rhs = jnp.concatenate([n_r, n_i], axis=0)  # (2K, B)
+        sol = jnp.linalg.solve(block, rhs)
+        a_r, a_i = sol[:k], sol[k:]
+        amp = jnp.sqrt(a_r * a_r + a_i * a_i)
+        phase = jnp.arctan2(a_i, a_r) * (180.0 / jnp.pi)
+        return amp.T, phase.T  # (B, K)
+
+    re = jnp.asarray(np.ascontiguousarray(fid_arrs.real, dtype=np.float32))
+    im = jnp.asarray(np.ascontiguousarray(fid_arrs.imag, dtype=np.float32))
+    amp, ph = solve(re, im, jnp.asarray(x_template, dtype=jnp.float32),
+                    t_j.astype(jnp.float32))
+    return np.asarray(amp), np.asarray(ph)
+
+
 def template_seeded_x0(
     fid_arrs: np.ndarray,
     pk: PriorKnowledge,
@@ -71,6 +125,7 @@ def template_seeded_x0(
     scale_amplitudes: bool = True,
     max_iter: int = 60,
     verbose: bool = False,
+    linear_seed: bool = True,
 ) -> np.ndarray:
     """Per-voxel initial values seeded from a template-voxel fit.
 
@@ -127,6 +182,41 @@ def template_seeded_x0(
             y0_mag = np.abs(fid_arrs[:, 0])
             factor = np.clip(y0_mag / template_total, 0.1, 100.0)
             x0[:, amp_slots] *= factor[:, None]
+
+    if linear_seed:
+        # Per-voxel LS amplitudes + phases at the template's cs/lw/g: a
+        # near-exact seed for the linear parameter families.  Out-of-bound
+        # values are sanitized by external_to_internal; non-finite entries
+        # keep the scaled-template seed.
+        try:
+            amp, ph = _linear_amp_phase_seed(
+                fid_arrs, x_template, pk, t_j, mhz
+            )
+            seen: set[int] = set()
+            for k in range(pk.n_peaks):
+                a_slot = int(pk.pmap.idx[k * 5])
+                if (
+                    a_slot >= 0
+                    and a_slot not in seen
+                    and pk.pmap.scale[k * 5] == 1.0
+                ):
+                    # physical = offset + scale * x  =>  x = physical - offset
+                    seen.add(a_slot)
+                    vals = amp[:, k] - float(pk.pmap.offset[k * 5])
+                    ok = np.isfinite(vals)
+                    x0[ok, a_slot] = vals[ok]
+                p_slot = int(pk.pmap.idx[k * 5 + 3])
+                if (
+                    p_slot >= 0
+                    and p_slot not in seen
+                    and pk.pmap.scale[k * 5 + 3] == 1.0
+                ):
+                    seen.add(p_slot)
+                    vals = ph[:, k] - float(pk.pmap.offset[k * 5 + 3])
+                    ok = np.isfinite(vals)
+                    x0[ok, p_slot] = vals[ok]
+        except Exception:  # pragma: no cover — seed quality only
+            pass
     return x0
 
 
