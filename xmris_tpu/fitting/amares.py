@@ -25,9 +25,11 @@ Behavioral parity:
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +63,42 @@ def select_template_fid(fid_arrs: np.ndarray, announce: bool = True) -> int:
     return best_idx
 
 
+@functools.partial(jax.jit, static_argnames=("pmap_static", "mhz"))
+def _linear_seed_solve(y_re, y_im, x_t, t, pmap_static, mhz):
+    """Jitted core of :func:`_linear_amp_phase_seed` (module level so the
+    jit cache persists across calls — a closure-local jit would retrace
+    and remote-compile on every ``fit_amares`` invocation)."""
+    from xmris_tpu.fitting.lm import (
+        _pmap_jax,
+        eq6_basis_planar,
+        expand_params,
+    )
+
+    pmap = _pmap_jax(pmap_static, y_re.dtype)
+    grid = expand_params(x_t, pmap)
+    grid = grid.at[:, 0].set(1.0).at[:, 3].set(0.0)  # unit amp, 0 phase
+    _, _, b_re, b_im = eq6_basis_planar(t, grid, mhz)  # (n_t, K)
+    # G = B^H B (K, K) complex, shared across voxels
+    g_r = b_re.T @ b_re + b_im.T @ b_im
+    g_i = b_re.T @ b_im - b_im.T @ b_re
+    # N = B^H y per voxel: (K, B)
+    n_r = b_re.T @ y_re.T + b_im.T @ y_im.T
+    n_i = b_re.T @ y_im.T - b_im.T @ y_re.T
+    k = g_r.shape[0]
+    ridge = 1e-8 * jnp.trace(g_r) / k
+    g_r = g_r + ridge * jnp.eye(k, dtype=g_r.dtype)
+    # complex solve as the real 2K x 2K block system
+    top = jnp.concatenate([g_r, -g_i], axis=1)
+    bot = jnp.concatenate([g_i, g_r], axis=1)
+    block = jnp.concatenate([top, bot], axis=0)
+    rhs = jnp.concatenate([n_r, n_i], axis=0)  # (2K, B)
+    sol = jnp.linalg.solve(block, rhs)
+    a_r, a_i = sol[:k], sol[k:]
+    amp = jnp.sqrt(a_r * a_r + a_i * a_i)
+    phase = jnp.arctan2(a_i, a_r) * (180.0 / jnp.pi)
+    return amp.T, phase.T  # (B, K)
+
+
 def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz):
     """Per-voxel LS amplitudes/phases given the template's cs/lw/g.
 
@@ -74,45 +112,28 @@ def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz):
 
     Returns ``(amp, phase_deg)`` numpy arrays of shape (B, K).
     """
-    import jax
-
-    from xmris_tpu.fitting.lm import (
-        _pmap_jax,
-        eq6_basis_planar,
-        expand_params,
-    )
-
-    @jax.jit
-    def solve(y_re, y_im, x_t, t):
-        pmap = _pmap_jax(hashable_pmap(pk.pmap), y_re.dtype)
-        grid = expand_params(x_t, pmap)
-        grid = grid.at[:, 0].set(1.0).at[:, 3].set(0.0)  # unit amp, 0 phase
-        _, _, b_re, b_im = eq6_basis_planar(t, grid, mhz)  # (n_t, K)
-        # G = B^H B (K, K) complex, shared across voxels
-        g_r = b_re.T @ b_re + b_im.T @ b_im
-        g_i = b_re.T @ b_im - b_im.T @ b_re
-        # N = B^H y per voxel: (K, B)
-        n_r = b_re.T @ y_re.T + b_im.T @ y_im.T
-        n_i = b_re.T @ y_im.T - b_im.T @ y_re.T
-        k = g_r.shape[0]
-        ridge = 1e-8 * jnp.trace(g_r) / k
-        g_r = g_r + ridge * jnp.eye(k, dtype=g_r.dtype)
-        # complex solve as the real 2K x 2K block system
-        top = jnp.concatenate([g_r, -g_i], axis=1)
-        bot = jnp.concatenate([g_i, g_r], axis=1)
-        block = jnp.concatenate([top, bot], axis=0)
-        rhs = jnp.concatenate([n_r, n_i], axis=0)  # (2K, B)
-        sol = jnp.linalg.solve(block, rhs)
-        a_r, a_i = sol[:k], sol[k:]
-        amp = jnp.sqrt(a_r * a_r + a_i * a_i)
-        phase = jnp.arctan2(a_i, a_r) * (180.0 / jnp.pi)
-        return amp.T, phase.T  # (B, K)
-
     re = jnp.asarray(np.ascontiguousarray(fid_arrs.real, dtype=np.float32))
     im = jnp.asarray(np.ascontiguousarray(fid_arrs.imag, dtype=np.float32))
-    amp, ph = solve(re, im, jnp.asarray(x_template, dtype=jnp.float32),
-                    t_j.astype(jnp.float32))
+    amp, ph = _linear_seed_solve(
+        re, im, jnp.asarray(x_template, dtype=jnp.float32),
+        t_j.astype(jnp.float32), hashable_pmap(pk.pmap), float(mhz),
+    )
     return np.asarray(amp), np.asarray(ph)
+
+
+def _nudge_into_bounds(vals, lo, hi):
+    """Clip seeded values INSIDE the bounds with the same off-edge margin
+    as prior parsing (``prior.py``): the MINPACK bound transform has zero
+    slope at the edge, which freezes the parameter and ill-conditions the
+    first LM steps."""
+    if np.isfinite(lo) and np.isfinite(hi) and hi > lo:
+        m = 1e-3 * (hi - lo)
+        return np.clip(vals, lo + m, hi - m)
+    if np.isfinite(lo):
+        return np.maximum(vals, lo + max(1e-3, abs(lo) * 1e-3))
+    if np.isfinite(hi):
+        return np.minimum(vals, hi - max(1e-3, abs(hi) * 1e-3))
+    return vals
 
 
 def template_seeded_x0(
@@ -185,38 +206,37 @@ def template_seeded_x0(
 
     if linear_seed:
         # Per-voxel LS amplitudes + phases at the template's cs/lw/g: a
-        # near-exact seed for the linear parameter families.  Out-of-bound
-        # values are sanitized by external_to_internal; non-finite entries
-        # keep the scaled-template seed.
+        # near-exact seed for the linear parameter families.  Values are
+        # nudged INSIDE the bounds (a clamped seed at the exact edge sits
+        # in the bound transform's zero-slope region); non-finite entries
+        # keep the scaled-template seed.  Writes are staged and applied
+        # all-or-nothing so a failure cannot leave a half-seeded grid.
         try:
             amp, ph = _linear_amp_phase_seed(
                 fid_arrs, x_template, pk, t_j, mhz
             )
-            seen: set[int] = set()
+            staged: dict[int, tuple[np.ndarray, np.ndarray]] = {}
             for k in range(pk.n_peaks):
-                a_slot = int(pk.pmap.idx[k * 5])
-                if (
-                    a_slot >= 0
-                    and a_slot not in seen
-                    and pk.pmap.scale[k * 5] == 1.0
-                ):
-                    # physical = offset + scale * x  =>  x = physical - offset
-                    seen.add(a_slot)
-                    vals = amp[:, k] - float(pk.pmap.offset[k * 5])
-                    ok = np.isfinite(vals)
-                    x0[ok, a_slot] = vals[ok]
-                p_slot = int(pk.pmap.idx[k * 5 + 3])
-                if (
-                    p_slot >= 0
-                    and p_slot not in seen
-                    and pk.pmap.scale[k * 5 + 3] == 1.0
-                ):
-                    seen.add(p_slot)
-                    vals = ph[:, k] - float(pk.pmap.offset[k * 5 + 3])
-                    ok = np.isfinite(vals)
-                    x0[ok, p_slot] = vals[ok]
-        except Exception:  # pragma: no cover — seed quality only
-            pass
+                for col, vals_k in ((0, amp[:, k]), (3, ph[:, k])):
+                    j = k * 5 + col
+                    slot = int(pk.pmap.idx[j])
+                    if (
+                        slot < 0
+                        or slot in staged
+                        or pk.pmap.scale[j] != 1.0
+                    ):
+                        continue
+                    # physical = offset + scale*x  =>  x = physical - offset
+                    vals = _nudge_into_bounds(
+                        vals_k - float(pk.pmap.offset[j]),
+                        float(pk.lower[slot]), float(pk.upper[slot]),
+                    )
+                    staged[slot] = (np.isfinite(vals), vals)
+            for slot, (ok, vals) in staged.items():
+                x0[ok, slot] = vals[ok]
+        except Exception as exc:  # pragma: no cover — seed quality only
+            if verbose:
+                print(f"linear seed skipped ({exc!r}); using template seed")
     return x0
 
 
@@ -255,11 +275,13 @@ def fit_amares(
     ``engine`` selects the device solver: ``"xla"`` (vmapped planar LM),
     ``"pallas"`` (fused normal-equations kernel, Jacobians never leave VMEM),
     or ``"auto"`` (pallas on TPU, xla elsewhere); ``kernel_version`` picks
-    the pallas formulation (8 = moment-based H for purely Lorentzian
-    priors, the measured-fastest, auto-falling back to 6 for Voigt
-    priors; 6 = active rows + stacked-voxel MXU Gram dots +
-    converged-tile skipping; 5 = active rows only; 3 = all rows; 2/1
-    earlier formulations).
+    the pallas formulation (9 = generalized moment-based H for EVERY
+    Eq.6 prior — Lorentzian, Voigt and free-g at the same speed — with
+    the free-parameter fold done in-kernel: the measured-fastest and the
+    default; 8 = moment-based H for purely Lorentzian priors only,
+    auto-falling back to 6 for Voigt; 6 = active rows + stacked-voxel
+    MXU Gram dots + converged-tile skipping; 5 = active rows only;
+    3 = all rows; 2/1 earlier formulations).
 
     ``scale_init_amplitudes`` rescales each voxel's initial amplitudes by its
     own first-point magnitude relative to the prior's total (the analog of
