@@ -172,13 +172,18 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
             outs.append((res.x_free, sds))
         return outs
 
+    @jax.jit
+    def _checksum(x, s):
+        return jnp.sum(x) + jnp.sum(s)
+
     def witness(outs):
-        return sum(
-            float(jnp.sum(x)) + float(jnp.sum(s)) for x, s in outs
-        )
+        # ONE scalar readback per timed pass: each float() through the
+        # remote relay costs a full round trip, so the per-chunk sums are
+        # combined on device first.
+        return sum(float(_checksum(x, s)) for x, s in outs)
 
     witness(one_pass())  # compile + execution witness
-    chain = 4 if use_pallas else 1
+    chain = 8 if use_pallas else 1
     times = []
     for _ in range(iters):
         start = time.perf_counter()
@@ -189,7 +194,7 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
     return float(np.median(times))
 
 
-def run_planar(fids, weight, freqs, cfg, iters=3, chain=16):
+def run_planar(fids, weight, freqs, cfg, iters=3, chain=32):
     """Steady-state spectral throughput: ``chain`` back-to-back executions
     per timed pass with ONE witness readback (the scalar readback proves
     execution; through the remote relay each extra readback costs ~40 ms of
