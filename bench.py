@@ -183,7 +183,7 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
         return sum(float(_checksum(x, s)) for x, s in outs)
 
     witness(one_pass())  # compile + execution witness
-    chain = 8 if use_pallas else 1
+    chain = 16 if use_pallas else 1
     times = []
     for _ in range(iters):
         start = time.perf_counter()
