@@ -160,3 +160,33 @@ class TestPipelinePallasVariant:
         np.testing.assert_allclose(
             float(b[2][0]), float(a[2][0]), atol=0.5
         )
+
+
+class TestInKernelMaxMag:
+    def test_maxmag_matches_xla_argmax(self):
+        """with_maxmag returns each voxel's peak |spectrum|^2 + frequency
+        index, equal to the XLA magnitude+argmax over the same output."""
+        rng = np.random.default_rng(9)
+        b, n_in, n_out = 7, 1024, 2048
+        xr = rng.normal(size=(b, n_in)).astype(np.float32)
+        xi = rng.normal(size=(b, n_in)).astype(np.float32)
+        w = np.exp(-np.arange(n_in) / 250.0).astype(np.float32)
+        sr, si, mv, mi = spectrum_pallas(
+            jnp.asarray(xr), jnp.asarray(xi), n_out, window=jnp.asarray(w),
+            v_tile=4, interpret=True, with_maxmag=True,
+        )
+        m2 = np.asarray(sr) ** 2 + np.asarray(si) ** 2
+        np.testing.assert_allclose(
+            np.asarray(mv), m2.max(axis=1), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mi), m2.argmax(axis=1)
+        )
+
+    def test_maxmag_rejects_stacked(self):
+        xr = jnp.zeros((4, 64), jnp.float32)
+        with pytest.raises(ValueError, match="with_maxmag"):
+            spectrum_pallas(
+                xr, xr, 128, v_tile=2, interpret=True, s2="stacked",
+                with_maxmag=True,
+            )

@@ -135,12 +135,14 @@ def _spectrum_kernel(
     f2tim_ref,
     ore_ref,  # stacked: (n2, Vt*n1); loop/stacked2: (Vt*n2, n1)
     oim_ref,
-    *scratch,  # [pre_ref, pim_ref] unless pre_panel; then stacked scratch
+    *scratch,  # [mv_ref, mi_ref if with_maxmag] + [pre_ref, pim_ref unless
+    #            pre_panel] + stacked scratch
     n1: int,
     n2: int,
     v_tile: int,
     s2: str,
     pre_panel: bool = False,
+    with_maxmag: bool = False,
 ):
     """All values stay 2D after the input relayout (Mosaic can neither
     split nor merge a vector's lane dimension).  The input arrives in its
@@ -174,6 +176,10 @@ def _spectrum_kernel(
     f1r = f1re_ref[:, :]
     f1i = f1im_ref[:, :]
 
+    if with_maxmag:
+        # Extra OUTPUT refs (pallas passes outputs before scratch)
+        extra_outs = (scratch[0], scratch[1])
+        scratch = scratch[2:]
     if pre_panel:
         # Panel arrives ready: (j1, (v, j2)) with the window already folded
         xr = xre_ref[:, :]
@@ -248,12 +254,39 @@ def _spectrum_kernel(
             ore_ref[v * n2 : (v + 1) * n2, :] = zr
             oim_ref[v * n2 : (v + 1) * n2, :] = zi
 
+        if with_maxmag:
+            # Per-voxel peak |spectrum|^2 and its frequency index, computed
+            # while the block is VMEM-resident — replaces a full-grid XLA
+            # magnitude+argmax pass over HBM in the autophase pipeline.
+            mv_ref, mi_ref = extra_outs
+            zr_all = ore_ref[:, :]  # ((v, k2), k1)
+            zi_all = oim_ref[:, :]
+            m2 = (zr_all * zr_all + zi_all * zi_all).reshape(
+                v_tile, n2, n1
+            )  # leading-dim split only (lanes untouched)
+            # two-stage argmax: over k1 (lanes), then over k2 (sublanes)
+            rmax = jnp.max(m2, axis=2)  # (V, n2)
+            rarg = jnp.argmax(m2, axis=2).astype(jnp.float32)  # (V, n2)
+            k2_best = jnp.argmax(rmax, axis=1)  # (V,)
+            vmax = jnp.max(rmax, axis=1)  # (V,)
+            # gather rarg[v, k2_best[v]] without dynamic indexing
+            k2_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (v_tile, n2), 1
+            )
+            sel_mask = (k2_iota == k2_best[:, None]).astype(jnp.float32)
+            k1_best = jnp.sum(rarg * sel_mask, axis=1)  # (V,) float
+            # flat frequency index k = k1 + n1 * k2
+            mv_ref[0, :] = vmax
+            mi_ref[0, :] = k1_best + jnp.float32(n1) * k2_best.astype(
+                jnp.float32
+            )
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_out", "n2", "shifted", "ortho", "v_tile", "interpret", "s2",
-        "pre_relayout", "vmem_limit_mb",
+        "pre_relayout", "vmem_limit_mb", "with_maxmag",
     ),
 )
 def spectrum_pallas(
@@ -269,6 +302,7 @@ def spectrum_pallas(
     s2: str = "loop",
     pre_relayout: bool = False,
     vmem_limit_mb: int | None = None,
+    with_maxmag: bool = False,
 ):
     """Fused window -> zero-fill -> ortho DFT -> fftshift of a planar batch.
 
@@ -282,7 +316,16 @@ def spectrum_pallas(
     ``"stacked2"``, see :func:`_spectrum_kernel`); ``pre_relayout=True``
     builds the (j1, (v, j2)) stage-1 panel with one fused XLA
     window+transpose pass over HBM instead of in-kernel slice copies.
+
+    ``with_maxmag=True`` (loop path only) additionally returns
+    ``(max_mag2, max_idx)`` — each voxel's peak squared magnitude and its
+    frequency index — computed while the spectrum block is VMEM-resident,
+    so the autophase pipeline's full-grid magnitude+argmax pass over HBM
+    disappears.  Return becomes ``(out_re, out_im, max_mag2, max_idx)``
+    with the extras shaped like the batch.
     """
+    if with_maxmag and s2 != "loop":
+        raise ValueError("with_maxmag requires the default s2='loop' path")
     batch_shape = xr.shape[:-1]
     n_in = xr.shape[-1]
     if n2 is None:
@@ -332,7 +375,7 @@ def spectrum_pallas(
 
     kernel = functools.partial(
         _spectrum_kernel, n1=n1, n2=n2, v_tile=v_tile, s2=s2,
-        pre_panel=pre_relayout,
+        pre_panel=pre_relayout, with_maxmag=with_maxmag,
     )
 
     lanes = v_tile * n2
@@ -373,7 +416,7 @@ def spectrum_pallas(
             pltpu.VMEM((n1_in, lanes), jnp.float32),
             pltpu.VMEM((n1_in, lanes), jnp.float32),
         ]
-    ore, oim = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=x_specs
@@ -386,8 +429,28 @@ def spectrum_pallas(
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec, out_spec],
-        out_shape=[out_shape, out_shape],
+        out_specs=[out_spec, out_spec]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, v_tile), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, v_tile), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            if with_maxmag
+            else []
+        ),
+        out_shape=[out_shape, out_shape]
+        + (
+            [
+                jax.ShapeDtypeStruct((grid[0], v_tile), jnp.float32),
+                jax.ShapeDtypeStruct((grid[0], v_tile), jnp.float32),
+            ]
+            if with_maxmag
+            else []
+        ),
         # The stage-2 relayout scratch only exists on the stacked paths —
         # the loop path would waste 2 * Vt*n1*n2 floats of VMEM otherwise.
         scratch_shapes=input_scratch
@@ -421,6 +484,7 @@ def spectrum_pallas(
         jnp.asarray(f2t_re),
         jnp.asarray(f2t_im),
     )
+    ore, oim = outs[0], outs[1]
 
     if s2 == "stacked":
         # Output digit reversal in XLA: (k2, (v, k1)) -> (v, k2*n1 + k1)
@@ -439,7 +503,10 @@ def spectrum_pallas(
         # contiguity-preserving reshape — no transpose at all.
         out_re = ore.reshape(b_pad, n_out)[:b]
         out_im = oim.reshape(b_pad, n_out)[:b]
-    return (
-        out_re.reshape(batch_shape + (n_out,)),
-        out_im.reshape(batch_shape + (n_out,)),
-    )
+    out_re = out_re.reshape(batch_shape + (n_out,))
+    out_im = out_im.reshape(batch_shape + (n_out,))
+    if with_maxmag:
+        mv = outs[2].reshape(b_pad)[:b].reshape(batch_shape)
+        mi = outs[3].reshape(b_pad)[:b].reshape(batch_shape).astype(jnp.int32)
+        return out_re, out_im, mv, mi
+    return out_re, out_im

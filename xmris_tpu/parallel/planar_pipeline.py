@@ -27,12 +27,18 @@ def _apply_phase_planar(re, im, phi):
     return re * c - im * s, re * s + im * c
 
 
-def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig):
-    mag2 = re * re + im * im
-    flat_idx = jnp.argmax(mag2)
-    n_freq = re.shape[-1]
-    voxel_idx = flat_idx // n_freq
-    freq_idx = flat_idx % n_freq
+def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig, peak=None):
+    if peak is None:
+        mag2 = re * re + im * im
+        flat_idx = jnp.argmax(mag2)
+        n_freq = re.shape[-1]
+        voxel_idx = flat_idx // n_freq
+        freq_idx = flat_idx % n_freq
+    else:
+        # Pivot search already done while the spectrum was VMEM-resident
+        # (spectrum_pallas with_maxmag) — only the B-long voxel reduction
+        # remains, so the full-grid magnitude pass over HBM never runs.
+        voxel_idx, freq_idx = peak
     pivot = freqs[freq_idx]
     x_range = freqs[-1] - freqs[0]
 
@@ -151,17 +157,28 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
         if pallas_split_ok(n_time, cfg.zero_fill_to):
             variant = "pallas"
 
+    peak = None
     if variant == "pallas":
         # Window + zero-fill + ortho DFT + fftshift in ONE Pallas kernel
         # with the transform VMEM-resident per voxel tile (the XLA
         # formulations round-trip every Cooley-Tukey stage through HBM).
+        # For single-mode autophase the per-voxel peak search also runs
+        # in-kernel (with_maxmag), leaving only a B-long voxel argmax.
         from xmris_tpu.ops.kernels.dft_pallas import spectrum_pallas
 
-        spec_re, spec_im = spectrum_pallas(
+        want_peak = cfg.autophase == "single"
+        out = spectrum_pallas(
             fids_re, fids_im, cfg.zero_fill_to,
             window=weight[:n_time].astype(fids_re.dtype),
             interpret=jax.default_backend() not in ("tpu",),
+            with_maxmag=want_peak,
         )
+        if want_peak:
+            spec_re, spec_im, mv, mi = out
+            voxel_idx = jnp.argmax(mv)
+            peak = (voxel_idx, mi[voxel_idx])
+        else:
+            spec_re, spec_im = out
     elif variant == "fused":
         # Zero-fill + ortho DFT + fftshift as ONE matmul against a constant
         # rectangular block-complex matrix; the window multiply below is the
@@ -192,7 +209,7 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
 
     if cfg.autophase == "single":
         spec_re, spec_im, p0, p1, pivot = _autophase_single_planar(
-            spec_re, spec_im, freqs, cfg
+            spec_re, spec_im, freqs, cfg, peak=peak
         )
     elif cfg.autophase == "all":
         spec_re, spec_im, p0, p1, pivot = _autophase_all_planar(
