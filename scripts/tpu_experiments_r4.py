@@ -1,0 +1,311 @@
+"""Round-4 TPU measurement session: in-kernel peak search, LM exit/damping
+sweep with the LS seed, and the fused end-to-end grid program.
+
+One careful batch (the remote backend wedges under hammering): every
+experiment prints a JSON line immediately and appends to
+``results/tpu_r4.jsonl``, so a wedge mid-run loses nothing already measured.
+
+Run on the default (axon) platform:   python scripts/tpu_experiments_r4.py
+Select experiment groups:             XMT_EXP=peak,fitsweep python ...
+Groups:
+  peak     — spectrum_pallas with_maxmag: on-device parity + chained timing
+             vs the kernel + XLA argmax formulation; pipeline(single) timing
+  fitsweep — plateau_streak / lam0 sweep on the LS-seeded 5-peak bench fit
+  e2e      — fused process_grid (spectral + seed + fit + CRLB, ONE dispatch)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS = Path(__file__).resolve().parent.parent / "results" / "tpu_r4.jsonl"
+RESULTS.parent.mkdir(exist_ok=True)
+
+
+def report(name: str, **kw) -> None:
+    rec = {"name": name, **kw}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+
+
+def main() -> None:
+    if os.environ.get("XMT_FORCE_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("XMT_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    for k, v in (
+        ("jax_compilation_cache_dir", "/root/.cache/jax_xmt"),
+        ("jax_persistent_cache_min_entry_size_bytes", -1),
+        ("jax_persistent_cache_min_compile_time_secs", 1.0),
+    ):
+        try:
+            jax.config.update(k, v)
+        except Exception:
+            pass
+
+    backend = jax.default_backend()
+    report("session", backend=backend, devices=len(jax.devices()))
+
+    import bench
+
+    B = int(os.environ.get("XMT_SCALE_B", "16384"))
+    NT, ZF, SW, MHZ = bench.N_TIME, bench.ZERO_FILL, bench.SW, bench.MHZ
+    fids, weight, freqs = bench.make_inputs()
+    fids = fids[:B]
+    re_h = np.ascontiguousarray(fids.real.astype(np.float32))
+    im_h = np.ascontiguousarray(fids.imag.astype(np.float32))
+
+    groups = set((os.environ.get("XMT_EXP") or "peak,fitsweep,e2e").split(","))
+    interp = backend not in ("tpu",)
+
+    # ---- in-kernel peak search -------------------------------------------
+    if "peak" in groups:
+        from xmris_tpu.ops.kernels.dft_pallas import spectrum_pallas
+
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        w_j = jnp.asarray(weight[:NT])
+
+        @jax.jit
+        def peak_check(r, i):
+            sr, si, mv, mi = spectrum_pallas(
+                r, i, ZF, window=w_j, interpret=interp, with_maxmag=True
+            )
+            m2 = sr * sr + si * si
+            mv_x = jnp.max(m2, axis=1)
+            mi_x = jnp.argmax(m2, axis=1)
+            dv = jnp.max(jnp.abs(mv - mv_x) / jnp.maximum(mv_x, 1e-30))
+            di = jnp.sum((mi != mi_x).astype(jnp.int32))
+            return dv, di
+
+        try:
+            t0 = time.perf_counter()
+            dv, di = peak_check(re_j, im_j)
+            dv, di = float(dv), int(di)
+            report(
+                "peak/parity", max_rel_val_err=dv, idx_mismatches=di,
+                compile_s=round(time.perf_counter() - t0, 1),
+            )
+        except Exception as e:  # noqa: BLE001
+            report("peak/parity", error=repr(e)[:300])
+
+        # chained timing: kernel+XLA argmax vs in-kernel maxmag
+        @jax.jit
+        def run_xla_peak(r, i):
+            sr, si = spectrum_pallas(r, i, ZF, window=w_j, interpret=interp)
+            m2 = sr * sr + si * si
+            return sr, si, jnp.max(m2, axis=1), jnp.argmax(m2, axis=1)
+
+        @jax.jit
+        def run_kernel_peak(r, i):
+            return spectrum_pallas(
+                r, i, ZF, window=w_j, interpret=interp, with_maxmag=True
+            )
+
+        K = 10
+        for tag, fn in (("xla_argmax", run_xla_peak),
+                        ("in_kernel", run_kernel_peak)):
+            try:
+                out = fn(re_j, im_j)
+                float(jnp.sum(out[2]))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    out = fn(re_j, im_j)
+                float(jnp.sum(out[2]) + jnp.sum(out[0][0]))
+                report(
+                    f"peak/chained/{tag}",
+                    ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"peak/chained/{tag}", error=repr(e)[:300])
+
+        # full spectral pipeline, autophase single (in-kernel peak path)
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.planar_pipeline import (
+            spectral_pipeline_planar_raw,
+        )
+
+        for tag, variant in (("pallas", "pallas"), ("einsum", None)):
+            cfg = PipelineConfig(
+                zero_fill_to=ZF, lb=5.0, autophase="single",
+                dft_variant=variant,
+            )
+            try:
+                w_full = jnp.asarray(weight)
+                f_j = jnp.asarray(freqs)
+                sr, si, ph = spectral_pipeline_planar_raw(
+                    re_j, im_j, w_full, f_j, cfg
+                )
+                float(jnp.sum(sr[0]))
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    sr, si, ph = spectral_pipeline_planar_raw(
+                        re_j, im_j, w_full, f_j, cfg
+                    )
+                float(jnp.sum(sr[0]) + ph[0])
+                report(
+                    f"peak/pipeline_single/{tag}",
+                    ms_per_call=round((time.perf_counter() - t0) / K * 1e3, 3),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"peak/pipeline_single/{tag}", error=repr(e)[:300])
+
+    # ---- LM exit/damping sweep with the LS seed ---------------------------
+    if "fitsweep" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import template_seeded_x0
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(bench.PK_CSV)
+        pk = load_prior_knowledge(f.name)
+        ps = hashable_pmap(pk.pmap)
+        lower = jnp.asarray(pk.lower)
+        upper = jnp.asarray(pk.upper)
+        kind = jnp.asarray(pk.kind)
+        x0 = template_seeded_x0(fids, pk, t, MHZ)
+        u0 = jnp.asarray(
+            external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(
+                np.float32
+            )
+        )
+
+        cases = [
+            # (tag, plateau_streak, lam0)
+            ("streak3/lam1e-3", 3, 1e-3),
+            ("streak2/lam1e-3", 2, 1e-3),
+            ("streak2/lam1e-4", 2, 1e-4),
+            ("streak2/lam1e-5", 2, 1e-5),
+            ("streak1/lam1e-3", 1, 1e-3),
+        ]
+        for tag, streak, lam0 in cases:
+            try:
+                def one_pass(streak=streak, lam0=lam0):
+                    res, h_ext = lm_fit_batched_pallas(
+                        re_j, im_j, t, u0, lower, upper, kind, ps, MHZ,
+                        max_iter=24, kernel_version=9, return_hessian=True,
+                        interpret=interp, plateau_streak=streak, lam0=lam0,
+                    )
+                    sds, _ = crlb_from_hessian(h_ext, res.cost, NT)
+                    return res, sds
+
+                t0 = time.perf_counter()
+                res, sds = one_pass()
+                wit = float(jnp.sum(res.cost))
+                comp = time.perf_counter() - t0
+                chain = 8
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(chain):
+                        res, sds = one_pass()
+                    float(jnp.sum(res.x_free) + jnp.sum(sds))
+                    ts.append((time.perf_counter() - t0) / chain)
+                n_it = np.asarray(res.n_iter)
+                report(
+                    f"fitsweep/{tag}",
+                    ms=round(float(np.median(ts)) * 1e3, 1),
+                    compile_s=round(comp, 1),
+                    total_cost=wit,
+                    conv_frac=float(np.mean(np.asarray(res.converged))),
+                    n_acc_p50=float(np.percentile(n_it, 50)),
+                    n_acc_max=int(n_it.max()),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"fitsweep/{tag}", error=repr(e)[:300])
+
+    # ---- fused end-to-end grid program ------------------------------------
+    if "e2e" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import seed_plan, template_optimum
+        from xmris_tpu.fitting.lm import hashable_pmap
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import process_grid_planar_raw
+
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(bench.PK_CSV)
+        pk = load_prior_knowledge(f.name)
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        x_template = jnp.asarray(
+            template_optimum(fids, pk, t, MHZ).astype(np.float32)
+        )
+        amp_slots, ls_plan = seed_plan(pk)
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        w_j = jnp.asarray(weight)
+        f_j = jnp.asarray(freqs)
+        lower = jnp.asarray(pk.lower)
+        upper = jnp.asarray(pk.upper)
+        kind = jnp.asarray(pk.kind)
+        cfg = PipelineConfig(zero_fill_to=ZF, lb=5.0, autophase="single")
+
+        streak = int(os.environ.get("XMT_PLATEAU_STREAK", "3"))
+
+        def one():
+            return process_grid_planar_raw(
+                re_j, im_j, w_j, f_j, t, x_template, lower, upper, kind,
+                cfg=cfg, pmap_static=hashable_pmap(pk.pmap), mhz=MHZ,
+                amp_slots=amp_slots, ls_plan=ls_plan, max_iter=24,
+                kernel_version=9, interpret=interp, uniform_t_ok=True,
+                plateau_streak=streak,
+            )
+
+        try:
+            t0 = time.perf_counter()
+            outs = one()
+            wit = float(jnp.sum(outs[4]))  # cost sum
+            comp = time.perf_counter() - t0
+            conv = float(jnp.mean(outs[5].astype(jnp.float32)))
+            chain = 8
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(chain):
+                    outs = one()
+                float(jnp.sum(outs[3]) + jnp.sum(outs[6]) + jnp.sum(outs[0][0]))
+                ts.append((time.perf_counter() - t0) / chain)
+            report(
+                "e2e/fused",
+                ms=round(float(np.median(ts)) * 1e3, 1),
+                compile_s=round(comp, 1),
+                total_cost=wit,
+                conv_frac=conv,
+                plateau_streak=streak,
+            )
+        except Exception as e:  # noqa: BLE001
+            report("e2e/fused", error=repr(e)[:300])
+
+    report("done")
+
+
+if __name__ == "__main__":
+    main()

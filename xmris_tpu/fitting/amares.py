@@ -136,6 +136,47 @@ def _nudge_into_bounds(vals, lo, hi):
     return vals
 
 
+def template_optimum(
+    fid_arrs: np.ndarray,
+    pk: PriorKnowledge,
+    t_j,
+    mhz: float,
+    template_fid: np.ndarray | None = None,
+    max_iter: int = 60,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Fit the (auto-selected) highest-SNR voxel once with the cheap XLA
+    planar engine and return its free-parameter optimum — the shared
+    template every voxel's seed starts from (reference
+    ``pyAMARES.initialize_FID``, ``amares.py:314-324``).  Falls back to the
+    prior's initial values when the template fit diverges."""
+    from xmris_tpu.fitting.lm import lm_fit_batched_planar
+
+    if template_fid is None:
+        template_fid = fid_arrs[select_template_fid(fid_arrs, announce=False)]
+    u0_t = jnp.asarray(
+        external_to_internal(
+            pk.init_free[None, :], pk.lower, pk.upper, pk.kind
+        )
+    )
+    res_t = lm_fit_batched_planar(
+        jnp.asarray(np.ascontiguousarray(template_fid.real)[None, :]),
+        jnp.asarray(np.ascontiguousarray(template_fid.imag)[None, :]),
+        t_j, u0_t,
+        jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+        hashable_pmap(pk.pmap), mhz, max_iter=max_iter,
+    )
+    x_t = np.asarray(res_t.x_free)[0]
+    if bool(np.asarray(res_t.converged)[0]) and np.isfinite(x_t).all():
+        if verbose:
+            print(
+                f"Template fit converged (cost "
+                f"{float(np.asarray(res_t.cost)[0]):.3e}); seeding grid."
+            )
+        return x_t
+    return pk.init_free
+
+
 def template_seeded_x0(
     fid_arrs: np.ndarray,
     pk: PriorKnowledge,
@@ -161,33 +202,13 @@ def template_seeded_x0(
 
     Returns the (B, n_free) array of *external* initial values.
     """
-    from xmris_tpu.fitting.lm import lm_fit_batched_planar
-
     n_spectra = fid_arrs.shape[0]
     x_template = pk.init_free
     if fit_template:
-        if template_fid is None:
-            template_fid = fid_arrs[select_template_fid(fid_arrs, announce=False)]
-        u0_t = jnp.asarray(
-            external_to_internal(
-                pk.init_free[None, :], pk.lower, pk.upper, pk.kind
-            )
+        x_template = template_optimum(
+            fid_arrs, pk, t_j, mhz, template_fid=template_fid,
+            max_iter=max_iter, verbose=verbose,
         )
-        res_t = lm_fit_batched_planar(
-            jnp.asarray(np.ascontiguousarray(template_fid.real)[None, :]),
-            jnp.asarray(np.ascontiguousarray(template_fid.imag)[None, :]),
-            t_j, u0_t,
-            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
-            hashable_pmap(pk.pmap), mhz, max_iter=max_iter,
-        )
-        x_t = np.asarray(res_t.x_free)[0]
-        if bool(np.asarray(res_t.converged)[0]) and np.isfinite(x_t).all():
-            x_template = x_t
-            if verbose:
-                print(
-                    f"Template fit converged (cost "
-                    f"{float(np.asarray(res_t.cost)[0]):.3e}); seeding grid."
-                )
 
     x0 = np.broadcast_to(x_template[None, :], (n_spectra, pk.n_free)).copy()
     if scale_amplitudes:
@@ -238,6 +259,157 @@ def template_seeded_x0(
             if verbose:
                 print(f"linear seed skipped ({exc!r}); using template seed")
     return x0
+
+
+def seed_plan(pk: PriorKnowledge):
+    """Static (hashable) description of the per-voxel seeding writes.
+
+    Returns ``(amp_slots, ls_plan)``: ``amp_slots`` are the free amplitude
+    slots rescaled by each voxel's first-point magnitude, ``ls_plan`` is a
+    tuple of ``(slot, peak, col, offset, lo, hi)`` entries — one per free
+    untied amplitude (col 0) / phase (col 3) slot — that receive the linear
+    LS seed (mirrors the staging loop in :func:`template_seeded_x0`).
+    """
+    amp_slots = tuple(
+        int(pk.pmap.idx[k * 5])
+        for k in range(pk.n_peaks)
+        if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
+    )
+    plan = []
+    staged: set[int] = set()
+    for k in range(pk.n_peaks):
+        for col in (0, 3):
+            j = k * 5 + col
+            slot = int(pk.pmap.idx[j])
+            if slot < 0 or slot in staged or pk.pmap.scale[j] != 1.0:
+                continue
+            staged.add(slot)
+            plan.append(
+                (
+                    slot,
+                    k,
+                    col,
+                    float(pk.pmap.offset[j]),
+                    float(pk.lower[slot]),
+                    float(pk.upper[slot]),
+                )
+            )
+    return amp_slots, tuple(plan)
+
+
+def _nudge_into_bounds_jax(vals, lo: float, hi: float):
+    """Traced :func:`_nudge_into_bounds` for one slot (static bounds)."""
+    if np.isfinite(lo) and np.isfinite(hi) and hi > lo:
+        m = 1e-3 * (hi - lo)
+        return jnp.clip(vals, lo + m, hi - m)
+    if np.isfinite(lo):
+        return jnp.maximum(vals, lo + max(1e-3, abs(lo) * 1e-3))
+    if np.isfinite(hi):
+        return jnp.minimum(vals, hi - max(1e-3, abs(hi) * 1e-3))
+    return vals
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pmap_static", "mhz", "amp_slots", "ls_plan", "max_iter", "lam0",
+        "kernel_version", "v_tile", "interpret", "plateau_streak",
+        "uniform_t_ok", "engine",
+    ),
+)
+def seeded_fit_grid_raw(
+    re,
+    im,
+    t,
+    x_template,
+    lower,
+    upper,
+    kind,
+    *,
+    pmap_static,
+    mhz: float,
+    amp_slots: tuple,
+    ls_plan: tuple,
+    max_iter: int = 24,
+    lam0: float = 1e-3,
+    kernel_version: int = 9,
+    v_tile: int | None = None,
+    interpret: bool = False,
+    plateau_streak: int = 3,
+    uniform_t_ok: bool = False,
+    engine: str = "pallas",
+):
+    """Whole-grid seeding + batched LM + CRLB as ONE device program.
+
+    In-graph equivalent of ``template_seeded_x0`` (minus the host-side
+    one-voxel template fit, whose optimum arrives as ``x_template``)
+    followed by the fused-kernel LM and the zero-cost CRLB: per-voxel
+    amplitude rescaling, the shared linear LS amplitude/phase seed, the
+    bound transform, the LM loop, and ``crlb_from_hessian`` all execute in
+    a single dispatch — nothing but the template optimum crosses the host
+    boundary.  (One semantic difference from the host-side seeder: a
+    non-finite LS value falls back per-entry rather than all-or-nothing.)
+
+    Returns ``(x_free, cost, converged, crlb_sds)``.
+    """
+    from xmris_tpu.fitting.lm import (
+        _lm_fit_batched_pallas_impl,
+        _pmap_jax,
+        crlb_from_hessian,
+        external_to_internal_jax,
+        lm_fit_batched_planar,
+    )
+
+    re = re.astype(jnp.float32)
+    im = im.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    x_template = x_template.astype(jnp.float32)
+    b = re.shape[0]
+    n_free = x_template.shape[-1]
+
+    x0 = jnp.broadcast_to(x_template[None, :], (b, n_free))
+    if amp_slots:
+        slots = list(amp_slots)
+        total = jnp.sum(jnp.abs(x_template[jnp.asarray(slots)]))
+        y0_mag = jnp.sqrt(re[:, 0] ** 2 + im[:, 0] ** 2)
+        factor = jnp.where(
+            total > 0,
+            jnp.clip(y0_mag / jnp.maximum(total, 1e-30), 0.1, 100.0),
+            1.0,
+        )
+        x0 = x0.at[:, slots].multiply(factor[:, None])
+
+    if ls_plan:
+        amp, ph = _linear_seed_solve(re, im, x_template, t, pmap_static, mhz)
+        for slot, k, col, offset, lo, hi in ls_plan:
+            vals = (amp[:, k] if col == 0 else ph[:, k]) - offset
+            vals = _nudge_into_bounds_jax(vals, lo, hi)
+            x0 = x0.at[:, slot].set(
+                jnp.where(jnp.isfinite(vals), vals, x0[:, slot])
+            )
+
+    u0 = external_to_internal_jax(
+        x0, lower[None, :], upper[None, :], kind[None, :]
+    ).astype(jnp.float32)
+
+    if engine == "pallas":
+        res, h_ext = _lm_fit_batched_pallas_impl(
+            re, im, t, u0, lower, upper, kind, pmap_static, mhz,
+            max_iter=max_iter, lam0=lam0, v_tile=v_tile,
+            interpret=interpret, kernel_version=kernel_version,
+            return_hessian=True, plateau_streak=plateau_streak,
+            uniform_t_ok=uniform_t_ok,
+        )
+        sds, _ = crlb_from_hessian(h_ext, res.cost, re.shape[-1])
+    else:
+        from xmris_tpu.fitting.lm import crlb_batched_planar
+
+        res = lm_fit_batched_planar(
+            re, im, t, u0, lower, upper, kind, pmap_static, mhz,
+            max_iter=max_iter,
+        )
+        sds, _ = crlb_batched_planar(re, im, t, res.x_free, pmap_static, mhz)
+    return res.x_free, res.cost, res.converged, sds
 
 
 def fit_amares(

@@ -75,6 +75,31 @@ def external_to_internal(x, lower, upper, kind):
     )
 
 
+def external_to_internal_jax(x, lower, upper, kind):
+    """Traced counterpart of :func:`external_to_internal` (same formulas,
+    jnp ops) so grid seeding can run inside a fused device program."""
+    lo = jnp.where(jnp.isfinite(lower), lower, 0.0)
+    hi = jnp.where(jnp.isfinite(upper), upper, 0.0)
+
+    span_ok = hi > lo
+    frac = jnp.clip(
+        jnp.where(span_ok, (x - lo) / jnp.where(span_ok, hi - lo, 1.0), 0.5),
+        1e-8,
+        1.0 - 1e-8,
+    )
+    u_both = jnp.arcsin(2.0 * frac - 1.0)
+    v = jnp.maximum(x - lo + 1.0, 1.0 + 1e-12)
+    u_lower = jnp.sqrt(v * v - 1.0)
+    w = jnp.maximum(hi - x + 1.0, 1.0 + 1e-12)
+    u_upper = jnp.sqrt(w * w - 1.0)
+
+    return jnp.select(
+        [kind == _BOTH, kind == _LOWER, kind == _UPPER],
+        [u_both, u_lower, u_upper],
+        x,
+    )
+
+
 def internal_to_external_jax(u, lower, upper, kind):
     """Traced bounded transform + its diagonal Jacobian dx/du."""
     lo = jnp.where(jnp.isfinite(lower), lower, 0.0)
@@ -651,6 +676,7 @@ def lm_fit_batched_pallas(
     return_hessian: bool = False,
     require_uniform_t: bool = False,
     gate_rejects: bool = False,
+    plateau_streak: int = 3,
 ):
     """Public entry: validates v7's uniform-t precondition eagerly, then
     dispatches to the jitted implementation (see
@@ -677,7 +703,7 @@ def lm_fit_batched_pallas(
         max_iter=max_iter, lam0=lam0, ftol=ftol, v_tile=v_tile,
         interpret=interpret, kernel_version=kernel_version,
         return_hessian=return_hessian, gate_rejects=gate_rejects,
-        uniform_t_ok=uniform_t_ok,
+        uniform_t_ok=uniform_t_ok, plateau_streak=plateau_streak,
     )
 
 
@@ -686,6 +712,7 @@ def lm_fit_batched_pallas(
     static_argnames=(
         "pmap_static", "max_iter", "mhz", "v_tile", "interpret",
         "kernel_version", "return_hessian", "gate_rejects", "uniform_t_ok",
+        "plateau_streak",
     ),
 )
 def _lm_fit_batched_pallas_impl(
@@ -707,6 +734,7 @@ def _lm_fit_batched_pallas_impl(
     return_hessian: bool = False,
     gate_rejects: bool = False,
     uniform_t_ok: bool = False,
+    plateau_streak: int = 3,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -854,7 +882,11 @@ def _lm_fit_batched_pallas_impl(
         # converged grids.
         plateau = ~ok & ~done & (jnp.abs(rel_drop) <= 64.0 * eps)
         streak = jnp.where(plateau, streak + 1, 0)
-        done = done | (ok & (rel_drop < ftol) & (lam < lam0)) | (streak >= 3)
+        done = (
+            done
+            | (ok & (rel_drop < ftol) & (lam < lam0))
+            | (streak >= plateau_streak)
+        )
         return (u, cost, g, h, lam, n_acc, streak, done, i + 1)
 
     cost0, g0, h0 = full_eval(u0)

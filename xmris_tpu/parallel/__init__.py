@@ -13,6 +13,7 @@ from xmris_tpu.parallel.pipeline import (
     mrsi_pipeline,
     spectral_pipeline_raw,
 )
+from xmris_tpu.parallel.process import process_grid_planar_raw
 
 __all__ = [
     "GRID_AXIS",
@@ -20,6 +21,7 @@ __all__ = [
     "lm_fit_batched_pallas_sharded",
     "make_mesh",
     "mrsi_pipeline",
+    "process_grid_planar_raw",
     "replicated",
     "shard_voxels",
     "spectral_pipeline_raw",
