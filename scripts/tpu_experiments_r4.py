@@ -141,7 +141,7 @@ def main() -> None:
             spectral_pipeline_planar_raw,
         )
 
-        for tag, variant in (("pallas", "pallas"), ("einsum", None)):
+        for tag, variant in (("pallas", "pallas"), ("einsum", "einsum")):
             cfg = PipelineConfig(
                 zero_fill_to=ZF, lb=5.0, autophase="single",
                 dft_variant=variant,

@@ -119,6 +119,79 @@ class TestSeededFitGrid:
         )
 
 
+PK_CSV_FREE_G = PK_CSV.replace('g,0,0', 'g,0.1,0.1').replace(
+    'g,"(0, 1)","(0, 1)"', 'g,"(0, 1)","(0, 1)"'
+)
+
+
+class TestGScanSeed:
+    def _voigt_phantom(self, g_true=0.5, n_voxels=8, n_points=256,
+                       sw=10000.0, mhz=120.0, noise=0.3):
+        """Two-peak Eq.6 phantom with a Gaussian mixing fraction g."""
+        t = np.arange(n_points) / sw
+        rng = np.random.default_rng(7)
+        data = np.zeros((n_voxels, n_points), complex)
+        for v in range(n_voxels):
+            amp = 10.0 * (1 + v % 4)
+            for a, cs, lw in ((amp, 0.0, 15.0), (5.0, -7.5, 20.0)):
+                d = lw * np.pi
+                env = np.exp(-d * (1 - g_true + g_true * t) * t)
+                data[v] += a * env * np.exp(1j * 2 * np.pi * (cs * mhz) * t)
+            data[v] += rng.normal(0, noise, n_points) + 1j * rng.normal(
+                0, noise, n_points
+            )
+        return data.astype(np.complex64), t.astype(np.float32)
+
+    def test_scan_seeds_g_near_truth(self, tmp_path):
+        from xmris_tpu.fitting.amares import g_seed_plan, template_seeded_x0
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV_FREE_G)
+        pk = load_prior_knowledge(p)
+        g_plan = g_seed_plan(pk)
+        assert len(g_plan) == 2  # both peaks' g free
+
+        fids, t = self._voigt_phantom()
+        x0 = template_seeded_x0(
+            fids, pk, jnp.asarray(t), 120.0, fit_template=False,
+            g_scan=(0.0, 0.25, 0.5, 0.75),
+        )
+        for slot, offset, lo, hi in g_plan:
+            np.testing.assert_allclose(x0[:, slot], 0.5, atol=0.26)
+        # most voxels should pick exactly the 0.5 candidate
+        slot0 = g_plan[0][0]
+        assert np.mean(np.isclose(x0[:, slot0], 0.5, atol=1e-3)) >= 0.75
+
+    def test_fused_g_scan_converges(self, tmp_path):
+        from xmris_tpu.fitting.amares import g_seed_plan
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV_FREE_G)
+        pk = load_prior_knowledge(p)
+        # g is weakly identified against noise on short FIDs — use a
+        # cleaner phantom so the assertion tests the seeding/fit wiring,
+        # not the CRLB of g itself.
+        fids, t = self._voigt_phantom(n_voxels=6, n_points=512, noise=0.05)
+        re = jnp.asarray(fids.real.copy())
+        im = jnp.asarray(fids.imag.copy())
+        amp_slots, ls_plan = seed_plan(pk)
+        x_free, cost, conv, sds = seeded_fit_grid_raw(
+            re, im, jnp.asarray(t), jnp.asarray(pk.init_free, jnp.float32),
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind), pmap_static=hashable_pmap(pk.pmap),
+            mhz=120.0, amp_slots=amp_slots, ls_plan=ls_plan,
+            g_scan=(0.0, 0.25, 0.5, 0.75), g_plan=g_seed_plan(pk),
+            interpret=True, uniform_t_ok=True,
+        )
+        assert bool(np.all(np.asarray(conv)))
+        x = np.asarray(x_free)
+        slot = int(pk.pmap.idx[0])
+        truth = 10.0 * (1 + np.arange(6) % 4)
+        np.testing.assert_allclose(x[:, slot], truth, rtol=0.06)
+        g_slot = int(pk.pmap.idx[4])
+        np.testing.assert_allclose(x[:, g_slot], 0.5, atol=0.15)
+
+
 class TestProcessGrid:
     def test_end_to_end_matches_stages(self, pk):
         """One fused dispatch == spectral pipeline + seeded fit run apart."""

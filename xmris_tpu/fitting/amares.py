@@ -63,20 +63,14 @@ def select_template_fid(fid_arrs: np.ndarray, announce: bool = True) -> int:
     return best_idx
 
 
-@functools.partial(jax.jit, static_argnames=("pmap_static", "mhz"))
-def _linear_seed_solve(y_re, y_im, x_t, t, pmap_static, mhz):
-    """Jitted core of :func:`_linear_amp_phase_seed` (module level so the
-    jit cache persists across calls — a closure-local jit would retrace
-    and remote-compile on every ``fit_amares`` invocation)."""
-    from xmris_tpu.fitting.lm import (
-        _pmap_jax,
-        eq6_basis_planar,
-        expand_params,
-    )
+def _ls_amp_phase_for_grid(y_re, y_im, grid, t, mhz):
+    """Shared-basis linear LS of complex amplitudes against a (K, 5) grid.
 
-    pmap = _pmap_jax(pmap_static, y_re.dtype)
-    grid = expand_params(x_t, pmap)
-    grid = grid.at[:, 0].set(1.0).at[:, 3].set(0.0)  # unit amp, 0 phase
+    Returns ``(a_r, a_i, cost)`` with the coefficient planes shaped (K, B)
+    and the per-voxel optimal residual cost ``||y||^2 - Re(N^H a)`` (B,).
+    """
+    from xmris_tpu.fitting.lm import eq6_basis_planar
+
     _, _, b_re, b_im = eq6_basis_planar(t, grid, mhz)  # (n_t, K)
     # G = B^H B (K, K) complex, shared across voxels
     g_r = b_re.T @ b_re + b_im.T @ b_im
@@ -94,9 +88,74 @@ def _linear_seed_solve(y_re, y_im, x_t, t, pmap_static, mhz):
     rhs = jnp.concatenate([n_r, n_i], axis=0)  # (2K, B)
     sol = jnp.linalg.solve(block, rhs)
     a_r, a_i = sol[:k], sol[k:]
+    yy = jnp.sum(y_re * y_re + y_im * y_im, axis=1)  # (B,)
+    cost = yy - jnp.sum(sol * rhs, axis=0)
+    return a_r, a_i, cost
+
+
+@functools.partial(jax.jit, static_argnames=("pmap_static", "mhz"))
+def _linear_seed_solve(y_re, y_im, x_t, t, pmap_static, mhz):
+    """Jitted core of :func:`_linear_amp_phase_seed` (module level so the
+    jit cache persists across calls — a closure-local jit would retrace
+    and remote-compile on every ``fit_amares`` invocation)."""
+    from xmris_tpu.fitting.lm import _pmap_jax, expand_params
+
+    pmap = _pmap_jax(pmap_static, y_re.dtype)
+    grid = expand_params(x_t, pmap)
+    grid = grid.at[:, 0].set(1.0).at[:, 3].set(0.0)  # unit amp, 0 phase
+    a_r, a_i, _ = _ls_amp_phase_for_grid(y_re, y_im, grid, t, mhz)
     amp = jnp.sqrt(a_r * a_r + a_i * a_i)
     phase = jnp.arctan2(a_i, a_r) * (180.0 / jnp.pi)
     return amp.T, phase.T  # (B, K)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pmap_static", "mhz", "g_values")
+)
+def _linear_seed_scan_g(y_re, y_im, x_t, t, pmap_static, mhz, g_values):
+    """Per-voxel lineshape-mixing seed: LS amplitudes/phases at the
+    template's cs/lw for each static candidate ``g`` in ``g_values``, then
+    the per-voxel argmin-cost winner.
+
+    Free-g priors (reference Eq.6 with the Gaussian fraction fitted,
+    ``/root/reference/src/xmris/fitting/simulation.py`` Eq.6) converge
+    slowly from a shared template g — each candidate costs one shared
+    (2K, 2K) solve plus per-voxel projections, and the winning candidate
+    seeds both g and the matching amplitudes/phases.  Peaks whose g is
+    FIXED by the prior keep their template value in every candidate basis.
+
+    Returns ``(amp, phase_deg, g_best, best_cost)`` with shapes
+    (B, K), (B, K), (B,), (B,).
+    """
+    from xmris_tpu.fitting.lm import _pmap_jax, expand_params
+
+    pmap = _pmap_jax(pmap_static, y_re.dtype)
+    base = expand_params(x_t, pmap)
+    base = base.at[:, 0].set(1.0).at[:, 3].set(0.0)
+    idx = pmap_static[0]
+    n_peaks = pmap_static[3]
+    free_g = jnp.asarray(
+        [idx[k * 5 + 4] >= 0 for k in range(n_peaks)], bool
+    )
+
+    sols = []
+    for g_cand in g_values:
+        grid = base.at[:, 4].set(
+            jnp.where(free_g, jnp.asarray(g_cand, base.dtype), base[:, 4])
+        )
+        sols.append(_ls_amp_phase_for_grid(y_re, y_im, grid, t, mhz))
+    costs = jnp.stack([c for _, _, c in sols], axis=0)  # (C, B)
+    best = jnp.argmin(costs, axis=0)  # (B,)
+    a_r = jnp.stack([a for a, _, _ in sols], axis=0)  # (C, K, B)
+    a_i = jnp.stack([a for _, a, _ in sols], axis=0)
+    onehot = jax.nn.one_hot(best, len(g_values), dtype=a_r.dtype)  # (B, C)
+    a_r_b = jnp.einsum("ckb,bc->bk", a_r, onehot)
+    a_i_b = jnp.einsum("ckb,bc->bk", a_i, onehot)
+    amp = jnp.sqrt(a_r_b * a_r_b + a_i_b * a_i_b)
+    phase = jnp.arctan2(a_i_b, a_r_b) * (180.0 / jnp.pi)
+    g_best = jnp.take(jnp.asarray(g_values, base.dtype), best)
+    best_cost = jnp.min(costs, axis=0)
+    return amp, phase, g_best, best_cost
 
 
 def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz):
@@ -188,6 +247,7 @@ def template_seeded_x0(
     max_iter: int = 60,
     verbose: bool = False,
     linear_seed: bool = True,
+    g_scan: tuple | None = None,
 ) -> np.ndarray:
     """Per-voxel initial values seeded from a template-voxel fit.
 
@@ -199,6 +259,12 @@ def template_seeded_x0(
     and rescale amplitudes by each voxel's first-point magnitude over the
     template total.  Falls back to the prior's initial values when the
     template fit diverges or goes non-finite.
+
+    ``g_scan`` (a tuple of candidate mixing fractions, e.g. ``(0.0, 0.2,
+    0.5, 0.8)``) additionally seeds every FREE g slot per voxel: the
+    linear LS solve runs once per candidate against a basis with that g,
+    and each voxel keeps the argmin-cost candidate's g + amplitudes +
+    phases.  Ignored when the prior fixes every g.
 
     Returns the (B, n_free) array of *external* initial values.
     """
@@ -233,10 +299,32 @@ def template_seeded_x0(
         # keep the scaled-template seed.  Writes are staged and applied
         # all-or-nothing so a failure cannot leave a half-seeded grid.
         try:
-            amp, ph = _linear_amp_phase_seed(
-                fid_arrs, x_template, pk, t_j, mhz
-            )
+            g_slots = g_seed_plan(pk) if g_scan else ()
+            if g_slots:
+                # Free-g prior: scan static g candidates, seed the winning
+                # per-voxel mixing fraction alongside its amp/phase LS
+                # solution (a shared template g converges slowly).
+                re = jnp.asarray(
+                    np.ascontiguousarray(fid_arrs.real, dtype=np.float32)
+                )
+                im = jnp.asarray(
+                    np.ascontiguousarray(fid_arrs.imag, dtype=np.float32)
+                )
+                amp_j, ph_j, g_best_j, _ = _linear_seed_scan_g(
+                    re, im, jnp.asarray(x_template, jnp.float32),
+                    t_j.astype(jnp.float32), hashable_pmap(pk.pmap),
+                    float(mhz), tuple(float(g) for g in g_scan),
+                )
+                amp, ph = np.asarray(amp_j), np.asarray(ph_j)
+                g_best = np.asarray(g_best_j)
+            else:
+                amp, ph = _linear_amp_phase_seed(
+                    fid_arrs, x_template, pk, t_j, mhz
+                )
             staged: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for slot, offset, lo, hi in g_slots:
+                vals = _nudge_into_bounds(g_best - offset, lo, hi)
+                staged[slot] = (np.isfinite(vals), vals)
             for k in range(pk.n_peaks):
                 for col, vals_k in ((0, amp[:, k]), (3, ph[:, k])):
                     j = k * 5 + col
@@ -259,6 +347,31 @@ def template_seeded_x0(
             if verbose:
                 print(f"linear seed skipped ({exc!r}); using template seed")
     return x0
+
+
+def g_seed_plan(pk: PriorKnowledge):
+    """Static description of the free-g seeding writes for a g scan.
+
+    Returns a tuple of ``(slot, offset, lo, hi)`` — one per distinct free
+    untied (scale == 1) g slot — empty when the prior fixes every g (the
+    scan is then pointless and callers skip it)."""
+    plan = []
+    seen: set[int] = set()
+    for k in range(pk.n_peaks):
+        j = k * 5 + 4
+        slot = int(pk.pmap.idx[j])
+        if slot < 0 or slot in seen or pk.pmap.scale[j] != 1.0:
+            continue
+        seen.add(slot)
+        plan.append(
+            (
+                slot,
+                float(pk.pmap.offset[j]),
+                float(pk.lower[slot]),
+                float(pk.upper[slot]),
+            )
+        )
+    return tuple(plan)
 
 
 def seed_plan(pk: PriorKnowledge):
@@ -314,7 +427,7 @@ def _nudge_into_bounds_jax(vals, lo: float, hi: float):
     static_argnames=(
         "pmap_static", "mhz", "amp_slots", "ls_plan", "max_iter", "lam0",
         "kernel_version", "v_tile", "interpret", "plateau_streak",
-        "uniform_t_ok", "engine",
+        "uniform_t_ok", "engine", "g_scan", "g_plan",
     ),
 )
 def seeded_fit_grid_raw(
@@ -338,6 +451,8 @@ def seeded_fit_grid_raw(
     plateau_streak: int = 3,
     uniform_t_ok: bool = False,
     engine: str = "pallas",
+    g_scan: tuple = (),
+    g_plan: tuple = (),
 ):
     """Whole-grid seeding + batched LM + CRLB as ONE device program.
 
@@ -380,7 +495,22 @@ def seeded_fit_grid_raw(
         x0 = x0.at[:, slots].multiply(factor[:, None])
 
     if ls_plan:
-        amp, ph = _linear_seed_solve(re, im, x_template, t, pmap_static, mhz)
+        if g_scan and g_plan:
+            # Free-g prior: per-voxel lineshape-mixing scan (see
+            # _linear_seed_scan_g); the winning candidate seeds g and the
+            # matching amplitudes/phases.
+            amp, ph, g_best, _ = _linear_seed_scan_g(
+                re, im, x_template, t, pmap_static, mhz, g_scan
+            )
+            for slot, offset, lo, hi in g_plan:
+                vals = _nudge_into_bounds_jax(g_best - offset, lo, hi)
+                x0 = x0.at[:, slot].set(
+                    jnp.where(jnp.isfinite(vals), vals, x0[:, slot])
+                )
+        else:
+            amp, ph = _linear_seed_solve(
+                re, im, x_template, t, pmap_static, mhz
+            )
         for slot, k, col, offset, lo, hi in ls_plan:
             vals = (amp[:, k] if col == 0 else ph[:, k]) - offset
             vals = _nudge_into_bounds_jax(vals, lo, hi)
@@ -429,6 +559,7 @@ def fit_amares(
     engine: str = "auto",
     scale_init_amplitudes: bool = True,
     kernel_version: int = 9,
+    g_scan: tuple | str | None = "auto",
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -459,6 +590,11 @@ def fit_amares(
     own first-point magnitude relative to the prior's total (the analog of
     pyAMARES initializing from the data), which sharply reduces iterations on
     grids with wide concentration ranges.
+
+    ``g_scan`` seeds free lineshape-mixing fractions per voxel by scanning
+    LS amplitude solves over candidate g values (``"auto"``: a default
+    ladder when the prior leaves any g free, skipped otherwise; a tuple:
+    explicit candidates; ``None``: off).
     """
     if dim not in da.dims:
         raise ValueError(f"Dimension '{dim}' missing in DataArray.")
@@ -514,6 +650,12 @@ def fit_amares(
     # shared implementation of pyAMARES.initialize_FID's scheme).  The
     # template solves on the cheap XLA engine deliberately — a batch-1
     # pallas launch would cost an extra Mosaic compile on TPU.
+    if g_scan == "auto":
+        # Free-g priors converge slowly from a shared template g; the
+        # default candidate ladder costs a handful of shared LS solves and
+        # seeds each voxel's mixing fraction near its optimum.  No-op for
+        # fixed-g priors (g_seed_plan is empty).
+        g_scan = (0.0, 0.2, 0.4, 0.6, 0.8) if g_seed_plan(pk) else None
     x0 = template_seeded_x0(
         fid_arrs, pk, t_j, mhz,
         template_fid=template_fid,
@@ -521,6 +663,7 @@ def fit_amares(
         scale_amplitudes=scale_init_amplitudes,
         max_iter=max_iter,
         verbose=verbose,
+        g_scan=g_scan,
     )
     u0 = external_to_internal(x0, pk.lower, pk.upper, pk.kind)
     u0_j = jnp.asarray(u0)

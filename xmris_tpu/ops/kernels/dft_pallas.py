@@ -275,10 +275,16 @@ def _spectrum_kernel(
             )
             sel_mask = (k2_iota == k2_best[:, None]).astype(jnp.float32)
             k1_best = jnp.sum(rarg * sel_mask, axis=1)  # (V,) float
-            # flat frequency index k = k1 + n1 * k2
-            mv_ref[0, :] = vmax
-            mi_ref[0, :] = k1_best + jnp.float32(n1) * k2_best.astype(
-                jnp.float32
+            # flat frequency index k = k1 + n1 * k2.  The (8, Vt) block is
+            # written whole (sublane-broadcast): Mosaic requires the block's
+            # second-to-last dim to be 8-divisible and rejects sub-block
+            # row stores here; the caller reads row 0.
+            ki = k1_best + jnp.float32(n1) * k2_best.astype(jnp.float32)
+            mv_ref[:, :, :] = jnp.broadcast_to(
+                vmax[None, None, :], (1, 8, v_tile)
+            )
+            mi_ref[:, :, :] = jnp.broadcast_to(
+                ki[None, None, :], (1, 8, v_tile)
             )
 
 
@@ -432,11 +438,16 @@ def spectrum_pallas(
         out_specs=[out_spec, out_spec]
         + (
             [
+                # (1, 8, Vt) blocks: the trailing two dims satisfy Mosaic's
+                # (8-divisible, 128-divisible-or-equal) rule; the 8 sublane
+                # rows all carry the same value and row 0 is consumed.
                 pl.BlockSpec(
-                    (1, v_tile), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (1, 8, v_tile), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, v_tile), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (1, 8, v_tile), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ]
             if with_maxmag
@@ -445,8 +456,8 @@ def spectrum_pallas(
         out_shape=[out_shape, out_shape]
         + (
             [
-                jax.ShapeDtypeStruct((grid[0], v_tile), jnp.float32),
-                jax.ShapeDtypeStruct((grid[0], v_tile), jnp.float32),
+                jax.ShapeDtypeStruct((grid[0], 8, v_tile), jnp.float32),
+                jax.ShapeDtypeStruct((grid[0], 8, v_tile), jnp.float32),
             ]
             if with_maxmag
             else []
@@ -506,7 +517,9 @@ def spectrum_pallas(
     out_re = out_re.reshape(batch_shape + (n_out,))
     out_im = out_im.reshape(batch_shape + (n_out,))
     if with_maxmag:
-        mv = outs[2].reshape(b_pad)[:b].reshape(batch_shape)
-        mi = outs[3].reshape(b_pad)[:b].reshape(batch_shape).astype(jnp.int32)
+        mv = outs[2][:, 0, :].reshape(b_pad)[:b].reshape(batch_shape)
+        mi = (
+            outs[3][:, 0, :].reshape(b_pad)[:b].reshape(batch_shape)
+        ).astype(jnp.int32)
         return out_re, out_im, mv, mi
     return out_re, out_im
