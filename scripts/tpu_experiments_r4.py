@@ -366,6 +366,75 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             report("e2e/fused", error=repr(e)[:300])
 
+    # ---- multi-grid streaming batch (2 grids per fused dispatch) ----------
+    if "multigrid" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import seed_plan, template_optimum
+        from xmris_tpu.fitting.lm import hashable_pmap
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import process_grid_planar_raw
+
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(bench.PK_CSV)
+        pk = load_prior_knowledge(f.name)
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        x_template = jnp.asarray(
+            template_optimum(fids, pk, t, MHZ).astype(np.float32)
+        )
+        amp_slots, ls_plan = seed_plan(pk)
+        # two grids stacked along the voxel axis (the second jittered so it
+        # is not a bitwise copy)
+        rng = np.random.default_rng(1)
+        re2 = np.concatenate(
+            [re_h, re_h + rng.normal(0, 0.05, re_h.shape).astype(np.float32)]
+        )
+        im2 = np.concatenate(
+            [im_h, im_h + rng.normal(0, 0.05, im_h.shape).astype(np.float32)]
+        )
+        re_j = jnp.asarray(re2)
+        im_j = jnp.asarray(im2)
+        w_j = jnp.asarray(weight)
+        f_j = jnp.asarray(freqs)
+        cfg = PipelineConfig(zero_fill_to=ZF, lb=5.0, autophase="single")
+
+        def one():
+            return process_grid_planar_raw(
+                re_j, im_j, w_j, f_j, t, x_template,
+                jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+                jnp.asarray(pk.kind),
+                cfg=cfg, pmap_static=hashable_pmap(pk.pmap), mhz=MHZ,
+                amp_slots=amp_slots, ls_plan=ls_plan, max_iter=24,
+                kernel_version=9, interpret=interp, uniform_t_ok=True,
+            )
+
+        try:
+            t0 = time.perf_counter()
+            outs = one()
+            wit = float(jnp.sum(outs[4]))
+            comp = time.perf_counter() - t0
+            conv = float(jnp.mean(outs[5].astype(jnp.float32)))
+            chain = 8
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(chain):
+                    outs = one()
+                float(jnp.sum(outs[3]) + jnp.sum(outs[6]) + jnp.sum(outs[0][0]))
+                ts.append((time.perf_counter() - t0) / chain)
+            ms = float(np.median(ts)) * 1e3
+            report(
+                "multigrid/fused_x2",
+                ms=round(ms, 1),
+                ms_per_grid=round(ms / 2, 1),
+                compile_s=round(comp, 1),
+                total_cost=wit,
+                conv_frac=conv,
+            )
+        except Exception as e:  # noqa: BLE001
+            report("multigrid/fused_x2", error=repr(e)[:300])
+
     report("done")
 
 
