@@ -303,6 +303,98 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 report(f"freeg/{tag}", error=repr(e)[:300])
 
+    # ---- free-g fit: Kaufman VARPRO override on/off ------------------------
+    if "vpro" in groups:
+        import tempfile
+
+        from xmris_tpu.fitting.amares import template_seeded_x0
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        t = jnp.asarray((np.arange(NT) / SW).astype(np.float32))
+        re_j = jnp.asarray(re_h)
+        im_j = jnp.asarray(im_h)
+        pk_free_g = bench.PK_CSV.replace(
+            "g,fixed,fixed,fixed,fixed,fixed",
+            'g,"(0, 1)","(0, 1)","(0, 1)","(0, 1)","(0, 1)"',
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(pk_free_g)
+        pk = load_prior_knowledge(f.name)
+        ps = hashable_pmap(pk.pmap)
+        lower = jnp.asarray(pk.lower)
+        upper = jnp.asarray(pk.upper)
+        kind = jnp.asarray(pk.kind)
+
+        x0 = template_seeded_x0(
+            fids, pk, t, MHZ, g_scan=(0.0, 0.2, 0.4, 0.6, 0.8)
+        )
+        u0 = jnp.asarray(
+            external_to_internal(x0, pk.lower, pk.upper, pk.kind).astype(
+                np.float32
+            )
+        )
+        # Ground truth for parameter-accuracy reporting: make_inputs's
+        # per-voxel PCr amplitude (rng seed 0, uniform 5..50), true g = 0.
+        rng_gt = np.random.default_rng(0)
+        amp_pcr_true = rng_gt.uniform(5.0, 50.0, size=int(np.prod(bench.GRID)))[
+            :B
+        ]
+        i_pcr = pk.free_labels.index("PCr.amplitude")
+
+        for tag, vp, mi in (
+            ("off_mi24", False, 24),
+            ("on_mi24", True, 24),
+            ("off_mi40", False, 40),
+            ("on_mi40", True, 40),
+            ("on_mi100", True, 100),
+            ("off_mi100", False, 100),
+        ):
+            try:
+                def one_pass(vp=vp, mi=mi):
+                    res, h_ext = lm_fit_batched_pallas(
+                        re_j, im_j, t, u0, lower, upper, kind, ps, MHZ,
+                        max_iter=mi, kernel_version=9, return_hessian=True,
+                        interpret=interp, varpro=vp,
+                    )
+                    sds, _ = crlb_from_hessian(h_ext, res.cost, NT)
+                    return res, sds
+
+                t0 = time.perf_counter()
+                res, sds = one_pass()
+                wit = float(jnp.sum(res.cost))
+                comp = time.perf_counter() - t0
+                chain = 4
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(chain):
+                        res, sds = one_pass()
+                    float(jnp.sum(res.x_free) + jnp.sum(sds))
+                    ts.append((time.perf_counter() - t0) / chain)
+                n_it = np.asarray(res.n_iter)
+                pcr = np.asarray(res.x_free)[:, i_pcr]
+                pcr_err = np.abs(pcr - amp_pcr_true) / amp_pcr_true
+                report(
+                    f"vpro/{tag}",
+                    ms=round(float(np.median(ts)) * 1e3, 1),
+                    compile_s=round(comp, 1),
+                    total_cost=wit,
+                    conv_frac=float(np.mean(np.asarray(res.converged))),
+                    done_frac=float(np.mean(np.asarray(res.done))),
+                    n_acc_p50=float(np.percentile(n_it, 50)),
+                    n_acc_max=int(n_it.max()),
+                    pcr_p50=round(float(np.percentile(pcr_err, 50)), 5),
+                    pcr_p99=round(float(np.percentile(pcr_err, 99)), 5),
+                )
+            except Exception as e:  # noqa: BLE001
+                report(f"vpro/{tag}", error=repr(e)[:300])
+
     # ---- fused end-to-end grid program ------------------------------------
     if "e2e" in groups:
         import tempfile

@@ -523,12 +523,22 @@ def seeded_fit_grid_raw(
     ).astype(jnp.float32)
 
     if engine == "pallas":
+        from xmris_tpu.fitting.lm import varpro_plan
+
+        # Same auto-rule as the public lm_fit_batched_pallas wrapper:
+        # the Kaufman VARPRO override only for free-g priors (the
+        # slow-converging case), and only when some amp/phase pair is
+        # untied.
+        has_free_g = any(
+            pmap_static[0][k * 5 + 4] >= 0 for k in range(pmap_static[3])
+        )
+        vp = has_free_g and varpro_plan(pmap_static) is not None
         res, h_ext = _lm_fit_batched_pallas_impl(
             re, im, t, u0, lower, upper, kind, pmap_static, mhz,
             max_iter=max_iter, lam0=lam0, v_tile=v_tile,
             interpret=interpret, kernel_version=kernel_version,
             return_hessian=True, plateau_streak=plateau_streak,
-            uniform_t_ok=uniform_t_ok,
+            uniform_t_ok=uniform_t_ok, varpro=vp,
         )
         sds, _ = crlb_from_hessian(h_ext, res.cost, re.shape[-1])
     else:

@@ -515,6 +515,148 @@ def lorentzian_env_flags(pmap_static) -> tuple[bool, ...]:
     )
 
 
+@functools.lru_cache(maxsize=64)
+def varpro_plan(pmap_static):
+    """Trace-time plan for the VARPRO linear re-solve (see
+    :func:`_varpro_override`): the peaks whose amplitude AND phase are both
+    free and UNTIED (their free slot is referenced by exactly one physical
+    parameter), for which the model is exactly linear in the complex
+    amplitude ``c_k = a_k e^{i phi_k}``.
+
+    Returns ``None`` when no peak qualifies, else a dict of numpy arrays:
+    ``sa``/``sp`` (free-slot indices of amp/phase), ``scale_a``/``offset_a``
+    and ``scale_p``/``offset_p`` (free->physical affine maps).
+    """
+    idx, scale, offset, n_peaks = pmap_static
+    counts: dict[int, int] = {}
+    for s in idx:
+        if s >= 0:
+            counts[int(s)] = counts.get(int(s), 0) + 1
+    rows = []
+    for k in range(n_peaks):
+        ja, jp = 5 * k, 5 * k + 3
+        sa, sp = int(idx[ja]), int(idx[jp])
+        if sa < 0 or sp < 0 or sa == sp:
+            continue
+        if counts[sa] != 1 or counts[sp] != 1:
+            continue
+        if float(scale[ja]) == 0.0 or float(scale[jp]) == 0.0:
+            continue
+        rows.append(
+            (sa, sp, float(scale[ja]), float(offset[ja]),
+             float(scale[jp]), float(offset[jp]))
+        )
+    if not rows:
+        return None
+    arr = np.asarray(rows, np.float64)
+    return {
+        "sa": arr[:, 0].astype(np.int32),
+        "sp": arr[:, 1].astype(np.int32),
+        "scale_a": arr[:, 2], "offset_a": arr[:, 3],
+        "scale_p": arr[:, 4], "offset_p": arr[:, 5],
+    }
+
+
+def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0):
+    """Kaufman-style variable-projection step: override the trial's
+    amplitude/phase slots with the EXACT linear optimum recovered from the
+    carried normal equations — zero extra kernel work.
+
+    With frequencies/linewidths/g momentarily frozen, Eq.6 is linear in
+    each untied complex amplitude ``c_k = a_k e^{i phi_k}``, so the LS
+    optimum over those families solves a tiny per-voxel Hermitian system.
+    Both the Gram ``Z_kl = <e^{i phi_k} P_k, e^{i phi_l} P_l>`` (``P_k`` =
+    unit-amplitude zero-phase basis) and the residual projections are
+    already inside the carried Gauss-Newton ``h``/``g`` at the accepted
+    point: with ``row_a(k) = m_a e^{i phi_k} P_k`` and ``row_p(k) =
+    m_p i c_k P_k`` (``m_*`` = scale * dx/du bound-transform factors),
+
+      h[sa_k, sa_l] = m_a(k) m_a(l) Re Z_kl
+      h[sa_k, sp_l] = -m_a(k) m_p(l) a_l Im Z_kl
+      g[sa_k] = m_a Re v_k,  g[sp_k] = m_p a_k Im v_k,  v_k = <e^{i phi_k} P_k, r>
+
+    Solving ``Z c' = v + Z a`` (phase-relative coordinates) yields the new
+    amplitudes ``|c'|`` and phase corrections ``arg(c')`` directly — the
+    Gram never needs de-rotating.  The linear families are thus optimal
+    w.r.t. the PREVIOUS linearization while the nonlinear LM step moves
+    cs/lw/g (Kaufman's approximation); at full convergence the reached
+    optimum is equal or better per voxel (pinned by
+    tests/test_lm_pallas.py::TestVarpro).  The reference has no analog —
+    pyAMARES iterates
+    all 5 families jointly (``/root/reference/src/xmris/fitting/amares.py:74-81``).
+
+    Per-voxel fallbacks (keep the plain LM trial): non-finite solve, any
+    amplitude below 1e-5 or pinned-at-bound transform factor (the Im
+    recovery divides by ``m_p a``), or ``lam > 10 * lam0`` (a voxel stuck
+    rejecting falls back to undamped-free LM semantics).
+    """
+    from xmris_tpu.ops.kernels.spd import spd_solve_small
+
+    real_dtype = u.dtype
+    sa = jnp.asarray(plan["sa"])
+    sp = jnp.asarray(plan["sp"])
+    scale_a = jnp.asarray(plan["scale_a"], real_dtype)
+    offset_a = jnp.asarray(plan["offset_a"], real_dtype)
+    scale_p = jnp.asarray(plan["scale_p"], real_dtype)
+    offset_p = jnp.asarray(plan["offset_p"], real_dtype)
+
+    x, dxdu = internal_to_external_jax(
+        u, lower[None, :], upper[None, :], kind[None, :]
+    )
+    a = offset_a[None, :] + scale_a[None, :] * x[:, sa]  # (B, S) amplitudes
+    m_a = scale_a[None, :] * dxdu[:, sa]
+    m_p = scale_p[None, :] * dxdu[:, sp] * (jnp.pi / 180.0)
+    mpa = m_p * a
+
+    h_aa = h[:, sa[:, None], sa[None, :]]
+    h_ap = h[:, sa[:, None], sp[None, :]]
+    re_z = h_aa / (m_a[:, :, None] * m_a[:, None, :])
+    im_z = -h_ap / (m_a[:, :, None] * mpa[:, None, :])
+    # Hermitian symmetrization kills f32 recovery noise (Im Z diag is 0
+    # in exact arithmetic).
+    re_z = 0.5 * (re_z + jnp.swapaxes(re_z, 1, 2))
+    im_z = 0.5 * (im_z - jnp.swapaxes(im_z, 1, 2))
+
+    v_re = g[:, sa] / m_a
+    v_im = g[:, sp] / mpa
+    n_re = v_re + jnp.einsum("bkl,bl->bk", re_z, a)
+    n_im = v_im + jnp.einsum("bkl,bl->bk", im_z, a)
+
+    s = sa.shape[0]
+    ridge = (1e-6 / s) * jnp.trace(re_z, axis1=1, axis2=2)
+    eye2 = jnp.eye(2 * s, dtype=real_dtype)
+    top = jnp.concatenate([re_z, -im_z], axis=2)
+    bot = jnp.concatenate([im_z, re_z], axis=2)
+    block = jnp.concatenate([top, bot], axis=1)
+    block = block + ridge[:, None, None] * eye2[None, :, :]
+    rhs = jnp.concatenate([n_re, n_im], axis=1)
+    sol = spd_solve_small(block, rhs)
+    cr, ci = sol[:, :s], sol[:, s:]
+
+    amp_new = jnp.sqrt(cr * cr + ci * ci)
+    dphi = jnp.arctan2(ci, cr) * (180.0 / jnp.pi)
+    ph_new = offset_p[None, :] + scale_p[None, :] * x[:, sp] + dphi
+    x_new = x.at[:, sa].set((amp_new - offset_a[None, :]) / scale_a[None, :])
+    x_new = x_new.at[:, sp].set(
+        (ph_new - offset_p[None, :]) / scale_p[None, :]
+    )
+    u_new = external_to_internal_jax(
+        x_new, lower[None, :], upper[None, :], kind[None, :]
+    )
+
+    ok = (
+        jnp.all(jnp.isfinite(sol), axis=1)
+        & jnp.all(a > 1e-5, axis=1)
+        & jnp.all(jnp.abs(m_a) > 1e-10, axis=1)
+        & jnp.all(jnp.abs(mpa) > 1e-10, axis=1)
+        & (lam <= 10.0 * lam0)
+    )
+    okc = ok[:, None]
+    u_t = u_t.at[:, sa].set(jnp.where(okc, u_new[:, sa], u_t[:, sa]))
+    u_t = u_t.at[:, sp].set(jnp.where(okc, u_new[:, sp], u_t[:, sp]))
+    return u_t
+
+
 def _select_pallas_kernel(
     kernel_version: int, pmap_static, n_t: int, factored_ok: bool = False
 ):
@@ -677,10 +819,18 @@ def lm_fit_batched_pallas(
     require_uniform_t: bool = False,
     gate_rejects: bool = False,
     plateau_streak: int = 3,
+    varpro: bool | None = None,
 ):
     """Public entry: validates v7's uniform-t precondition eagerly, then
     dispatches to the jitted implementation (see
     :func:`_lm_fit_batched_pallas_impl` for the full docstring).
+
+    ``varpro=None`` (auto) enables the Kaufman variable-projection
+    override (:func:`_varpro_override`) exactly when the prior fits a
+    lineshape-mixing fraction (any free g) — the slow-converging case it
+    was built for; fixed-g fits already retire in ~2 accepted steps from
+    the linear LS seed and measured neutral with it.  Pass True/False to
+    force.
 
     ``gate_rejects=True`` enables v9's per-tile accept gate (rejected
     trials skip the moment/H/g work).  Measured SLOWER on v5e at bench
@@ -698,12 +848,19 @@ def lm_fit_batched_pallas(
     uniform_t_ok = require_uniform_t or (
         not isinstance(t, jax.core.Tracer) and _t_is_uniform(t)
     )
+    if varpro is None:
+        idx = pmap_static[0]
+        varpro = any(
+            idx[k * 5 + 4] >= 0 for k in range(pmap_static[3])
+        )
+    varpro = bool(varpro) and varpro_plan(pmap_static) is not None
     return _lm_fit_batched_pallas_impl(
         fids_re, fids_im, t, u0, lower, upper, kind, pmap_static, mhz,
         max_iter=max_iter, lam0=lam0, ftol=ftol, v_tile=v_tile,
         interpret=interpret, kernel_version=kernel_version,
         return_hessian=return_hessian, gate_rejects=gate_rejects,
         uniform_t_ok=uniform_t_ok, plateau_streak=plateau_streak,
+        varpro=varpro,
     )
 
 
@@ -712,7 +869,7 @@ def lm_fit_batched_pallas(
     static_argnames=(
         "pmap_static", "max_iter", "mhz", "v_tile", "interpret",
         "kernel_version", "return_hessian", "gate_rejects", "uniform_t_ok",
-        "plateau_streak",
+        "plateau_streak", "varpro",
     ),
 )
 def _lm_fit_batched_pallas_impl(
@@ -735,6 +892,7 @@ def _lm_fit_batched_pallas_impl(
     gate_rejects: bool = False,
     uniform_t_ok: bool = False,
     plateau_streak: int = 3,
+    varpro: bool = False,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -779,6 +937,7 @@ def _lm_fit_batched_pallas_impl(
         # scatter scale; the bound-transform diagonal rides in as dxdu.
         fold_slots = tuple(int(pmap_static[0][j]) for j in active)
         fold_scales = tuple(float(pmap_static[1][j]) for j in active)
+    vp_plan = varpro_plan(pmap_static) if varpro else None
 
     def full_eval(u, voxel_mask=None, cost_prev=None):
         x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
@@ -834,6 +993,13 @@ def _lm_fit_batched_pallas_impl(
         solve_ok = jnp.all(jnp.isfinite(delta_raw), axis=-1)
         delta = jnp.where(solve_ok[:, None], delta_raw, 0.0)
         u_t = u + delta
+        if vp_plan is not None:
+            # Kaufman VARPRO: the trial's amplitude/phase slots jump to
+            # the exact linear optimum of the carried linearization while
+            # the LM delta moves cs/lw/g (see _varpro_override).
+            u_t = _varpro_override(
+                u_t, u, g, h, lam, lower, upper, kind, vp_plan, lam0
+            )
 
         # Predicted-decrease exit: for the GN model cost(u+d) ~= cost -
         # 2 g.d + d.H d with (H + lam D) d = g, the predicted decrease is
