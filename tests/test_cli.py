@@ -86,3 +86,76 @@ def test_fit_cli_component_input(tmp_path, capsys):
     assert rc == 0
     ds = load_dataset_npz(out)
     assert ds["fit_converged"].values.all()
+
+
+def test_serve_cli_drains_directory(tmp_path, capsys):
+    """Streaming server: --once drains pending grids, writes result
+    archives, prints one JSON line per grid."""
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.runtime.cli import serve_main
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed"))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out_dir = tmp_path / "out"
+    for i in range(2):
+        save_npz(make_phantom(n_voxels=2, n_points=256),
+                 watch / f"grid{i}.npz")
+    # in-flight atomic-rename suffixes and non-matching files are ignored
+    (watch / "grid9.npz.tmp").write_bytes(b"junk")
+    (watch / "notes.txt").write_text("not a grid")
+
+    rc = serve_main(
+        [str(watch), str(pk), "-o", str(out_dir), "--once",
+         "--engine", "xla", "--max-iter", "40"]
+    )
+    assert rc == 0
+
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert sorted(ln["file"] for ln in lines) == ["grid0.npz", "grid1.npz"]
+    for ln in lines:
+        assert ln["status"] == "ok"
+        assert ln["converged_frac"] == 1.0
+        assert ln["voxels"] == 2
+        assert ln["wall_s"] >= 0
+    for i in range(2):
+        ds = load_dataset_npz(out_dir / f"grid{i}_fit.npz")
+        assert ds["fit_converged"].values.all()
+
+
+def test_serve_cli_error_keeps_serving(tmp_path, capsys):
+    """A corrupt grid reports status=error and the server continues to
+    the next file; exit code 2 flags the failure."""
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.runtime.cli import serve_main
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed"))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out_dir = tmp_path / "out"
+    (watch / "bad.npz").write_bytes(b"this is not an npz archive")
+    save_npz(make_phantom(n_voxels=2, n_points=256), watch / "good.npz")
+
+    rc = serve_main(
+        [str(watch), str(pk), "-o", str(out_dir), "--once",
+         "--engine", "xla", "--max-iter", "40"]
+    )
+    assert rc == 2
+
+    by_file = {
+        ln["file"]: ln
+        for ln in (
+            json.loads(s)
+            for s in capsys.readouterr().out.strip().splitlines()
+            if s.startswith("{")
+        )
+    }
+    assert by_file["bad.npz"]["status"] == "error"
+    assert by_file["good.npz"]["status"] == "ok"
+    assert (out_dir / "good_fit.npz").exists()

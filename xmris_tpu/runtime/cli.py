@@ -65,7 +65,7 @@ def fit_main(argv: list[str] | None = None) -> int:
     parser.add_argument("--engine", default="auto",
                         choices=("auto", "xla", "pallas"))
     parser.add_argument("--max-iter", type=int, default=60)
-    parser.add_argument("--kernel-version", type=int, default=8)
+    parser.add_argument("--kernel-version", type=int, default=9)
     parser.add_argument("--chunk-size", type=int, default=None)
     parser.add_argument("--no-init-lm", action="store_true",
                         help="skip the template-fit initialization pass")
@@ -185,6 +185,125 @@ def recon_main(argv: list[str] | None = None) -> int:
         "recon_s": round(elapsed, 3),
     }))
     return 0
+
+
+def serve_main(argv: list[str] | None = None) -> int:
+    """Entry point of the ``xmris-tpu-serve`` console script.
+
+    Streaming batch server: watch a directory for FID archives, fit each
+    through the warm device program, write result Datasets next to an
+    output directory, and emit one JSON status line per grid.  The first
+    grid pays XLA compilation; every subsequent same-shape grid reuses
+    the compiled program — the steady-state regime ``bench.py`` measures
+    (the chained-dispatch amortization that hides the remote-relay
+    latency floor).  The reference has no serving story: its batch fitter
+    spins up a fresh joblib pool per call
+    (``/root/reference/src/xmris/fitting/amares.py:118-204``).
+
+    Producers should write atomically (write to ``*.tmp``/``*.part``,
+    then rename into the watched pattern); in-flight suffixes are
+    ignored.  Each file is processed once per server lifetime, oldest
+    first.  ``--once`` drains what is pending and exits (returns 2 if
+    any grid failed or left unconverged voxels) — the mode the tests and
+    cron-style deployments use; without it the server polls forever and
+    exits cleanly on Ctrl-C.
+    """
+    parser = argparse.ArgumentParser(
+        prog="xmris-tpu-serve",
+        description=(
+            "Streaming AMARES fitting: watch a directory for FID "
+            "archives, fit each arriving grid with the warm batched "
+            "device solver, write result Datasets, print one JSON "
+            "status line per grid."
+        ),
+    )
+    parser.add_argument("watch_dir", help="directory to watch for inputs")
+    parser.add_argument("prior", help="AMARES prior-knowledge CSV")
+    parser.add_argument("-o", "--output-dir", required=True,
+                        help="directory for *_fit.npz result archives")
+    parser.add_argument("--pattern", default="*.npz",
+                        help="glob of input files inside watch_dir")
+    parser.add_argument("--poll", type=float, default=0.5,
+                        help="poll interval [s] while idle")
+    parser.add_argument("--once", action="store_true",
+                        help="drain pending files, then exit")
+    parser.add_argument("--max-files", type=int, default=None,
+                        help="exit after this many grids")
+    parser.add_argument("--variable", default=None,
+                        help="netCDF variable name (auto-detected if unique)")
+    parser.add_argument("--dim", default="time", help="time dimension name")
+    parser.add_argument("--mhz", type=float, default=None,
+                        help="Larmor frequency [MHz] (else from attrs)")
+    parser.add_argument("--sw", type=float, default=None,
+                        help="spectral width [Hz] (else from coords/attrs)")
+    parser.add_argument("--engine", default="auto",
+                        choices=("auto", "xla", "pallas"))
+    parser.add_argument("--max-iter", type=int, default=60)
+    parser.add_argument("--kernel-version", type=int, default=9)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from xmris_tpu.fitting.amares import fit_amares
+    from xmris_tpu.fitting.prior import load_prior_knowledge
+    from xmris_tpu.interop.io import save_dataset_npz
+
+    watch = Path(args.watch_dir)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # Parse the prior once — every grid shares it (and the parse error
+    # surfaces before the server starts idling).
+    prior = load_prior_knowledge(args.prior)
+
+    seen: set[str] = set()
+    n_done = 0
+    any_bad = False
+    try:
+        while True:
+            pending = sorted(
+                (p for p in watch.glob(args.pattern)
+                 if p.name not in seen
+                 and not p.name.endswith((".tmp", ".part"))),
+                key=lambda p: (p.stat().st_mtime, p.name),
+            )
+            if not pending:
+                if args.once:
+                    break
+                time.sleep(args.poll)
+                continue
+            for p in pending:
+                seen.add(p.name)
+                t0 = time.perf_counter()
+                record: dict = {"file": p.name}
+                try:
+                    da = _load_input(p, args.variable)
+                    ds = fit_amares(
+                        da, prior, dim=args.dim, mhz=args.mhz, sw=args.sw,
+                        engine=args.engine, max_iter=args.max_iter,
+                        kernel_version=args.kernel_version,
+                    )
+                    out = out_dir / (p.stem + "_fit.npz")
+                    save_dataset_npz(ds, out)
+                    conv = np.asarray(ds["fit_converged"].values)
+                    record.update(
+                        status="ok",
+                        output=out.name,
+                        voxels=int(conv.size),
+                        converged_frac=round(float(conv.mean()), 4),
+                        wall_s=round(time.perf_counter() - t0, 3),
+                    )
+                    if not conv.all():
+                        any_bad = True
+                except Exception as e:  # noqa: BLE001 — keep serving
+                    any_bad = True
+                    record.update(status="error", error=repr(e)[:300])
+                print(json.dumps(record), flush=True)
+                n_done += 1
+                if args.max_files is not None and n_done >= args.max_files:
+                    return 2 if any_bad else 0
+    except KeyboardInterrupt:  # pragma: no cover — interactive exit
+        pass
+    return 2 if any_bad else 0
 
 
 if __name__ == "__main__":  # pragma: no cover
