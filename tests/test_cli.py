@@ -159,3 +159,36 @@ def test_serve_cli_error_keeps_serving(tmp_path, capsys):
     assert by_file["bad.npz"]["status"] == "error"
     assert by_file["good.npz"]["status"] == "ok"
     assert (out_dir / "good_fit.npz").exists()
+
+
+def test_serve_cli_state_file_resumes(tmp_path, capsys):
+    """A restarted server with --state-file skips grids already handled
+    by the previous process and picks up only new arrivals."""
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.runtime.cli import serve_main
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed"))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out_dir = tmp_path / "out"
+    state = tmp_path / "serve.state"
+    da = make_phantom(n_voxels=2, n_points=256)
+    save_npz(da, watch / "first.npz")
+
+    argv = [str(watch), str(pk), "-o", str(out_dir), "--once",
+            "--engine", "xla", "--max-iter", "40",
+            "--state-file", str(state)]
+    assert serve_main(argv) == 0
+    assert state.read_text().splitlines() == ["first.npz"]
+    capsys.readouterr()
+
+    save_npz(da, watch / "second.npz")
+    assert serve_main(argv) == 0  # fresh process, same ledger
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert [ln["file"] for ln in lines] == ["second.npz"]
+    assert sorted(state.read_text().split()) == ["first.npz", "second.npz"]

@@ -203,7 +203,10 @@ def serve_main(argv: list[str] | None = None) -> int:
     Producers should write atomically (write to ``*.tmp``/``*.part``,
     then rename into the watched pattern); in-flight suffixes are
     ignored.  Each file is processed once per server lifetime, oldest
-    first.  ``--once`` drains what is pending and exits (returns 2 if
+    first; with ``--state-file`` the processed-name ledger persists, so a
+    restarted server resumes where it stopped (names are recorded only
+    after their grid was fully handled — at-least-once semantics).
+    ``--once`` drains what is pending and exits (returns 2 if
     any grid failed or left unconverged voxels) — the mode the tests and
     cron-style deployments use; without it the server polls forever and
     exits cleanly on Ctrl-C.
@@ -229,6 +232,10 @@ def serve_main(argv: list[str] | None = None) -> int:
                         help="drain pending files, then exit")
     parser.add_argument("--max-files", type=int, default=None,
                         help="exit after this many grids")
+    parser.add_argument("--state-file", default=None,
+                        help="persist processed-file names here (one per "
+                             "line, appended after each grid) so a "
+                             "restarted server resumes where it stopped")
     parser.add_argument("--variable", default=None,
                         help="netCDF variable name (auto-detected if unique)")
     parser.add_argument("--dim", default="time", help="time dimension name")
@@ -256,6 +263,16 @@ def serve_main(argv: list[str] | None = None) -> int:
     prior = load_prior_knowledge(args.prior)
 
     seen: set[str] = set()
+    # Resume support: names already handled by a previous server process.
+    # A name is appended only AFTER its grid was fully handled, so a crash
+    # mid-fit re-processes that grid on restart (at-least-once semantics).
+    state_path = Path(args.state_file) if args.state_file else None
+    if state_path is not None and state_path.exists():
+        seen.update(
+            ln.strip()
+            for ln in state_path.read_text().splitlines()
+            if ln.strip()
+        )
     n_done = 0
     any_bad = False
     try:
@@ -298,6 +315,9 @@ def serve_main(argv: list[str] | None = None) -> int:
                     any_bad = True
                     record.update(status="error", error=repr(e)[:300])
                 print(json.dumps(record), flush=True)
+                if state_path is not None:
+                    with open(state_path, "a") as sf:
+                        sf.write(p.name + "\n")
                 n_done += 1
                 if args.max_files is not None and n_done >= args.max_files:
                     return 2 if any_bad else 0
