@@ -1626,11 +1626,9 @@ class TestVarpro:
         p = tmp_path / "pk_tied.csv"
         p.write_text(csv)
         pk = load_prior_knowledge(p)
-        plan = varpro_plan(hashable_pmap(pk.pmap))
-        assert plan is None or 0 not in []  # shape check below
-        if plan is not None:
-            # the tied pair (shared amp slot) must be excluded
-            assert len(plan["sa"]) < 2
+        # The tie makes the shared amplitude slot multi-referenced for
+        # BOTH peaks, so no peak qualifies and the plan is empty.
+        assert varpro_plan(hashable_pmap(pk.pmap)) is None
 
         # fixed phases: no qualifying pair at all
         csv2 = PK_CSV.replace(
@@ -1640,3 +1638,72 @@ class TestVarpro:
         p2.write_text(csv2)
         pk2 = load_prior_knowledge(p2)
         assert varpro_plan(hashable_pmap(pk2.pmap)) is None
+
+    def test_override_wraps_phase_across_the_bound(self, tmp_path):
+        """An optimum phase just past +/-180 must be reached via its
+        in-range periodic equivalent, not clipped at the bound edge
+        (current phase +170, true phase -150: the +40-degree linear
+        correction lands at 210 == -150)."""
+        from tests.test_fitting import PK_CSV
+        from xmris_tpu.fitting.lm import (
+            _pmap_jax,
+            _scatter_matrix,
+            _varpro_override,
+            expand_params,
+            internal_to_external_jax,
+            varpro_plan,
+        )
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        ps = hashable_pmap(pk.pmap)
+        plan = varpro_plan(ps)
+        n_t, mhz = 512, 120.0
+        t = jnp.asarray((np.arange(n_t) / 10000.0).astype(np.float32))
+        pmj = _pmap_jax(ps, jnp.float32)
+
+        # data synthesized at the init values except phase = -150 deg
+        x_true = pk.init_free.copy().astype(np.float64)
+        x_true[plan["sp"]] = -150.0
+        grid_true = expand_params(jnp.asarray(x_true, jnp.float32), pmj)
+        m_re, m_im, _, _ = eq6_basis_planar(t, grid_true, mhz)
+        yre = np.asarray(m_re, np.float32)[None, :]
+        yim = np.asarray(m_im, np.float32)[None, :]
+
+        # current state: phase +170 (20 degrees away through the cut,
+        # 320 away going the clipped way)
+        x0 = x_true.copy()
+        x0[plan["sp"]] = 170.0
+        u = jnp.asarray(
+            external_to_internal(
+                x0[None, :], pk.lower, pk.upper, pk.kind
+            ).astype(np.float32)
+        )
+        lower = jnp.asarray(pk.lower.astype(np.float32))
+        upper = jnp.asarray(pk.upper.astype(np.float32))
+        kind = jnp.asarray(pk.kind)
+        x, dxdu = internal_to_external_jax(
+            u, lower[None, :], upper[None, :], kind[None, :]
+        )
+        smat = _scatter_matrix(ps, pk.n_free).astype(np.float32)
+        grid = expand_params(x[0], pmj)
+        mr, mi, b_re, b_im = eq6_basis_planar(t, grid, mhz)
+        jre_p, jim_p = eq6_jacobian_planar(t, grid, b_re, b_im, mhz)
+        jre = np.asarray(jre_p).reshape(n_t, -1) @ smat * np.asarray(dxdu[0])
+        jim = np.asarray(jim_p).reshape(n_t, -1) @ smat * np.asarray(dxdu[0])
+        rre = yre[0] - np.asarray(mr)
+        rim = yim[0] - np.asarray(mi)
+        g = jnp.asarray((jre.T @ rre + jim.T @ rim)[None, :], jnp.float32)
+        h = jnp.asarray(
+            (jre.T @ jre + jim.T @ jim)[None, :, :], jnp.float32
+        )
+
+        lam = jnp.full((1,), 1e-3, jnp.float32)
+        u_t = _varpro_override(u, u, g, h, lam, lower, upper, kind, plan, 1e-3)
+        x_new = internal_to_external_jax(
+            u_t, lower[None, :], upper[None, :], kind[None, :]
+        )[0]
+        ph = np.asarray(x_new[0, plan["sp"]])
+        # the periodic equivalent -150, NOT a clip at ~+180
+        np.testing.assert_allclose(ph, [-150.0, -150.0], atol=2.0)

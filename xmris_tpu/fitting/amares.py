@@ -523,16 +523,9 @@ def seeded_fit_grid_raw(
     ).astype(jnp.float32)
 
     if engine == "pallas":
-        from xmris_tpu.fitting.lm import varpro_plan
+        from xmris_tpu.fitting.lm import auto_varpro
 
-        # Same auto-rule as the public lm_fit_batched_pallas wrapper:
-        # the Kaufman VARPRO override only for free-g priors (the
-        # slow-converging case), and only when some amp/phase pair is
-        # untied.
-        has_free_g = any(
-            pmap_static[0][k * 5 + 4] >= 0 for k in range(pmap_static[3])
-        )
-        vp = has_free_g and varpro_plan(pmap_static) is not None
+        vp = auto_varpro(pmap_static)
         res, h_ext = _lm_fit_batched_pallas_impl(
             re, im, t, u0, lower, upper, kind, pmap_static, mhz,
             max_iter=max_iter, lam0=lam0, v_tile=v_tile,

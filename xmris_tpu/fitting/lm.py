@@ -557,6 +557,20 @@ def varpro_plan(pmap_static):
     }
 
 
+def auto_varpro(pmap_static) -> bool:
+    """The shared auto-enable rule for the Kaufman VARPRO override: on
+    exactly when the prior fits a lineshape-mixing fraction (any free g —
+    the slow-converging case) AND some amplitude/phase pair qualifies for
+    the linear re-solve (:func:`varpro_plan`).  Used by both the public
+    driver wrapper and the fused grid path (``amares.seeded_fit_grid_raw``)
+    so the two cannot drift."""
+    idx = pmap_static[0]
+    has_free_g = any(
+        idx[k * 5 + 4] >= 0 for k in range(pmap_static[3])
+    )
+    return has_free_g and varpro_plan(pmap_static) is not None
+
+
 def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0):
     """Kaufman-style variable-projection step: override the trial's
     amplitude/phase slots with the EXACT linear optimum recovered from the
@@ -636,10 +650,24 @@ def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0):
     amp_new = jnp.sqrt(cr * cr + ci * ci)
     dphi = jnp.arctan2(ci, cr) * (180.0 / jnp.pi)
     ph_new = offset_p[None, :] + scale_p[None, :] * x[:, sp] + dphi
-    x_new = x.at[:, sa].set((amp_new - offset_a[None, :]) / scale_a[None, :])
-    x_new = x_new.at[:, sp].set(
-        (ph_new - offset_p[None, :]) / scale_p[None, :]
+    xp_new = (ph_new - offset_p[None, :]) / scale_p[None, :]
+    # Phase is periodic: map the free-space value into the 360-degree
+    # window centred on the bound interval (or, for unbounded phases, on
+    # the current value) — otherwise an optimum just past a bound edge
+    # (e.g. 210 with bounds (-180, 180), equivalent to -150) would be
+    # CLIPPED at the edge by the bound transform instead of reached.
+    period = 360.0 / jnp.abs(scale_p)[None, :]
+    lo_p, hi_p = lower[sp][None, :], upper[sp][None, :]
+    center = jnp.where(
+        jnp.isfinite(lo_p) & jnp.isfinite(hi_p),
+        0.5 * (lo_p + hi_p),
+        x[:, sp],
     )
+    xp_new = center + jnp.remainder(
+        xp_new - center + 0.5 * period, period
+    ) - 0.5 * period
+    x_new = x.at[:, sa].set((amp_new - offset_a[None, :]) / scale_a[None, :])
+    x_new = x_new.at[:, sp].set(xp_new)
     u_new = external_to_internal_jax(
         x_new, lower[None, :], upper[None, :], kind[None, :]
     )
@@ -849,11 +877,9 @@ def lm_fit_batched_pallas(
         not isinstance(t, jax.core.Tracer) and _t_is_uniform(t)
     )
     if varpro is None:
-        idx = pmap_static[0]
-        varpro = any(
-            idx[k * 5 + 4] >= 0 for k in range(pmap_static[3])
-        )
-    varpro = bool(varpro) and varpro_plan(pmap_static) is not None
+        varpro = auto_varpro(pmap_static)
+    else:
+        varpro = bool(varpro) and varpro_plan(pmap_static) is not None
     return _lm_fit_batched_pallas_impl(
         fids_re, fids_im, t, u0, lower, upper, kind, pmap_static, mhz,
         max_iter=max_iter, lam0=lam0, ftol=ftol, v_tile=v_tile,

@@ -204,8 +204,10 @@ def serve_main(argv: list[str] | None = None) -> int:
     then rename into the watched pattern); in-flight suffixes are
     ignored.  Each file is processed once per server lifetime, oldest
     first; with ``--state-file`` the processed-name ledger persists, so a
-    restarted server resumes where it stopped (names are recorded only
-    after their grid was fully handled — at-least-once semantics).
+    restarted server resumes where it stopped (only SUCCESSFULLY handled
+    grids are recorded, after their result is written — at-least-once
+    semantics: both a crash mid-fit and a transient per-grid failure are
+    retried by the next server process).
     ``--once`` drains what is pending and exits (returns 2 if
     any grid failed or left unconverged voxels) — the mode the tests and
     cron-style deployments use; without it the server polls forever and
@@ -264,8 +266,9 @@ def serve_main(argv: list[str] | None = None) -> int:
 
     seen: set[str] = set()
     # Resume support: names already handled by a previous server process.
-    # A name is appended only AFTER its grid was fully handled, so a crash
-    # mid-fit re-processes that grid on restart (at-least-once semantics).
+    # A name is appended only AFTER its grid was successfully handled, so
+    # both a crash mid-fit and a transient failure re-process that grid
+    # on restart (at-least-once semantics).
     state_path = Path(args.state_file) if args.state_file else None
     if state_path is not None and state_path.exists():
         seen.update(
@@ -275,13 +278,25 @@ def serve_main(argv: list[str] | None = None) -> int:
         )
     n_done = 0
     any_bad = False
+    def _mtime_or_zero(p: Path) -> float:
+        # A file may vanish between glob and stat (operator cleanup);
+        # losing its ordering hint is harmless — processing it then
+        # reports a load error, or the next poll simply no longer sees it.
+        try:
+            return p.stat().st_mtime
+        except OSError:
+            return 0.0
+
     try:
         while True:
             pending = sorted(
                 (p for p in watch.glob(args.pattern)
                  if p.name not in seen
-                 and not p.name.endswith((".tmp", ".part"))),
-                key=lambda p: (p.stat().st_mtime, p.name),
+                 and not p.name.endswith((".tmp", ".part"))
+                 # never re-ingest our own results when the output
+                 # directory overlaps the watch glob
+                 and not p.name.endswith("_fit.npz")),
+                key=lambda p: (_mtime_or_zero(p), p.name),
             )
             if not pending:
                 if args.once:
@@ -315,7 +330,12 @@ def serve_main(argv: list[str] | None = None) -> int:
                     any_bad = True
                     record.update(status="error", error=repr(e)[:300])
                 print(json.dumps(record), flush=True)
-                if state_path is not None:
+                # Only SUCCESSFUL grids enter the persistent ledger: a
+                # transient failure (e.g. a wedged device backend) must be
+                # retried by a restarted server, not permanently skipped.
+                # Within one server lifetime the in-memory `seen` still
+                # prevents hot-looping on a permanently bad file.
+                if state_path is not None and record["status"] == "ok":
                     with open(state_path, "a") as sf:
                         sf.write(p.name + "\n")
                 n_done += 1
