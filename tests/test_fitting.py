@@ -489,3 +489,64 @@ class TestLinearSeed:
         pcr = ds["amplitude"].sel({"Metabolite": "PCr"}).values
         np.testing.assert_allclose(pcr, [10.0, 20.0, 30.0], rtol=0.1)
         assert ds["fit_converged"].values.all()
+
+    def test_wrap_phase_window(self):
+        """Seeded phases wrap into the prior's 360-degree window instead of
+        clipping at a bound edge ~360 degrees from the optimum."""
+        import jax.numpy as jnp
+
+        from xmris_tpu.fitting.amares import (
+            _wrap_phase_window,
+            _wrap_phase_window_jax,
+        )
+
+        vals = np.array([-90.0, 10.0, 350.0, 365.0, -170.0])
+        # (0, 360) window: principal-branch negatives map to +270 etc.
+        out = _wrap_phase_window(vals, 0.0, 360.0)
+        np.testing.assert_allclose(out, [270.0, 10.0, 350.0, 5.0, 190.0])
+        # (-180, 180) window: already-principal values unchanged, others wrap
+        out = _wrap_phase_window(vals, -180.0, 180.0)
+        np.testing.assert_allclose(out, [-90.0, 10.0, -10.0, 5.0, -170.0])
+        # unbounded: untouched
+        np.testing.assert_array_equal(
+            _wrap_phase_window(vals, -np.inf, np.inf), vals
+        )
+        # traced variant agrees with the host variant
+        np.testing.assert_allclose(
+            np.asarray(_wrap_phase_window_jax(jnp.asarray(vals), 0.0, 360.0)),
+            _wrap_phase_window(vals, 0.0, 360.0),
+            atol=1e-5,
+        )
+
+    def test_seed_wraps_phase_into_positive_window(self, tmp_path):
+        """A (0, 360) phase prior with the LS optimum at 270 degrees seeds
+        ~270, not the clipped lower edge (arctan2 returns -90)."""
+        import jax.numpy as jnp
+
+        from xmris_tpu.fitting.amares import template_seeded_x0
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        csv = PK_CSV.replace(
+            '"(-180, 180)","(-180, 180)"', '"(0, 360)","(0, 360)"'
+        ).replace("phase,0,0", "phase,180,180")
+        p = tmp_path / "pk360.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+
+        sw, mhz, n = 10000.0, 120.0, 512
+        t = np.arange(n) / sw
+        phi = np.deg2rad(270.0)
+        data = np.zeros((3, n), complex)
+        for v in range(3):
+            amp = 10.0 * (v + 1)
+            data[v] = amp * np.exp(-15.0 * np.pi * t) * np.exp(1j * phi)
+            data[v] += 5.0 * np.exp(-20.0 * np.pi * t) * np.exp(
+                1j * (2 * np.pi * (-7.5 * mhz) * t + phi)
+            )
+        fids = data.astype(np.complex64)
+        x0 = template_seeded_x0(
+            fids, pk, jnp.asarray(t.astype(np.float32)), mhz,
+            fit_template=False,
+        )
+        ph_slot = int(pk.pmap.idx[3])  # PCr phase free slot
+        np.testing.assert_allclose(x0[:, ph_slot], 270.0, atol=2.0)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import time
+import warnings
 from pathlib import Path
 
 import jax
@@ -180,6 +181,28 @@ def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz):
     return np.asarray(amp), np.asarray(ph)
 
 
+def _wrap_phase_window(vals, lo, hi):
+    """Map seeded phase values (free space; the seed plans only admit
+    scale == 1 slots, so units are degrees) into the 360-degree window
+    centred on the bound interval.  Without this, a phase whose arctan2
+    principal branch falls outside the prior's window (e.g. bounds
+    (0, 360) with the LS optimum at -90 == 270) would be CLIPPED at a
+    bound edge ~360 degrees from the optimum instead of wrapped to its
+    periodic equivalent.  Unbounded phases keep the principal branch."""
+    if np.isfinite(lo) and np.isfinite(hi):
+        c = 0.5 * (lo + hi)
+        return c + np.mod(vals - c + 180.0, 360.0) - 180.0
+    return vals
+
+
+def _wrap_phase_window_jax(vals, lo: float, hi: float):
+    """Traced :func:`_wrap_phase_window` for one slot (static bounds)."""
+    if np.isfinite(lo) and np.isfinite(hi):
+        c = 0.5 * (lo + hi)
+        return c + jnp.mod(vals - c + 180.0, 360.0) - 180.0
+    return vals
+
+
 def _nudge_into_bounds(vals, lo, hi):
     """Clip seeded values INSIDE the bounds with the same off-edge margin
     as prior parsing (``prior.py``): the MINPACK bound transform has zero
@@ -277,19 +300,18 @@ def template_seeded_x0(
         )
 
     x0 = np.broadcast_to(x_template[None, :], (n_spectra, pk.n_free)).copy()
+    # The single source of slot-eligibility truth: the same static plans
+    # the fused in-graph seeder (seeded_fit_grid_raw) consumes.
+    amp_slots, ls_plan = seed_plan(pk)
     if scale_amplitudes:
-        amp_slots = [
-            int(pk.pmap.idx[k * 5])
-            for k in range(pk.n_peaks)
-            if pk.pmap.idx[k * 5] >= 0 and pk.pmap.scale[k * 5] == 1.0
-        ]
+        slots = list(amp_slots)
         template_total = float(
-            np.sum(np.abs(x_template[amp_slots])) if amp_slots else 0.0
+            np.sum(np.abs(x_template[slots])) if slots else 0.0
         )
-        if amp_slots and template_total > 0:
+        if slots and template_total > 0:
             y0_mag = np.abs(fid_arrs[:, 0])
             factor = np.clip(y0_mag / template_total, 0.1, 100.0)
-            x0[:, amp_slots] *= factor[:, None]
+            x0[:, slots] *= factor[:, None]
 
     if linear_seed:
         # Per-voxel LS amplitudes + phases at the template's cs/lw/g: a
@@ -298,8 +320,15 @@ def template_seeded_x0(
         # in the bound transform's zero-slope region); non-finite entries
         # keep the scaled-template seed.  Writes are staged and applied
         # all-or-nothing so a failure cannot leave a half-seeded grid.
+        if isinstance(g_scan, str):
+            raise TypeError(
+                "g_scan must be a tuple of candidate mixing fractions or "
+                "None; the 'auto' policy is resolved by fit_amares, not "
+                "here"
+            )
         try:
             g_slots = g_seed_plan(pk) if g_scan else ()
+            amp = ph = None
             if g_slots:
                 # Free-g prior: scan static g candidates, seed the winning
                 # per-voxel mixing fraction alongside its amp/phase LS
@@ -317,7 +346,7 @@ def template_seeded_x0(
                 )
                 amp, ph = np.asarray(amp_j), np.asarray(ph_j)
                 g_best = np.asarray(g_best_j)
-            else:
+            elif ls_plan:
                 amp, ph = _linear_amp_phase_seed(
                     fid_arrs, x_template, pk, t_j, mhz
                 )
@@ -325,27 +354,24 @@ def template_seeded_x0(
             for slot, offset, lo, hi in g_slots:
                 vals = _nudge_into_bounds(g_best - offset, lo, hi)
                 staged[slot] = (np.isfinite(vals), vals)
-            for k in range(pk.n_peaks):
-                for col, vals_k in ((0, amp[:, k]), (3, ph[:, k])):
-                    j = k * 5 + col
-                    slot = int(pk.pmap.idx[j])
-                    if (
-                        slot < 0
-                        or slot in staged
-                        or pk.pmap.scale[j] != 1.0
-                    ):
+            if amp is not None:
+                for slot, k, col, offset, lo, hi in ls_plan:
+                    if slot in staged:
                         continue
-                    # physical = offset + scale*x  =>  x = physical - offset
-                    vals = _nudge_into_bounds(
-                        vals_k - float(pk.pmap.offset[j]),
-                        float(pk.lower[slot]), float(pk.upper[slot]),
-                    )
+                    # physical = offset + scale*x => x = physical - offset
+                    vals = (amp[:, k] if col == 0 else ph[:, k]) - offset
+                    if col == 3:
+                        vals = _wrap_phase_window(vals, lo, hi)
+                    vals = _nudge_into_bounds(vals, lo, hi)
                     staged[slot] = (np.isfinite(vals), vals)
             for slot, (ok, vals) in staged.items():
                 x0[ok, slot] = vals[ok]
         except Exception as exc:  # pragma: no cover — seed quality only
-            if verbose:
-                print(f"linear seed skipped ({exc!r}); using template seed")
+            warnings.warn(
+                f"linear seed skipped ({exc!r}); using template seed",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return x0
 
 
@@ -513,6 +539,8 @@ def seeded_fit_grid_raw(
             )
         for slot, k, col, offset, lo, hi in ls_plan:
             vals = (amp[:, k] if col == 0 else ph[:, k]) - offset
+            if col == 3:
+                vals = _wrap_phase_window_jax(vals, lo, hi)
             vals = _nudge_into_bounds_jax(vals, lo, hi)
             x0 = x0.at[:, slot].set(
                 jnp.where(jnp.isfinite(vals), vals, x0[:, slot])
