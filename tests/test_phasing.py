@@ -164,6 +164,52 @@ class TestAutophase:
         p0s = out.attrs[ATTRS.phase_p0]
         assert p0s.shape == (2,)
 
+    def test_mode_all_grid_optimizer(self):
+        """grid (candidate mesh + polish) matches the per-voxel DE answer."""
+        builds = [
+            build_spectrum(p0_true=p, seed=s)
+            for p, s in [(40.0, 1), (-70.0, 2), (160.0, 3)]
+        ]
+        stacked = XmrArray(
+            np.stack([s.values for _, s in builds]),
+            dims=("voxel", DIMS.frequency),
+            coords={DIMS.frequency: builds[0][1].coords[DIMS.frequency].values},
+        )
+        out_g = xmt.autophase(stacked, mode="all", p0_only=True,
+                              optimizer="grid")
+        out_d = xmt.autophase(stacked, mode="all", p0_only=True,
+                              optimizer="de")
+        for v, (pristine, _) in enumerate(builds):
+            assert real_corr(out_g.values[v], pristine.values) > 0.98
+        np.testing.assert_allclose(
+            out_g.attrs[ATTRS.phase_p0], out_d.attrs[ATTRS.phase_p0], atol=1.0
+        )
+
+    def test_mode_all_grid_p0_p1(self):
+        """grid optimizer recovers per-voxel zero- AND first-order errors."""
+        builds = [
+            build_spectrum(p0_true=p, p1_true=q, seed=s)
+            for p, q, s in [(40.0, 300.0, 1), (-70.0, -800.0, 2)]
+        ]
+        stacked = XmrArray(
+            np.stack([s.values for _, s in builds]),
+            dims=("voxel", DIMS.frequency),
+            coords={DIMS.frequency: builds[0][1].coords[DIMS.frequency].values},
+        )
+        out = xmt.autophase(stacked, mode="all", optimizer="grid")
+        for v, (pristine, _) in enumerate(builds):
+            assert real_corr(out.values[v], pristine.values) > 0.98
+
+    def test_mode_all_rejects_scipy_optimizer(self):
+        builds = [build_spectrum(p0_true=40.0, seed=1)]
+        stacked = XmrArray(
+            np.stack([s.values for _, s in builds]),
+            dims=("voxel", DIMS.frequency),
+            coords={DIMS.frequency: builds[0][1].coords[DIMS.frequency].values},
+        )
+        with pytest.raises(ValueError, match="single-mode"):
+            xmt.autophase(stacked, mode="all", optimizer="scipy")
+
     def test_lb_smoothing_path(self):
         pristine, spec = build_spectrum(p0_true=-30.0)
         out = xmt.autophase(spec, lb=2.0, p0_only=True)

@@ -267,6 +267,10 @@ def autophase(
       bit-level reproduction of reference results.  Single mode only.
     * ``mode="all"``: per-voxel independent searches, vmapped across the
       entire grid in one launch (reference raises NotImplementedError here).
+      ``optimizer="de"`` runs one DE search per voxel; ``optimizer="grid"``
+      scores a deterministic candidate mesh on decimated spectra and
+      gradient-polishes the per-voxel winner at full resolution — several
+      times cheaper at grid scale (see :func:`_grid_phase_search`).
 
     Bounds: p0 in [-180, 180] degrees; p1 in [-4000, 4000] degrees unless
     ``p0_only`` locks p1 = 0.
@@ -285,9 +289,15 @@ def autophase(
     index_width = max(1, int(round((peak_width / 2.0) / step_size)))
 
     if mode == "all":
+        if optimizer not in ("de", "grid"):
+            raise ValueError(
+                "mode='all' supports optimizer='de' (per-voxel differential "
+                "evolution) or optimizer='grid' (candidate grid + gradient "
+                "polish); the scipy path is single-mode only."
+            )
         return _autophase_all(
             da, dim, method, target_coord, p0_only, index_width, seed, lb,
-            temp_time_dim,
+            temp_time_dim, optimizer=optimizer,
         )
 
     # ---- mode == "single" ----
@@ -363,6 +373,146 @@ def autophase(
     return phase(da, dim=dim, p0=p0_opt, p1=p1_opt, pivot=pivot)
 
 
+def _grid_phase_search(
+    rows_re,
+    rows_im,
+    coords_j,
+    x_range: float,
+    pivots,
+    t_idx,
+    index_width: int,
+    method: str,
+    p0_only: bool,
+    n_p0: int = 36,
+    n_p1: int = 41,
+    grid_decimate: int | None = None,
+    polish_iters: int = 60,
+):
+    """Per-voxel phase search: coarse candidate grid + gradient polish.
+
+    A deterministic, TPU-friendly alternative to the per-voxel DE of
+    ``_autophase_all``: every candidate ``(p0, p1)`` of a global mesh is
+    scored for ALL voxels in one batched evaluation (sequential
+    ``lax.scan`` over candidates — no cross-candidate data dependence, so
+    each step is a single fused elementwise+reduction kernel), then the
+    per-voxel winner is refined by a vectorized backtracking gradient
+    descent with per-voxel step sizes.  ``p0`` is periodic (wrapped into
+    [-180, 180)); ``p1`` is clipped to [-4000, 4000].
+
+    The grid stage scores a ``grid_decimate``-strided copy of the spectra
+    (default: stride chosen so ~1024 points survive) — candidate RANKING
+    is stable under decimation while the cost drops by the stride; the
+    polish runs at full resolution, so the final optimum is evaluated on
+    the exact objective.
+
+    Unlike the stochastic DE (whose vmapped ``while_loop`` runs lockstep
+    until the LAST voxel's population converges), the cost here is static:
+    ``n_p0 * (1 if p0_only else n_p1)`` decimated evaluations plus
+    ``polish_iters`` full ones.
+    """
+    score = _SCORES[method]
+    dtype = rows_re.dtype
+    v = rows_re.shape[0]
+    n_f = rows_re.shape[1]
+    if grid_decimate is None:
+        grid_decimate = max(1, n_f // 1024)
+
+    rows_re_d = rows_re[:, ::grid_decimate]
+    rows_im_d = rows_im[:, ::grid_decimate]
+    coords_d = coords_j[::grid_decimate]
+    t_idx_d = t_idx // grid_decimate
+    iw_d = max(1, index_width // grid_decimate)
+
+    p0_c = jnp.linspace(-180.0, 180.0, n_p0, endpoint=False, dtype=dtype)
+    if p0_only:
+        cands = jnp.stack([p0_c, jnp.zeros_like(p0_c)], axis=1)
+    else:
+        p1_c = jnp.linspace(-4000.0, 4000.0, n_p1, dtype=dtype)
+        g0, g1 = jnp.meshgrid(p0_c, p1_c, indexing="ij")
+        cands = jnp.stack([g0.ravel(), g1.ravel()], axis=1)
+
+    def eval_candidate(p0, p1, re_, im_, crd, ti, iw):
+        def one(row_re, row_im, pivot, ti_):
+            d = _phased_real_planar(row_re, row_im, crd, p0, p1, pivot,
+                                    x_range)
+            return score(d, ti_, iw)
+
+        return jax.vmap(one)(re_, im_, pivots, ti)
+
+    def scan_body(carry, cand):
+        best_e, best_p = carry
+        e = eval_candidate(
+            cand[0], cand[1], rows_re_d, rows_im_d, coords_d, t_idx_d, iw_d
+        )
+        better = e < best_e
+        best_e = jnp.where(better, e, best_e)
+        best_p = jnp.where(better[:, None], cand[None, :], best_p)
+        return (best_e, best_p), None
+
+    init = (
+        jnp.full((v,), jnp.inf, dtype),
+        jnp.zeros((v, 2), dtype),
+    )
+    (_, best_p), _ = jax.lax.scan(scan_body, init, cands)
+
+    # ---- full-resolution vectorized polish ----
+    # Unit-space scaling so one learning rate serves both parameters; the
+    # best grid energy is re-evaluated at FULL resolution first (the
+    # carried decimated energy is not comparable to full-res trials).
+    span = jnp.asarray([360.0, 8000.0], dtype)
+
+    def batch_obj(p):  # p: (v, 2) -> (v,)
+        def one(pv, row_re, row_im, pivot, ti_):
+            p1 = jnp.asarray(0.0, dtype) if p0_only else pv[1]
+            d = _phased_real_planar(
+                row_re, row_im, coords_j, pv[0], p1, pivot, x_range
+            )
+            return score(d, ti_, index_width)
+
+        return jax.vmap(one)(p, rows_re, rows_im, pivots, t_idx)
+
+    grad_obj = jax.vmap(
+        jax.grad(
+            lambda pv, row_re, row_im, pivot, ti_: (
+                lambda p1: score(
+                    _phased_real_planar(
+                        row_re, row_im, coords_j, pv[0], p1, pivot, x_range
+                    ),
+                    ti_,
+                    index_width,
+                )
+            )(jnp.asarray(0.0, dtype) if p0_only else pv[1])
+        )
+    )
+
+    def wrap_params(p):
+        p0 = jnp.mod(p[:, 0] + 180.0, 360.0) - 180.0
+        p1 = jnp.clip(p[:, 1], -4000.0, 4000.0)
+        return jnp.stack([p0, p1], axis=1)
+
+    def polish_body(_, carry):
+        p, f, lr = carry
+        g = grad_obj(p, rows_re, rows_im, pivots, t_idx) * span[None, :]
+        # Guard non-finite gradients (inf-scored degenerate candidates):
+        # a zero step simply halves the rate and retries.
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        p_new = wrap_params(p - (lr[:, None] * g) * span[None, :])
+        f_new = batch_obj(p_new)
+        better = f_new < f
+        return (
+            jnp.where(better[:, None], p_new, p),
+            jnp.where(better, f_new, f),
+            jnp.where(better, lr * 1.2, lr * 0.5),
+        )
+
+    f0 = batch_obj(best_p)
+    lr0 = jnp.full((v,), 1e-2, dtype)
+    best_p, _, _ = jax.lax.fori_loop(
+        0, polish_iters, polish_body, (best_p, f0, lr0)
+    )
+    return best_p
+
+
 def _autophase_all(
     da: XmrArray,
     dim: str,
@@ -373,6 +523,7 @@ def _autophase_all(
     seed: int,
     lb: float,
     temp_time_dim: str,
+    optimizer: str = "de",
 ) -> XmrArray:
     """Per-voxel autophase: one DE search per 1-D spectrum, vmapped.
 
@@ -414,35 +565,46 @@ def _autophase_all(
         t_idx = jnp.argmax(rows_re**2 + rows_im**2, axis=1)
         pivots = coords_j[t_idx]
 
-    bounds = (
-        jnp.asarray([(-180.0, 180.0)])
-        if p0_only
-        else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
-    )
-    score = _SCORES[method]
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_voxels)
+    if optimizer == "grid":
 
-    @jax.jit
-    def solve_all(rows_re, rows_im, pivots, t_idx, keys):
-        def solve_one(row_re, row_im, pivot, ti, key):
-            def objective(ph):
-                p0 = ph[0]
-                p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
-                d = _phased_real_planar(
-                    row_re, row_im, coords_j, p0, p1, pivot, x_range
-                )
-                return score(d, ti, index_width)
-
-            res = differential_evolution(
-                objective, bounds, seed=key, tol=0.01, polish_iters=60
+        @jax.jit
+        def solve_grid(rows_re, rows_im, pivots, t_idx):
+            return _grid_phase_search(
+                rows_re, rows_im, coords_j, x_range, pivots, t_idx,
+                index_width, method, p0_only,
             )
-            return res.x
 
-        return jax.vmap(solve_one)(rows_re, rows_im, pivots, t_idx, keys)
+        solutions = solve_grid(rows_re, rows_im, pivots, t_idx)
+    else:
+        bounds = (
+            jnp.asarray([(-180.0, 180.0)])
+            if p0_only
+            else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
+        )
+        score = _SCORES[method]
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_voxels)
 
-    solutions = solve_all(rows_re, rows_im, pivots, t_idx, keys)  # (n_voxels, 1|2)
+        @jax.jit
+        def solve_all(rows_re, rows_im, pivots, t_idx, keys):
+            def solve_one(row_re, row_im, pivot, ti, key):
+                def objective(ph):
+                    p0 = ph[0]
+                    p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
+                    d = _phased_real_planar(
+                        row_re, row_im, coords_j, p0, p1, pivot, x_range
+                    )
+                    return score(d, ti, index_width)
+
+                res = differential_evolution(
+                    objective, bounds, seed=key, tol=0.01, polish_iters=60
+                )
+                return res.x
+
+            return jax.vmap(solve_one)(rows_re, rows_im, pivots, t_idx, keys)
+
+        solutions = solve_all(rows_re, rows_im, pivots, t_idx, keys)
     p0s = solutions[:, 0]
-    p1s = solutions[:, 1] if not p0_only else jnp.zeros_like(p0s)
+    p1s = jnp.zeros_like(p0s) if p0_only else solutions[:, 1]
 
     # Apply per-voxel phase to the *original* data (not the lb-smoothed copy):
     # planar rotation on device, complex combine on the host.
