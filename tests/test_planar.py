@@ -209,3 +209,46 @@ class TestPlanarAutophaseAll:
         np.testing.assert_allclose(
             np.asarray(re) + 1j * np.asarray(im), np.asarray(spec_c), atol=1e-4
         )
+
+    def test_grid_optimizer_matches_de(self):
+        """ap_optimizer='grid' lands on the DE answer (deterministic mesh +
+        polish vs stochastic search), planar and complex engines agree."""
+        rng = np.random.default_rng(11)
+        n_vox, n_time, zf = 4, 256, 256
+        t = np.arange(n_time) / 4000.0
+        fids = (
+            rng.uniform(3, 8, (n_vox, 1))
+            * np.exp((1j * 2 * np.pi * rng.uniform(-800, 800, (n_vox, 1)) - 25) * t)
+        )
+        fids *= np.exp(1j * np.deg2rad(rng.uniform(-170, 170, (n_vox, 1))))
+        fids += rng.normal(0, 1e-3, fids.shape) + 1j * rng.normal(0, 1e-3, fids.shape)
+        weight = np.ones(zf)
+        freqs = np.fft.fftshift(np.fft.fftfreq(zf, d=t[1] - t[0]))
+        cfg_g = PipelineConfig(
+            zero_fill_to=zf, lb=0.0, autophase="all", p0_only=True,
+            ap_optimizer="grid",
+        )
+        cfg_d = PipelineConfig(
+            zero_fill_to=zf, lb=0.0, autophase="all", p0_only=True,
+            de_maxiter=100,
+        )
+        re_g, im_g, (p0_g, _, _) = spectral_pipeline_planar_raw(
+            jnp.asarray(fids.real), jnp.asarray(fids.imag),
+            jnp.asarray(weight), jnp.asarray(freqs), cfg_g,
+        )
+        spec_cg, (p0_cg, _, _) = spectral_pipeline_raw(
+            jnp.asarray(fids), jnp.asarray(weight), jnp.asarray(freqs), cfg_g
+        )
+        _, _, (p0_d, _, _) = spectral_pipeline_planar_raw(
+            jnp.asarray(fids.real), jnp.asarray(fids.imag),
+            jnp.asarray(weight), jnp.asarray(freqs), cfg_d,
+        )
+        # The ACME landscape is flat near its optimum: independent
+        # optimizers settle within ~2 degrees (phased spectra agree to
+        # ~1e-3 relative there).
+        np.testing.assert_allclose(np.asarray(p0_g), np.asarray(p0_d), atol=2.0)
+        np.testing.assert_allclose(np.asarray(p0_g), np.asarray(p0_cg), atol=0.1)
+        np.testing.assert_allclose(
+            np.asarray(re_g) + 1j * np.asarray(im_g), np.asarray(spec_cg),
+            atol=1e-4,
+        )

@@ -81,6 +81,23 @@ def _autophase_all_planar(re, im, freqs, cfg: PipelineConfig):
     n_voxels = re.shape[0]
     t_idx = jnp.argmax(re * re + im * im, axis=1)
     pivots = freqs[t_idx]
+
+    if cfg.ap_optimizer == "grid":
+        from xmris_tpu.ops.phasing import _grid_phase_search
+
+        xs = _grid_phase_search(
+            re, im, freqs, x_range, pivots, t_idx, 1, "acme", cfg.p0_only
+        )
+        p0s = xs[:, 0]
+        p1s = xs[:, 1] if not cfg.p0_only else jnp.zeros_like(p0s)
+        phi = (
+            jnp.deg2rad(p0s)[:, None]
+            + jnp.deg2rad(p1s)[:, None]
+            * ((freqs[None, :] - pivots[:, None]) / x_range)
+        ).astype(re.dtype)
+        re, im = _apply_phase_planar(re, im, phi)
+        return re, im, p0s, p1s, pivots
+
     keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)
 
     bounds = (
