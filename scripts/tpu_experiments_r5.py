@@ -103,7 +103,16 @@ def main() -> None:
                         ),
                     )
                 )
+        from xmris_tpu.ops.phasing import acme_score_raw
+
+        @jax.jit
+        def voxel_scores(sr):
+            # ACME score of the ALREADY-PHASED spectra: the solution
+            # quality each optimizer actually achieved, per voxel.
+            return jax.vmap(acme_score_raw)(sr)
+
         sols = {}
+        scores = {}
         for tag, cfg in runs:
             try:
                 t0 = time.perf_counter()
@@ -121,6 +130,7 @@ def main() -> None:
                 float(jnp.sum(sr[0]) + jnp.sum(si[0]))
                 ms = (time.perf_counter() - t0) / K * 1e3
                 sols[tag] = np.asarray(ph[0])
+                scores[tag] = np.asarray(voxel_scores(sr))
                 report(
                     f"apgrid/{tag}",
                     ms_per_call=round(ms, 1),
@@ -130,15 +140,24 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 report(f"apgrid/{tag}", error=repr(e)[:300])
 
-        # agreement between the two optimizers (wrapped p0 difference)
+        # agreement between the two optimizers (wrapped p0 difference) and
+        # achieved-score comparison (grid <= de + tol => equal-or-better)
         for suffix in ("_p0", ""):
             a, b = sols.get("grid" + suffix), sols.get("de" + suffix)
             if a is not None and b is not None:
                 d = np.abs(np.mod(a - b + 180.0, 360.0) - 180.0)
+                sg, sd = scores["grid" + suffix], scores["de" + suffix]
+                tol = 1e-3 * np.abs(sd)
                 report(
                     f"apgrid/agree{suffix or '_p0p1'}",
                     p50_deg=round(float(np.percentile(d, 50)), 2),
                     p99_deg=round(float(np.percentile(d, 99)), 2),
+                    grid_score_leq_frac=round(
+                        float(np.mean(sg <= sd + tol)), 4
+                    ),
+                    score_gap_p99=round(
+                        float(np.percentile((sg - sd) / np.abs(sd), 99)), 5
+                    ),
                 )
 
     # ---- fused headline confirmation -------------------------------------

@@ -386,7 +386,8 @@ def _grid_phase_search(
     n_p0: int = 36,
     n_p1: int = 41,
     grid_decimate: int | None = None,
-    polish_iters: int = 60,
+    polish_iters: int = 40,
+    cand_chunk: int = 4,
 ):
     """Per-voxel phase search: coarse candidate grid + gradient polish.
 
@@ -415,7 +416,7 @@ def _grid_phase_search(
     v = rows_re.shape[0]
     n_f = rows_re.shape[1]
     if grid_decimate is None:
-        grid_decimate = max(1, n_f // 1024)
+        grid_decimate = max(1, n_f // 512)
 
     rows_re_d = rows_re[:, ::grid_decimate]
     rows_im_d = rows_im[:, ::grid_decimate]
@@ -439,14 +440,28 @@ def _grid_phase_search(
 
         return jax.vmap(one)(re_, im_, pivots, ti)
 
-    def scan_body(carry, cand):
+    # Chunk candidates so each scan step evaluates ``cand_chunk`` mesh
+    # points in one fused batch — amortizes the per-step loop overhead and
+    # keeps the VPU fed at small decimated widths.
+    n_c = cands.shape[0]
+    pad = (-n_c) % cand_chunk
+    if pad:
+        cands = jnp.concatenate([cands, jnp.tile(cands[-1:], (pad, 1))], 0)
+    cands = cands.reshape(-1, cand_chunk, 2)
+
+    def scan_body(carry, chunk):  # chunk: (C, 2)
         best_e, best_p = carry
-        e = eval_candidate(
-            cand[0], cand[1], rows_re_d, rows_im_d, coords_d, t_idx_d, iw_d
-        )
-        better = e < best_e
-        best_e = jnp.where(better, e, best_e)
-        best_p = jnp.where(better[:, None], cand[None, :], best_p)
+        e = jax.vmap(
+            lambda c: eval_candidate(
+                c[0], c[1], rows_re_d, rows_im_d, coords_d, t_idx_d, iw_d
+            )
+        )(chunk)  # (C, v)
+        i = jnp.argmin(e, axis=0)  # (v,)
+        e_min = jnp.take_along_axis(e, i[None, :], axis=0)[0]
+        p_min = chunk[i]  # (v, 2)
+        better = e_min < best_e
+        best_e = jnp.where(better, e_min, best_e)
+        best_p = jnp.where(better[:, None], p_min, best_p)
         return (best_e, best_p), None
 
     init = (
@@ -506,7 +521,16 @@ def _grid_phase_search(
         )
 
     f0 = batch_obj(best_p)
-    lr0 = jnp.full((v,), 1e-2, dtype)
+    # Normalize the initial per-voxel rate so the FIRST trial step spans
+    # about half a mesh cell (the winner is within half a cell of the true
+    # basin): a fixed rate would burn ~20 growth iterations warming up on
+    # flat objectives before making progress.
+    g0 = grad_obj(best_p, rows_re, rows_im, pivots, t_idx) * span[None, :]
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+    half_cell = 0.5 / max(n_p0, 2)  # unit-space half mesh spacing
+    gmax = jnp.max(jnp.abs(g0), axis=1)
+    lr0 = half_cell / jnp.maximum(gmax, jnp.finfo(dtype).tiny)
+    lr0 = jnp.where(gmax > 0, lr0, 1e-2)
     best_p, _, _ = jax.lax.fori_loop(
         0, polish_iters, polish_body, (best_p, f0, lr0)
     )
