@@ -511,6 +511,21 @@ class TestLinearSeed:
         np.testing.assert_array_equal(
             _wrap_phase_window(vals, -np.inf, np.inf), vals
         )
+        # half-bounded "(0, ": wrap up into [lo, lo+360)
+        out = _wrap_phase_window(vals, 0.0, np.inf)
+        np.testing.assert_allclose(out, [270.0, 10.0, 350.0, 5.0, 190.0])
+        assert np.all(out >= 0.0)
+        # half-bounded ", 0)": wrap down into (hi-360, hi]
+        out = _wrap_phase_window(vals, -np.inf, 0.0)
+        np.testing.assert_allclose(out, [-90.0, -350.0, -10.0, -355.0, -170.0])
+        assert np.all(out <= 0.0)
+        # traced variants agree on the half-bounded windows too
+        for lo, hi in ((0.0, np.inf), (-np.inf, 0.0)):
+            np.testing.assert_allclose(
+                np.asarray(_wrap_phase_window_jax(jnp.asarray(vals), lo, hi)),
+                _wrap_phase_window(vals, lo, hi),
+                atol=1e-5,
+            )
         # traced variant agrees with the host variant
         np.testing.assert_allclose(
             np.asarray(_wrap_phase_window_jax(jnp.asarray(vals), 0.0, 360.0)),

@@ -200,6 +200,25 @@ class TestAutophase:
         for v, (pristine, _) in enumerate(builds):
             assert real_corr(out.values[v], pristine.values) > 0.98
 
+    def test_mode_all_grid_roi_method(self):
+        """ROI methods (peak_minima) scan at full resolution under the
+        grid optimizer — decimation would shift/collapse the flank
+        windows."""
+        builds = [
+            build_spectrum(p0_true=p, seed=s) for p, s in [(-45.0, 1), (90.0, 2)]
+        ]
+        stacked = XmrArray(
+            np.stack([s.values for _, s in builds]),
+            dims=("voxel", DIMS.frequency),
+            coords={DIMS.frequency: builds[0][1].coords[DIMS.frequency].values},
+        )
+        out = xmt.autophase(
+            stacked, mode="all", method="peak_minima", peak_width=200.0,
+            p0_only=True, optimizer="grid",
+        )
+        for v, (pristine, _) in enumerate(builds):
+            assert real_corr(out.values[v], pristine.values) > 0.95
+
     def test_mode_all_rejects_scipy_optimizer(self):
         builds = [build_spectrum(p0_true=40.0, seed=1)]
         stacked = XmrArray(

@@ -192,6 +192,47 @@ class TestGScanSeed:
         np.testing.assert_allclose(x[:, g_slot], 0.5, atol=0.15)
 
 
+class TestGOnlySeed:
+    def test_fused_stages_g_without_ls_plan(self, tmp_path):
+        """A prior with every amplitude/phase fixed but free g still gets
+        the per-voxel scanned g seed in the FUSED path (the g scan must
+        not be gated behind a non-empty amplitude/phase plan)."""
+        from xmris_tpu.fitting.amares import g_seed_plan
+
+        csv = (
+            PK_CSV_FREE_G
+            .replace('amplitude,"(0, ","(0, "', "amplitude,fixed,fixed")
+            .replace('phase,"(-180, 180)","(-180, 180)"', "phase,fixed,fixed")
+        )
+        p = tmp_path / "pk.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        amp_slots, ls_plan = seed_plan(pk)
+        assert ls_plan == ()  # nothing for the LS amplitude/phase seed
+        g_plan = g_seed_plan(pk)
+        assert g_plan  # ... but g is free
+
+        fids, t = TestGScanSeed()._voigt_phantom(
+            n_voxels=4, n_points=512, noise=0.05
+        )
+        re = jnp.asarray(fids.real.copy())
+        im = jnp.asarray(fids.imag.copy())
+        # max_iter=0: the LM loop never runs, so x_free IS the seed (up to
+        # the f32 bound-transform round trip).
+        x_free, _, _, _ = seeded_fit_grid_raw(
+            re, im, jnp.asarray(t), jnp.asarray(pk.init_free, jnp.float32),
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind), pmap_static=hashable_pmap(pk.pmap),
+            mhz=120.0, amp_slots=amp_slots, ls_plan=ls_plan,
+            g_scan=(0.0, 0.25, 0.5, 0.75), g_plan=g_plan,
+            max_iter=0, interpret=True, uniform_t_ok=True,
+        )
+        x = np.asarray(x_free)
+        for slot, offset, lo, hi in g_plan:
+            # the scan (not the 0.1 template) seeds g: winner ~0.5
+            np.testing.assert_allclose(x[:, slot], 0.5, atol=0.26)
+
+
 class TestProcessGrid:
     def test_end_to_end_matches_stages(self, pk):
         """One fused dispatch == spectral pipeline + seeded fit run apart."""

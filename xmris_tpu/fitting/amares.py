@@ -188,10 +188,16 @@ def _wrap_phase_window(vals, lo, hi):
     principal branch falls outside the prior's window (e.g. bounds
     (0, 360) with the LS optimum at -90 == 270) would be CLIPPED at a
     bound edge ~360 degrees from the optimum instead of wrapped to its
-    periodic equivalent.  Unbounded phases keep the principal branch."""
+    periodic equivalent.  Half-bounded windows (e.g. ``"(0, "``) wrap to
+    the first period above/below the finite edge; unbounded phases keep
+    the principal branch."""
     if np.isfinite(lo) and np.isfinite(hi):
         c = 0.5 * (lo + hi)
         return c + np.mod(vals - c + 180.0, 360.0) - 180.0
+    if np.isfinite(lo):
+        return lo + np.mod(vals - lo, 360.0)
+    if np.isfinite(hi):
+        return hi - np.mod(hi - vals, 360.0)
     return vals
 
 
@@ -200,6 +206,10 @@ def _wrap_phase_window_jax(vals, lo: float, hi: float):
     if np.isfinite(lo) and np.isfinite(hi):
         c = 0.5 * (lo + hi)
         return c + jnp.mod(vals - c + 180.0, 360.0) - 180.0
+    if np.isfinite(lo):
+        return lo + jnp.mod(vals - lo, 360.0)
+    if np.isfinite(hi):
+        return hi - jnp.mod(hi - vals, 360.0)
     return vals
 
 
@@ -520,23 +530,28 @@ def seeded_fit_grid_raw(
         )
         x0 = x0.at[:, slots].multiply(factor[:, None])
 
-    if ls_plan:
-        if g_scan and g_plan:
-            # Free-g prior: per-voxel lineshape-mixing scan (see
-            # _linear_seed_scan_g); the winning candidate seeds g and the
-            # matching amplitudes/phases.
-            amp, ph, g_best, _ = _linear_seed_scan_g(
-                re, im, x_template, t, pmap_static, mhz, g_scan
+    # The g scan stages independently of the amplitude/phase plan — a
+    # prior with every amplitude/phase fixed or tied but a free g still
+    # gets its per-voxel scanned mixing fraction (mirrors the host
+    # seeder, which stages g whenever g_slots is non-empty).
+    amp = ph = None
+    if g_scan and g_plan:
+        # Free-g prior: per-voxel lineshape-mixing scan (see
+        # _linear_seed_scan_g); the winning candidate seeds g and the
+        # matching amplitudes/phases.
+        amp, ph, g_best, _ = _linear_seed_scan_g(
+            re, im, x_template, t, pmap_static, mhz, g_scan
+        )
+        for slot, offset, lo, hi in g_plan:
+            vals = _nudge_into_bounds_jax(g_best - offset, lo, hi)
+            x0 = x0.at[:, slot].set(
+                jnp.where(jnp.isfinite(vals), vals, x0[:, slot])
             )
-            for slot, offset, lo, hi in g_plan:
-                vals = _nudge_into_bounds_jax(g_best - offset, lo, hi)
-                x0 = x0.at[:, slot].set(
-                    jnp.where(jnp.isfinite(vals), vals, x0[:, slot])
-                )
-        else:
-            amp, ph = _linear_seed_solve(
-                re, im, x_template, t, pmap_static, mhz
-            )
+    elif ls_plan:
+        amp, ph = _linear_seed_solve(
+            re, im, x_template, t, pmap_static, mhz
+        )
+    if ls_plan and amp is not None:
         for slot, k, col, offset, lo, hi in ls_plan:
             vals = (amp[:, k] if col == 0 else ph[:, k]) - offset
             if col == 3:

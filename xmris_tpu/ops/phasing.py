@@ -401,10 +401,11 @@ def _grid_phase_search(
     [-180, 180)); ``p1`` is clipped to [-4000, 4000].
 
     The grid stage scores a ``grid_decimate``-strided copy of the spectra
-    (default: stride chosen so ~1024 points survive) — candidate RANKING
-    is stable under decimation while the cost drops by the stride; the
-    polish runs at full resolution, so the final optimum is evaluated on
-    the exact objective.
+    (default for ACME: stride chosen so ~512 points survive; the ROI
+    methods default to full resolution) — candidate RANKING is stable
+    under decimation while the cost drops by the stride; the polish runs
+    at full resolution, so the final optimum is evaluated on the exact
+    objective.
 
     Unlike the stochastic DE (whose vmapped ``while_loop`` runs lockstep
     until the LAST voxel's population converges), the cost here is static:
@@ -416,7 +417,13 @@ def _grid_phase_search(
     v = rows_re.shape[0]
     n_f = rows_re.shape[1]
     if grid_decimate is None:
-        grid_decimate = max(1, n_f // 512)
+        # ACME's entropy ranking is stable under decimation; the ROI
+        # methods (peak_minima / positivity) score a window of
+        # ``index_width`` bins around ``t_idx`` — striding would shift the
+        # window by up to ``stride-1`` bins and can collapse it to nothing,
+        # turning the candidate ranking into noise, so they scan at full
+        # resolution.
+        grid_decimate = max(1, n_f // 512) if method == "acme" else 1
 
     rows_re_d = rows_re[:, ::grid_decimate]
     rows_im_d = rows_im[:, ::grid_decimate]

@@ -145,43 +145,35 @@ def _autophase_all_raw(spec, freqs, cfg: PipelineConfig):
             jnp.real(spec), jnp.imag(spec), freqs, x_range, pivots, t_idx,
             1, "acme", cfg.p0_only,
         )
-        p0s = xs[:, 0]
-        p1s = xs[:, 1] if not cfg.p0_only else jnp.zeros_like(p0s)
-        real_dtype, _ = matching_dtypes(spec.dtype)
-        phi = (
-            jnp.deg2rad(p0s)[:, None]
-            + jnp.deg2rad(p1s)[:, None]
-            * ((freqs[None, :] - pivots[:, None]) / x_range)
-        ).astype(real_dtype)
-        factor = jnp.cos(phi) + 1j * jnp.sin(phi)
-        return spec * factor, p0s, p1s, pivots
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)
 
-    keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)
-
-    bounds = (
-        jnp.asarray([(-180.0, 180.0)])
-        if cfg.p0_only
-        else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
-    )
-
-    def solve_one(row, pivot, key):
-        def objective(ph):
-            p0 = ph[0]
-            p1 = ph[1] if not cfg.p0_only else jnp.asarray(0.0, ph.dtype)
-            return acme_score_raw(_phased_real(row, freqs, p0, p1, pivot, x_range))
-
-        res = differential_evolution(
-            objective,
-            bounds,
-            seed=key,
-            popsize=cfg.de_popsize,
-            maxiter=cfg.de_maxiter,
-            tol=0.01,
-            polish_iters=60,
+        bounds = (
+            jnp.asarray([(-180.0, 180.0)])
+            if cfg.p0_only
+            else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
         )
-        return res.x
 
-    xs = jax.vmap(solve_one)(spec, pivots, keys)
+        def solve_one(row, pivot, key):
+            def objective(ph):
+                p0 = ph[0]
+                p1 = ph[1] if not cfg.p0_only else jnp.asarray(0.0, ph.dtype)
+                return acme_score_raw(
+                    _phased_real(row, freqs, p0, p1, pivot, x_range)
+                )
+
+            res = differential_evolution(
+                objective,
+                bounds,
+                seed=key,
+                popsize=cfg.de_popsize,
+                maxiter=cfg.de_maxiter,
+                tol=0.01,
+                polish_iters=60,
+            )
+            return res.x
+
+        xs = jax.vmap(solve_one)(spec, pivots, keys)
     p0s = xs[:, 0]
     p1s = xs[:, 1] if not cfg.p0_only else jnp.zeros_like(p0s)
 

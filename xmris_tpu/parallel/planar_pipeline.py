@@ -88,44 +88,37 @@ def _autophase_all_planar(re, im, freqs, cfg: PipelineConfig):
         xs = _grid_phase_search(
             re, im, freqs, x_range, pivots, t_idx, 1, "acme", cfg.p0_only
         )
-        p0s = xs[:, 0]
-        p1s = xs[:, 1] if not cfg.p0_only else jnp.zeros_like(p0s)
-        phi = (
-            jnp.deg2rad(p0s)[:, None]
-            + jnp.deg2rad(p1s)[:, None]
-            * ((freqs[None, :] - pivots[:, None]) / x_range)
-        ).astype(re.dtype)
-        re, im = _apply_phase_planar(re, im, phi)
-        return re, im, p0s, p1s, pivots
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)
 
-    keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)
-
-    bounds = (
-        jnp.asarray([(-180.0, 180.0)])
-        if cfg.p0_only
-        else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
-    )
-
-    def solve_one(row_re, row_im, pivot, key):
-        def objective(ph):
-            p0 = ph[0]
-            p1 = ph[1] if not cfg.p0_only else jnp.asarray(0.0, ph.dtype)
-            return acme_score_raw(
-                _phased_real_planar(row_re, row_im, freqs, p0, p1, pivot, x_range)
-            )
-
-        res = differential_evolution(
-            objective,
-            bounds,
-            seed=key,
-            popsize=cfg.de_popsize,
-            maxiter=cfg.de_maxiter,
-            tol=0.01,
-            polish_iters=60,
+        bounds = (
+            jnp.asarray([(-180.0, 180.0)])
+            if cfg.p0_only
+            else jnp.asarray([(-180.0, 180.0), (-4000.0, 4000.0)])
         )
-        return res.x
 
-    xs = jax.vmap(solve_one)(re, im, pivots, keys)
+        def solve_one(row_re, row_im, pivot, key):
+            def objective(ph):
+                p0 = ph[0]
+                p1 = ph[1] if not cfg.p0_only else jnp.asarray(0.0, ph.dtype)
+                return acme_score_raw(
+                    _phased_real_planar(
+                        row_re, row_im, freqs, p0, p1, pivot, x_range
+                    )
+                )
+
+            res = differential_evolution(
+                objective,
+                bounds,
+                seed=key,
+                popsize=cfg.de_popsize,
+                maxiter=cfg.de_maxiter,
+                tol=0.01,
+                polish_iters=60,
+            )
+            return res.x
+
+        xs = jax.vmap(solve_one)(re, im, pivots, keys)
     p0s = xs[:, 0]
     p1s = xs[:, 1] if not cfg.p0_only else jnp.zeros_like(p0s)
 
