@@ -389,15 +389,17 @@ def _grid_phase_search(
     polish_iters: int = 40,
     cand_chunk: int = 4,
 ):
-    """Per-voxel phase search: coarse candidate grid + gradient polish.
+    """Per-voxel phase search: coarse candidate scan + gradient polish.
 
     A deterministic, TPU-friendly alternative to the per-voxel DE of
-    ``_autophase_all``: every candidate ``(p0, p1)`` of a global mesh is
-    scored for ALL voxels in one batched evaluation (sequential
-    ``lax.scan`` over candidates — no cross-candidate data dependence, so
-    each step is a single fused elementwise+reduction kernel), then the
-    per-voxel winner is refined by a vectorized backtracking gradient
-    descent with per-voxel step sizes.  ``p0`` is periodic (wrapped into
+    ``_autophase_all``: shared candidate values are scored for ALL voxels
+    in batched evaluations (sequential ``lax.scan`` over candidate chunks
+    — no cross-candidate data dependence, so each step is a single fused
+    elementwise+reduction kernel), then the per-voxel winner is refined
+    by a vectorized backtracking gradient descent with per-voxel step
+    sizes.  For ``p0 + p1`` the scan is a coordinate descent (marginal
+    p0, p1 given p0, one p0 refinement) rather than a full 2-D mesh —
+    see the inline rationale.  ``p0`` is periodic (wrapped into
     [-180, 180)); ``p1`` is clipped to [-4000, 4000].
 
     The grid stage scores a ``grid_decimate``-strided copy of the spectra
@@ -409,8 +411,8 @@ def _grid_phase_search(
 
     Unlike the stochastic DE (whose vmapped ``while_loop`` runs lockstep
     until the LAST voxel's population converges), the cost here is static:
-    ``n_p0 * (1 if p0_only else n_p1)`` decimated evaluations plus
-    ``polish_iters`` full ones.
+    ``n_p0`` (p0-only) or ``n_p0 + n_p1 + 7`` (p0 + p1) decimated
+    evaluations plus ``polish_iters`` full ones.
     """
     score = _SCORES[method]
     dtype = rows_re.dtype
@@ -431,51 +433,78 @@ def _grid_phase_search(
     t_idx_d = t_idx // grid_decimate
     iw_d = max(1, index_width // grid_decimate)
 
+    def scan_axis(values, p0_base, p1_base, axis):
+        """Scan scalar candidate offsets along one parameter axis.
+
+        Evaluates ``p0 = p0_base + c`` (axis 0) or ``p1 = p1_base + c``
+        (axis 1) for every candidate ``c`` in ``values``, holding the
+        other axis at its per-voxel base — shared by the marginal-p0,
+        p1-given-p0, and p0-refinement stages.  Candidates are chunked so
+        each ``lax.scan`` step scores ``cand_chunk`` of them in one fused
+        batch (amortizes per-step loop overhead at small decimated
+        widths).  Returns the per-voxel winning absolute value.
+        """
+        n_c = values.shape[0]
+        pad = (-n_c) % cand_chunk
+        if pad:
+            values = jnp.concatenate([values, jnp.tile(values[-1:], (pad,))])
+        chunks = values.reshape(-1, cand_chunk)
+
+        def eval_c(cval):
+            p0v = p0_base + cval if axis == 0 else p0_base
+            p1v = p1_base + cval if axis == 1 else p1_base
+
+            def one(p0_, p1_, row_re, row_im, pivot, ti_):
+                d = _phased_real_planar(
+                    row_re, row_im, coords_d, p0_, p1_, pivot, x_range
+                )
+                return score(d, ti_, iw_d)
+
+            return jax.vmap(one)(
+                jnp.broadcast_to(p0v, (v,)), jnp.broadcast_to(p1v, (v,)),
+                rows_re_d, rows_im_d, pivots, t_idx_d,
+            )
+
+        def body(carry, chunk):  # chunk: (C,)
+            best_e, best_v = carry
+            e = jax.vmap(eval_c)(chunk)  # (C, v)
+            i = jnp.argmin(e, axis=0)
+            e_min = jnp.take_along_axis(e, i[None, :], axis=0)[0]
+            base = p0_base if axis == 0 else p1_base
+            v_min = base + chunk[i]
+            better = e_min < best_e
+            return (
+                jnp.where(better, e_min, best_e),
+                jnp.where(better, v_min, best_v),
+            ), None
+
+        init = (jnp.full((v,), jnp.inf, dtype), jnp.zeros((v,), dtype))
+        (_, best_v), _ = jax.lax.scan(body, init, chunks)
+        return best_v
+
+    zero_v = jnp.zeros((v,), dtype)
     p0_c = jnp.linspace(-180.0, 180.0, n_p0, endpoint=False, dtype=dtype)
     if p0_only:
-        cands = jnp.stack([p0_c, jnp.zeros_like(p0_c)], axis=1)
+        best_p0 = scan_axis(p0_c, zero_v, zero_v, 0)
+        best_p = jnp.stack([best_p0, zero_v], axis=1)
     else:
+        # Coordinate-descent staging instead of the full n_p0*n_p1 mesh
+        # (~4x fewer evaluations): the pivot sits at each voxel's dominant
+        # peak, where the p1 ramp vanishes — so the marginal-p0 scan (p1 =
+        # 0) already ranks p0 by the dominant peak's phase; p1 then scans
+        # against that per-voxel p0, and one p0 refinement pass absorbs
+        # the p0/p1 cross-talk before the joint polish.  Achieved-score
+        # parity vs the per-voxel DE is measured on-chip
+        # (results/tpu_r5.jsonl apgrid/agree).
+        p0_a = scan_axis(p0_c, zero_v, zero_v, 0)
         p1_c = jnp.linspace(-4000.0, 4000.0, n_p1, dtype=dtype)
-        g0, g1 = jnp.meshgrid(p0_c, p1_c, indexing="ij")
-        cands = jnp.stack([g0.ravel(), g1.ravel()], axis=1)
-
-    def eval_candidate(p0, p1, re_, im_, crd, ti, iw):
-        def one(row_re, row_im, pivot, ti_):
-            d = _phased_real_planar(row_re, row_im, crd, p0, p1, pivot,
-                                    x_range)
-            return score(d, ti_, iw)
-
-        return jax.vmap(one)(re_, im_, pivots, ti)
-
-    # Chunk candidates so each scan step evaluates ``cand_chunk`` mesh
-    # points in one fused batch — amortizes the per-step loop overhead and
-    # keeps the VPU fed at small decimated widths.
-    n_c = cands.shape[0]
-    pad = (-n_c) % cand_chunk
-    if pad:
-        cands = jnp.concatenate([cands, jnp.tile(cands[-1:], (pad, 1))], 0)
-    cands = cands.reshape(-1, cand_chunk, 2)
-
-    def scan_body(carry, chunk):  # chunk: (C, 2)
-        best_e, best_p = carry
-        e = jax.vmap(
-            lambda c: eval_candidate(
-                c[0], c[1], rows_re_d, rows_im_d, coords_d, t_idx_d, iw_d
-            )
-        )(chunk)  # (C, v)
-        i = jnp.argmin(e, axis=0)  # (v,)
-        e_min = jnp.take_along_axis(e, i[None, :], axis=0)[0]
-        p_min = chunk[i]  # (v, 2)
-        better = e_min < best_e
-        best_e = jnp.where(better, e_min, best_e)
-        best_p = jnp.where(better[:, None], p_min, best_p)
-        return (best_e, best_p), None
-
-    init = (
-        jnp.full((v,), jnp.inf, dtype),
-        jnp.zeros((v, 2), dtype),
-    )
-    (_, best_p), _ = jax.lax.scan(scan_body, init, cands)
+        p1_b = scan_axis(p1_c, p0_a, zero_v, 1)
+        step = 360.0 / n_p0
+        dp0 = jnp.linspace(
+            -1.5 * step, 1.5 * step, 7, dtype=dtype
+        )
+        p0_r = scan_axis(dp0, p0_a, p1_b, 0)
+        best_p = jnp.stack([p0_r, p1_b], axis=1)
 
     # ---- full-resolution vectorized polish ----
     # Unit-space scaling so one learning rate serves both parameters; the
