@@ -506,69 +506,85 @@ def _grid_phase_search(
         p0_r = scan_axis(dp0, p0_a, p1_b, 0)
         best_p = jnp.stack([p0_r, p1_b], axis=1)
 
-    # ---- full-resolution vectorized polish ----
-    # Unit-space scaling so one learning rate serves both parameters; the
-    # best grid energy is re-evaluated at FULL resolution first (the
-    # carried decimated energy is not comparable to full-res trials).
+    # ---- two-phase vectorized polish ----
+    # Unit-space scaling so one learning rate serves both parameters.
+    # Most iterations run on the decimated spectra (the landscape's shape
+    # is preserved under striding for ACME; ROI methods have stride 1);
+    # the final phase runs at full resolution so the returned optimum is
+    # evaluated on the exact objective.
     span = jnp.asarray([360.0, 8000.0], dtype)
-
-    def batch_obj(p):  # p: (v, 2) -> (v,)
-        def one(pv, row_re, row_im, pivot, ti_):
-            p1 = jnp.asarray(0.0, dtype) if p0_only else pv[1]
-            d = _phased_real_planar(
-                row_re, row_im, coords_j, pv[0], p1, pivot, x_range
-            )
-            return score(d, ti_, index_width)
-
-        return jax.vmap(one)(p, rows_re, rows_im, pivots, t_idx)
-
-    grad_obj = jax.vmap(
-        jax.grad(
-            lambda pv, row_re, row_im, pivot, ti_: (
-                lambda p1: score(
-                    _phased_real_planar(
-                        row_re, row_im, coords_j, pv[0], p1, pivot, x_range
-                    ),
-                    ti_,
-                    index_width,
-                )
-            )(jnp.asarray(0.0, dtype) if p0_only else pv[1])
-        )
-    )
 
     def wrap_params(p):
         p0 = jnp.mod(p[:, 0] + 180.0, 360.0) - 180.0
         p1 = jnp.clip(p[:, 1], -4000.0, 4000.0)
         return jnp.stack([p0, p1], axis=1)
 
-    def polish_body(_, carry):
-        p, f, lr = carry
-        g = grad_obj(p, rows_re, rows_im, pivots, t_idx) * span[None, :]
-        # Guard non-finite gradients (inf-scored degenerate candidates):
-        # a zero step simply halves the rate and retries.
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
-        p_new = wrap_params(p - (lr[:, None] * g) * span[None, :])
-        f_new = batch_obj(p_new)
-        better = f_new < f
-        return (
-            jnp.where(better[:, None], p_new, p),
-            jnp.where(better, f_new, f),
-            jnp.where(better, lr * 1.2, lr * 0.5),
+    def polish(best_p, re_, im_, crd, ti, iw, iters):
+        def batch_obj(p):  # p: (v, 2) -> (v,)
+            def one(pv, row_re, row_im, pivot, ti_):
+                p1 = jnp.asarray(0.0, dtype) if p0_only else pv[1]
+                d = _phased_real_planar(
+                    row_re, row_im, crd, pv[0], p1, pivot, x_range
+                )
+                return score(d, ti_, iw)
+
+            return jax.vmap(one)(p, re_, im_, pivots, ti)
+
+        grad_obj = jax.vmap(
+            jax.grad(
+                lambda pv, row_re, row_im, pivot, ti_: (
+                    lambda p1: score(
+                        _phased_real_planar(
+                            row_re, row_im, crd, pv[0], p1, pivot, x_range
+                        ),
+                        ti_,
+                        iw,
+                    )
+                )(jnp.asarray(0.0, dtype) if p0_only else pv[1])
+            )
         )
 
-    f0 = batch_obj(best_p)
-    # Normalize the initial per-voxel rate so the FIRST trial step spans
-    # about half a mesh cell (the winner is within half a cell of the true
-    # basin): a fixed rate would burn ~20 growth iterations warming up on
-    # flat objectives before making progress.
-    g0 = grad_obj(best_p, rows_re, rows_im, pivots, t_idx) * span[None, :]
-    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-    half_cell = 0.5 / max(n_p0, 2)  # unit-space half mesh spacing
-    gmax = jnp.max(jnp.abs(g0), axis=1)
-    lr0 = half_cell / jnp.maximum(gmax, jnp.finfo(dtype).tiny)
-    lr0 = jnp.where(gmax > 0, lr0, 1e-2)
-    best_p, _, _ = jax.lax.fori_loop(
-        0, polish_iters, polish_body, (best_p, f0, lr0)
+        def polish_body(_, carry):
+            p, f, lr = carry
+            g = grad_obj(p, re_, im_, pivots, ti) * span[None, :]
+            # Guard non-finite gradients (inf-scored degenerate
+            # candidates): a zero step simply halves the rate and retries.
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            p_new = wrap_params(p - (lr[:, None] * g) * span[None, :])
+            f_new = batch_obj(p_new)
+            better = f_new < f
+            return (
+                jnp.where(better[:, None], p_new, p),
+                jnp.where(better, f_new, f),
+                jnp.where(better, lr * 1.2, lr * 0.5),
+            )
+
+        f0 = batch_obj(best_p)
+        # Normalize the initial per-voxel rate so the FIRST trial step
+        # spans about half a mesh cell (the winner is within half a cell
+        # of the true basin): a fixed rate would burn ~20 growth
+        # iterations warming up on flat objectives before making progress.
+        g0 = grad_obj(best_p, re_, im_, pivots, ti) * span[None, :]
+        g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+        half_cell = 0.5 / max(n_p0, 2)  # unit-space half mesh spacing
+        gmax = jnp.max(jnp.abs(g0), axis=1)
+        lr0 = half_cell / jnp.maximum(gmax, jnp.finfo(dtype).tiny)
+        lr0 = jnp.where(gmax > 0, lr0, 1e-2)
+        best_p, _, _ = jax.lax.fori_loop(
+            0, iters, polish_body, (best_p, f0, lr0)
+        )
+        return best_p
+
+    fine_iters = max(polish_iters // 3, 8)
+    if grid_decimate > 1:
+        best_p = polish(
+            best_p, rows_re_d, rows_im_d, coords_d, t_idx_d, iw_d,
+            polish_iters - fine_iters,
+        )
+    else:
+        fine_iters = polish_iters
+    best_p = polish(
+        best_p, rows_re, rows_im, coords_j, t_idx, index_width, fine_iters
     )
     return best_p
 
