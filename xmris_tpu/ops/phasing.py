@@ -575,7 +575,12 @@ def _grid_phase_search(
         )
         return best_p
 
-    fine_iters = max(polish_iters // 3, 8)
+    # The 2-parameter search needs more exact-objective steps: the
+    # decimated optimum sits measurably off in the (p0, p1) plane (the
+    # stride coarsens the derivative entropy along p1), and a third of
+    # the budget left ~26 % of voxels slightly below the DE score
+    # (results/tpu_r5.jsonl); half restores parity.
+    fine_iters = max(polish_iters // (3 if p0_only else 2), 8)
     if grid_decimate > 1:
         best_p = polish(
             best_p, rows_re_d, rows_im_d, coords_d, t_idx_d, iw_d,
