@@ -575,13 +575,16 @@ def _grid_phase_search(
         )
         return best_p
 
-    # The 2-parameter search needs more exact-objective steps: the
-    # decimated optimum sits measurably off in the (p0, p1) plane (the
-    # stride coarsens the derivative entropy along p1), and a third of
-    # the budget left ~26 % of voxels slightly below the DE score
-    # (results/tpu_r5.jsonl); half restores parity.
-    fine_iters = max(polish_iters // (3 if p0_only else 2), 8)
-    if grid_decimate > 1:
+    # Two-phase polish is QUALITY-NEUTRAL only for the 1-D p0 search
+    # (measured 99.99 % of voxels at-or-below the DE score,
+    # results/tpu_r5.jsonl).  For p0 + p1 the decimated phase walks to a
+    # decimated optimum whose (p0, p1) basin measurably disagrees — the
+    # stride coarsens the derivative entropy along p1 — and the local
+    # full-res phase cannot recover (~25 % of voxels landed slightly
+    # above the DE score regardless of the split), so the 2-D search
+    # polishes entirely on the exact objective.
+    if p0_only and grid_decimate > 1:
+        fine_iters = max(polish_iters // 3, 8)
         best_p = polish(
             best_p, rows_re_d, rows_im_d, coords_d, t_idx_d, iw_d,
             polish_iters - fine_iters,
