@@ -25,6 +25,22 @@ jax.config.update("jax_platforms", "cpu")
 # against NumPy float64 oracles. TPU runs stay in complex64 (bench path).
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: repeat suite runs skip recompiling the
+# heavyweight programs (the sharded pipelines in particular), which both
+# cuts wall time on slow hosts and sidesteps a rare XLA-CPU compiler
+# segfault observed only after a long in-process compile history (the
+# same program compiles fine in isolation; with the cache warm the
+# crashing compile never happens again).
+for _k, _v in (
+    ("jax_compilation_cache_dir", "/tmp/jax_xmt_test_cache"),
+    ("jax_persistent_cache_min_entry_size_bytes", -1),
+    ("jax_persistent_cache_min_compile_time_secs", 0.5),
+):
+    try:
+        jax.config.update(_k, _v)
+    except Exception:  # pragma: no cover — older jax without the option
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
