@@ -1566,25 +1566,33 @@ def _v9_row_degrees(ptype: int, g_fixed_zero: bool) -> tuple[int, ...]:
     return (1, 2)  # ptype == 4 (g)
 
 
-def _normal_eq_kernel_v9(
-    mask_ref,  # (n_tiles,) SMEM
-    params_ref,  # (1, K*5, V) VMEM
-    yre_ref,  # (V, n_t) VMEM
-    yim_ref,  # (V, n_t) VMEM
-    t_ref,  # (1, n_t) VMEM
-    *rest,  # [dxdu_ref (1, F, V) if fold] + [cprev_ref (1, 1, V) if gated]
-    #         + [h_ref, g_ref, cost_ref]
+def _v9_tile_eval(
+    read_param,  # j -> (v_tile, 1) float32 physical-parameter column
+    yre,  # (v_tile, n_t) value
+    yim,  # (v_tile, n_t) value
+    t_ref,  # (1, n_t) VMEM ref (scalar reads feed the factored basis)
+    dxdu_row,  # f -> (v_tile,) lane-major bound-transform diagonal (fold)
+    store_h,  # (f, h2, value) -> None; value is (v_tile,) lane-major
+    store_g,  # (f, value) -> None
+    *,
     n_peaks: int,
     mhz: float,
     v_tile: int,
     a_pad: int,
     active: tuple[int, ...],
     g_zero: tuple[bool, ...],
-    gated: bool,
     factored_t: bool,
     fold: tuple | None,  # (slots, scales, n_free): emit FREE-space H/g
 ):
-    """v8's moment-based (cost, g, H) generalized to ANY Eq.6 prior.
+    """The v9 moment-based evaluation for ONE voxel tile, I/O-agnostic.
+
+    Shared between :func:`_normal_eq_kernel_v9` (one launch per LM
+    iteration; reads params from a VMEM block, writes flat H/g rows) and
+    the v10 whole-loop kernel (params computed in-registers from the
+    internal LM state; H/g written into column-slab scratch for the
+    in-kernel solve).  Returns ``(cost, moments_fn)`` — the caller invokes
+    ``moments_fn()`` to run the H/g work (possibly under a ``pl.when``
+    accept gate).
 
     Every Jacobian row is ``(z_0 + z_1 t + z_2 t^2) * B_k`` with per-voxel
     complex coefficients (see :func:`_v9_row_degrees`), so the Gram matrix
@@ -1594,28 +1602,14 @@ def _normal_eq_kernel_v9(
     free-g priors add the t^3/t^4 moments instead of falling back to the
     Jacobian-materializing v6 path.
 
-    Accept gating (``gated=True``): the model + cost always evaluate, but
-    the moment/H/g work — the bulk of the kernel — runs only when at least
-    one voxel of the tile improves on ``cprev_ref`` (its previous accepted
-    cost).  In the LM driver rejected trials only ever consume the trial
-    cost, so tiles that reject skip ~3/4 of the kernel.  Measured on v5e
-    at bench conditions (template-seeded, 2-3 accepted steps) the dynamic
-    ``pl.when`` costs MORE than the skipped moments save (37.4 vs 33.2 ms
-    fit+CRLB), so the driver defaults to the ungated variant, where the
-    conditional (and the cprev input) is compiled out entirely.
-
     Free-space fold (``fold=(slots, scales, n_free)``): the scatter-matrix
     fold and the bound-transform diagonal — which the LM driver otherwise
     applies as per-iteration batched einsums over HBM — collapse into the
     per-slot coefficient scalars: row ``r``'s terms are scaled by
-    ``scales[r] * dxdu[:, slots[r]]`` and rows sharing a free slot (tied
-    parameters) merge, so ``h_ref``/``g_ref`` hold the FREE-parameter
-    (B, F, F)/(B, F) system directly.
+    ``scales[r] * dxdu_row(slots[r])`` and rows sharing a free slot (tied
+    parameters) merge, so the stores receive the FREE-parameter system
+    directly.
     """
-    rest = list(rest)
-    dxdu_ref = rest.pop(0) if fold is not None else None
-    cprev_ref = rest.pop(0) if gated else None
-    h_ref, g_ref, cost_ref = rest
     t = t_ref[0, :].reshape(1, -1)  # (1, n_t)
     n_t = t.shape[1]
     f32 = jnp.float32
@@ -1637,203 +1631,264 @@ def _normal_eq_kernel_v9(
                     qs.add(d + e)
     q_max = max((max(qs) for qs in need_m.values()), default=2)
 
+    # t powers up to the statically needed maximum
+    tp = [jnp.ones((1, n_t), f32), t]
+    for _ in range(2, q_max + 1):
+        tp.append(tp[-1] * t)
+
+    # Basis per peak + model + cost (always computed).  With
+    # ``factored_t`` (uniform t, n_t % 128 == 0) the basis factors over
+    # 128-sample blocks exactly as in v7 — v9 has NO MXU work to
+    # overlap the transcendentals with, so the ~7.5x fewer exp/cos/sin
+    # lanes convert directly into kernel time.
+    if factored_t:
+        n_q = n_t // 128
+        t_r = t[:, :128]  # (1, 128) first-block times
+        t0 = t_ref[0, 0]
+        t_qs = [t_ref[0, q * 128] - t0 for q in range(n_q)]
+
+    b_res, b_ims, amps, lws, gs = [], [], [], [], []
+    m_re = jnp.zeros((v_tile, n_t), f32)
+    m_im = jnp.zeros((v_tile, n_t), f32)
+    for k in range(n_peaks):
+        amp = read_param(k * 5 + 0)
+        cs = read_param(k * 5 + 1)
+        lw = read_param(k * 5 + 2)
+        ph = read_param(k * 5 + 3)
+        gv = read_param(k * 5 + 4)
+
+        d_ = jnp.pi * lw
+        w_ = (2.0 * jnp.pi * mhz) * cs
+        if factored_t and g_zero[k]:
+            # Lorentzian: rank-1 block factorization of the FULL basis
+            ang_r = w_ * t_r + ph * deg
+            er = jnp.exp(-d_ * t_r)
+            gr_re = er * jnp.cos(ang_r)
+            gr_im = er * jnp.sin(ang_r)
+            blocks_re, blocks_im = [], []
+            for q in range(n_q):
+                tq = t_qs[q]
+                fq = amp * jnp.exp(-d_ * tq)  # (V, 1)
+                ang_q = w_ * tq
+                fq_re = fq * jnp.cos(ang_q)
+                fq_im = fq * jnp.sin(ang_q)
+                blocks_re.append(fq_re * gr_re - fq_im * gr_im)
+                blocks_im.append(fq_re * gr_im + fq_im * gr_re)
+            b_re = jnp.concatenate(blocks_re, axis=1)
+            b_im = jnp.concatenate(blocks_im, axis=1)
+        elif factored_t:
+            # Voigt: classic envelope, factored angle
+            env = amp * jnp.exp(-d_ * (1.0 - gv + gv * t) * t)
+            ang_r = w_ * t_r + ph * deg
+            cr_ = jnp.cos(ang_r)
+            sr_ = jnp.sin(ang_r)
+            blocks_re, blocks_im = [], []
+            for q in range(n_q):
+                ang_q = w_ * t_qs[q]
+                cq = jnp.cos(ang_q)
+                sq = jnp.sin(ang_q)
+                blocks_re.append(cq * cr_ - sq * sr_)
+                blocks_im.append(cq * sr_ + sq * cr_)
+            b_re = env * jnp.concatenate(blocks_re, axis=1)
+            b_im = env * jnp.concatenate(blocks_im, axis=1)
+        else:
+            if g_zero[k]:
+                env = amp * jnp.exp((-jnp.pi) * lw * t)
+            else:
+                env = amp * jnp.exp(
+                    (-jnp.pi) * lw * (1.0 - gv + gv * t) * t
+                )
+            ang = (2.0 * jnp.pi * mhz) * cs * t + ph * deg
+            b_re = env * jnp.cos(ang)
+            b_im = env * jnp.sin(ang)
+        b_res.append(b_re)
+        b_ims.append(b_im)
+        amps.append(amp)
+        lws.append(lw)
+        gs.append(gv)
+        m_re = m_re + b_re
+        m_im = m_im + b_im
+
+    r_re = yre - m_re
+    r_im = yim - m_im
+    cost = jnp.sum(r_re * r_re + r_im * r_im, axis=1)
+
+    def _moments():
+        # Residual moments N_q[k] = sum_t t^q conj(B_k) r
+        n_mom = {}
+        for k, qs in need_n.items():
+            pr = b_res[k] * r_re + b_ims[k] * r_im
+            pi_ = b_res[k] * r_im - b_ims[k] * r_re
+            for q in sorted(qs):
+                n_mom[(k, q)] = (
+                    jnp.sum(tp[q] * pr, axis=1),
+                    jnp.sum(tp[q] * pi_, axis=1),
+                )
+
+        # Pair moments M_q[k, k'] = sum_t t^q B_k conj(B_k'), k <= k'
+        m_mom = {}
+        for (k, kp), qs in need_m.items():
+            cr = b_res[k] * b_res[kp] + b_ims[k] * b_ims[kp]
+            ci = b_ims[k] * b_res[kp] - b_res[k] * b_ims[kp]
+            for q in sorted(qs):
+                m_mom[(k, kp, q)] = (
+                    jnp.sum(tp[q] * cr, axis=1),
+                    jnp.sum(tp[q] * ci, axis=1),
+                )
+
+        # Per-row coefficient term lists [(alpha, beta, degree), ...]
+        w_cs = 2.0 * jnp.pi * mhz
+        zero = jnp.zeros((v_tile,), f32)
+        one = jnp.ones((v_tile,), f32)
+
+        def coeff_terms(k, ptype):
+            if ptype == 0:  # amplitude
+                a_ = amps[k].reshape(v_tile)
+                safe = jnp.where(a_ == 0, 1.0, a_)
+                return [(one / safe, zero, 0)]
+            if ptype == 1:  # chemical shift
+                return [(zero, w_cs * one, 1)]
+            if ptype == 2:  # linewidth
+                if g_zero[k]:
+                    return [(-jnp.pi * one, zero, 1)]
+                gv = gs[k].reshape(v_tile)
+                return [
+                    (-jnp.pi * (1.0 - gv), zero, 1),
+                    (-jnp.pi * gv, zero, 2),
+                ]
+            if ptype == 3:  # phase
+                return [(zero, deg * one, 0)]
+            d_ = jnp.pi * lws[k].reshape(v_tile)  # g row
+            return [(d_, zero, 1), (-d_, zero, 2)]
+
+        terms = [coeff_terms(k, p) for (k, p) in rows]
+
+        # Group rows into output entries: physical rows map 1:1 when
+        # not folding; with ``fold``, rows merge into their free slots
+        # with the scatter scale and the bound-transform diagonal
+        # folded into the coefficients.
+        if fold is None:
+            entries = [
+                [(k, tlist)] for (k, _), tlist in zip(rows, terms)
+            ]
+        else:
+            slots, scales, n_free = fold
+            entries = [[] for _ in range(n_free)]
+            for r, ((k, _), tlist) in enumerate(zip(rows, terms)):
+                m = dxdu_row(slots[r]) * scales[r]  # (V,)
+                entries[slots[r]].append(
+                    (k, [(al * m, be * m, d) for al, be, d in tlist])
+                )
+        n_out = len(entries)
+
+        # Gradient: g_f = sum_{rows in f} sum_d Re(conj(z_d) N_d[k])
+        for f_, elist in enumerate(entries):
+            acc = zero
+            for k, tlist in elist:
+                for al, be, d in tlist:
+                    nr, ni = n_mom[(k, d)]
+                    acc = acc + al * nr + be * ni
+            store_g(f_, acc)
+        for f_ in range(n_out, a_pad):
+            store_g(f_, zero)
+
+        # Hessian: H[f,h] = sum over the entries' row pairs of
+        # sum_{d,e} Re(z_{d} conj(z_{e}) M_{d+e}[k_r, k_s])
+        for f_, el_f in enumerate(entries):
+            for h2, el_h in enumerate(entries):
+                if h2 < f_:
+                    continue
+                acc = zero
+                for kr, tr_ in el_f:
+                    for ks, ts_ in el_h:
+                        for ar, br, d in tr_:
+                            for as_, bs, e in ts_:
+                                q = d + e
+                                if kr <= ks:
+                                    mr, mi = m_mom[(kr, ks, q)]
+                                else:
+                                    mr, mi = m_mom[(ks, kr, q)]
+                                    mi = -mi
+                                acc = acc + (
+                                    (ar * as_ + br * bs) * mr
+                                    - (br * as_ - ar * bs) * mi
+                                )
+                store_h(f_, h2, acc)
+                if h2 != f_:
+                    store_h(h2, f_, acc)
+        for f_ in range(n_out, a_pad):
+            for s_ in range(a_pad):
+                store_h(f_, s_, zero)
+                store_h(s_, f_, zero)
+
+    return cost, _moments
+
+
+def _normal_eq_kernel_v9(
+    mask_ref,  # (n_tiles,) SMEM
+    params_ref,  # (1, K*5, V) VMEM
+    yre_ref,  # (V, n_t) VMEM
+    yim_ref,  # (V, n_t) VMEM
+    t_ref,  # (1, n_t) VMEM
+    *rest,  # [dxdu_ref (1, F, V) if fold] + [cprev_ref (1, 1, V) if gated]
+    #         + [h_ref, g_ref, cost_ref]
+    n_peaks: int,
+    mhz: float,
+    v_tile: int,
+    a_pad: int,
+    active: tuple[int, ...],
+    g_zero: tuple[bool, ...],
+    gated: bool,
+    factored_t: bool,
+    fold: tuple | None,  # (slots, scales, n_free): emit FREE-space H/g
+):
+    """One-launch-per-LM-iteration wrapper over :func:`_v9_tile_eval`.
+
+    Accept gating (``gated=True``): the model + cost always evaluate, but
+    the moment/H/g work — the bulk of the kernel — runs only when at least
+    one voxel of the tile improves on ``cprev_ref`` (its previous accepted
+    cost).  In the LM driver rejected trials only ever consume the trial
+    cost, so tiles that reject skip ~3/4 of the kernel.  Measured on v5e
+    at bench conditions (template-seeded, 2-3 accepted steps) the dynamic
+    ``pl.when`` costs MORE than the skipped moments save (37.4 vs 33.2 ms
+    fit+CRLB), so the driver defaults to the ungated variant, where the
+    conditional (and the cprev input) is compiled out entirely.
+    """
+    rest = list(rest)
+    dxdu_ref = rest.pop(0) if fold is not None else None
+    cprev_ref = rest.pop(0) if gated else None
+    h_ref, g_ref, cost_ref = rest
+
+    def _store_h(f_, h2, v):
+        h_ref[0, f_ * a_pad + h2, :] = v
+
+    def _store_g(f_, v):
+        g_ref[0, f_, :] = v
+
     @pl.when(mask_ref[pl.program_id(0)] != 0)
     def _body():
-        # t powers up to the statically needed maximum
-        tp = [jnp.ones((1, n_t), f32), t]
-        for _ in range(2, q_max + 1):
-            tp.append(tp[-1] * t)
-
-        # Basis per peak + model + cost (always computed).  With
-        # ``factored_t`` (uniform t, n_t % 128 == 0) the basis factors over
-        # 128-sample blocks exactly as in v7 — v9 has NO MXU work to
-        # overlap the transcendentals with, so the ~7.5x fewer exp/cos/sin
-        # lanes convert directly into kernel time.
-        if factored_t:
-            n_q = n_t // 128
-            t_r = t[:, :128]  # (1, 128) first-block times
-            t0 = t_ref[0, 0]
-            t_qs = [t_ref[0, q * 128] - t0 for q in range(n_q)]
-
-        b_res, b_ims, amps, lws, gs = [], [], [], [], []
-        m_re = jnp.zeros((v_tile, n_t), f32)
-        m_im = jnp.zeros((v_tile, n_t), f32)
-        for k in range(n_peaks):
-            amp = params_ref[0, k * 5 + 0, :].reshape(v_tile, 1)
-            cs = params_ref[0, k * 5 + 1, :].reshape(v_tile, 1)
-            lw = params_ref[0, k * 5 + 2, :].reshape(v_tile, 1)
-            ph = params_ref[0, k * 5 + 3, :].reshape(v_tile, 1)
-            gv = params_ref[0, k * 5 + 4, :].reshape(v_tile, 1)
-
-            d_ = jnp.pi * lw
-            w_ = (2.0 * jnp.pi * mhz) * cs
-            if factored_t and g_zero[k]:
-                # Lorentzian: rank-1 block factorization of the FULL basis
-                ang_r = w_ * t_r + ph * deg
-                er = jnp.exp(-d_ * t_r)
-                gr_re = er * jnp.cos(ang_r)
-                gr_im = er * jnp.sin(ang_r)
-                blocks_re, blocks_im = [], []
-                for q in range(n_q):
-                    tq = t_qs[q]
-                    fq = amp * jnp.exp(-d_ * tq)  # (V, 1)
-                    ang_q = w_ * tq
-                    fq_re = fq * jnp.cos(ang_q)
-                    fq_im = fq * jnp.sin(ang_q)
-                    blocks_re.append(fq_re * gr_re - fq_im * gr_im)
-                    blocks_im.append(fq_re * gr_im + fq_im * gr_re)
-                b_re = jnp.concatenate(blocks_re, axis=1)
-                b_im = jnp.concatenate(blocks_im, axis=1)
-            elif factored_t:
-                # Voigt: classic envelope, factored angle
-                env = amp * jnp.exp(-d_ * (1.0 - gv + gv * t) * t)
-                ang_r = w_ * t_r + ph * deg
-                cr_ = jnp.cos(ang_r)
-                sr_ = jnp.sin(ang_r)
-                blocks_re, blocks_im = [], []
-                for q in range(n_q):
-                    ang_q = w_ * t_qs[q]
-                    cq = jnp.cos(ang_q)
-                    sq = jnp.sin(ang_q)
-                    blocks_re.append(cq * cr_ - sq * sr_)
-                    blocks_im.append(cq * sr_ + sq * cr_)
-                b_re = env * jnp.concatenate(blocks_re, axis=1)
-                b_im = env * jnp.concatenate(blocks_im, axis=1)
-            else:
-                if g_zero[k]:
-                    env = amp * jnp.exp((-jnp.pi) * lw * t)
-                else:
-                    env = amp * jnp.exp(
-                        (-jnp.pi) * lw * (1.0 - gv + gv * t) * t
-                    )
-                ang = (2.0 * jnp.pi * mhz) * cs * t + ph * deg
-                b_re = env * jnp.cos(ang)
-                b_im = env * jnp.sin(ang)
-            b_res.append(b_re)
-            b_ims.append(b_im)
-            amps.append(amp)
-            lws.append(lw)
-            gs.append(gv)
-            m_re = m_re + b_re
-            m_im = m_im + b_im
-
-        r_re = yre_ref[:, :] - m_re
-        r_im = yim_ref[:, :] - m_im
-        cost = jnp.sum(r_re * r_re + r_im * r_im, axis=1)
+        cost, moments_fn = _v9_tile_eval(
+            lambda j: params_ref[0, j, :].reshape(v_tile, 1),
+            yre_ref[:, :],
+            yim_ref[:, :],
+            t_ref,
+            (lambda f: dxdu_ref[0, f, :]) if fold is not None else None,
+            _store_h,
+            _store_g,
+            n_peaks=n_peaks,
+            mhz=mhz,
+            v_tile=v_tile,
+            a_pad=a_pad,
+            active=active,
+            g_zero=g_zero,
+            factored_t=factored_t,
+            fold=fold,
+        )
         cost_ref[0, 0, :] = cost
-
-        def _moments():
-            # Residual moments N_q[k] = sum_t t^q conj(B_k) r
-            n_mom = {}
-            for k, qs in need_n.items():
-                pr = b_res[k] * r_re + b_ims[k] * r_im
-                pi_ = b_res[k] * r_im - b_ims[k] * r_re
-                for q in sorted(qs):
-                    n_mom[(k, q)] = (
-                        jnp.sum(tp[q] * pr, axis=1),
-                        jnp.sum(tp[q] * pi_, axis=1),
-                    )
-
-            # Pair moments M_q[k, k'] = sum_t t^q B_k conj(B_k'), k <= k'
-            m_mom = {}
-            for (k, kp), qs in need_m.items():
-                cr = b_res[k] * b_res[kp] + b_ims[k] * b_ims[kp]
-                ci = b_ims[k] * b_res[kp] - b_res[k] * b_ims[kp]
-                for q in sorted(qs):
-                    m_mom[(k, kp, q)] = (
-                        jnp.sum(tp[q] * cr, axis=1),
-                        jnp.sum(tp[q] * ci, axis=1),
-                    )
-
-            # Per-row coefficient term lists [(alpha, beta, degree), ...]
-            w_cs = 2.0 * jnp.pi * mhz
-            zero = jnp.zeros((v_tile,), f32)
-            one = jnp.ones((v_tile,), f32)
-
-            def coeff_terms(k, ptype):
-                if ptype == 0:  # amplitude
-                    a_ = amps[k].reshape(v_tile)
-                    safe = jnp.where(a_ == 0, 1.0, a_)
-                    return [(one / safe, zero, 0)]
-                if ptype == 1:  # chemical shift
-                    return [(zero, w_cs * one, 1)]
-                if ptype == 2:  # linewidth
-                    if g_zero[k]:
-                        return [(-jnp.pi * one, zero, 1)]
-                    gv = gs[k].reshape(v_tile)
-                    return [
-                        (-jnp.pi * (1.0 - gv), zero, 1),
-                        (-jnp.pi * gv, zero, 2),
-                    ]
-                if ptype == 3:  # phase
-                    return [(zero, deg * one, 0)]
-                d_ = jnp.pi * lws[k].reshape(v_tile)  # g row
-                return [(d_, zero, 1), (-d_, zero, 2)]
-
-            terms = [coeff_terms(k, p) for (k, p) in rows]
-
-            # Group rows into output entries: physical rows map 1:1 when
-            # not folding; with ``fold``, rows merge into their free slots
-            # with the scatter scale and the bound-transform diagonal
-            # folded into the coefficients.
-            if fold is None:
-                entries = [
-                    [(k, tlist)] for (k, _), tlist in zip(rows, terms)
-                ]
-            else:
-                slots, scales, n_free = fold
-                entries = [[] for _ in range(n_free)]
-                for r, ((k, _), tlist) in enumerate(zip(rows, terms)):
-                    m = dxdu_ref[0, slots[r], :] * scales[r]  # (V,)
-                    entries[slots[r]].append(
-                        (k, [(al * m, be * m, d) for al, be, d in tlist])
-                    )
-            n_out = len(entries)
-
-            # Gradient: g_f = sum_{rows in f} sum_d Re(conj(z_d) N_d[k])
-            for f_, elist in enumerate(entries):
-                acc = zero
-                for k, tlist in elist:
-                    for al, be, d in tlist:
-                        nr, ni = n_mom[(k, d)]
-                        acc = acc + al * nr + be * ni
-                g_ref[0, f_, :] = acc
-            for f_ in range(n_out, a_pad):
-                g_ref[0, f_, :] = zero
-
-            # Hessian: H[f,h] = sum over the entries' row pairs of
-            # sum_{d,e} Re(z_{d} conj(z_{e}) M_{d+e}[k_r, k_s])
-            for f_, el_f in enumerate(entries):
-                for h2, el_h in enumerate(entries):
-                    if h2 < f_:
-                        continue
-                    acc = zero
-                    for kr, tr_ in el_f:
-                        for ks, ts_ in el_h:
-                            for ar, br, d in tr_:
-                                for as_, bs, e in ts_:
-                                    q = d + e
-                                    if kr <= ks:
-                                        mr, mi = m_mom[(kr, ks, q)]
-                                    else:
-                                        mr, mi = m_mom[(ks, kr, q)]
-                                        mi = -mi
-                                    acc = acc + (
-                                        (ar * as_ + br * bs) * mr
-                                        - (br * as_ - ar * bs) * mi
-                                    )
-                    h_ref[0, f_ * a_pad + h2, :] = acc
-                    if h2 != f_:
-                        h_ref[0, h2 * a_pad + f_, :] = acc
-            for f_ in range(n_out, a_pad):
-                for s_ in range(a_pad):
-                    h_ref[0, f_ * a_pad + s_, :] = zero
-                    h_ref[0, s_ * a_pad + f_, :] = zero
-
         if gated:
-            pl.when(jnp.any(cost < cprev_ref[0, 0, :]))(_moments)
+            pl.when(jnp.any(cost < cprev_ref[0, 0, :]))(moments_fn)
         else:
-            _moments()
+            moments_fn()
 
 
 @functools.partial(
