@@ -1707,3 +1707,137 @@ class TestVarpro:
         ph = np.asarray(x_new[0, plan["sp"]])
         # the periodic equivalent -150, NOT a clip at ~+180
         np.testing.assert_allclose(ph, [-150.0, -150.0], atol=2.0)
+
+
+class TestWholeLoopKernel:
+    """v10: the entire LM loop (transform, eval, damped solve,
+    accept/reject) fused into ONE pallas launch — must replicate the
+    per-iteration v9 driver's results state-for-state."""
+
+    LORENTZ_CSV = (
+        "Index,PCr,ATP\n"
+        "Initial Values,,\n"
+        "amplitude,10.0,5.0\n"
+        "chemicalshift,0.0,-7.5\n"
+        "linewidth,15.0,20.0\n"
+        "phase,0,0\n"
+        "g,0,0\n"
+        "Bounds,,\n"
+        'amplitude,"(0, ","(0, "\n'
+        'chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"\n'
+        'linewidth,"(5.0, 30.0)","(10.0, 40.0)"\n'
+        'phase,"(-180, 180)","(-180, 180)"\n'
+        "g,fixed,fixed\n"
+    )
+
+    def _run_pair(self, csv, tmp_path, n_points=512, **kw):
+        from tests.test_fitting import make_phantom
+
+        p = tmp_path / "pk.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=3, n_points=n_points)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(n_points) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+            hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r9, h9 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=9, return_hessian=True, **kw,
+        )
+        r10, h10 = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=10, return_hessian=True, **kw,
+        )
+        return r9, h9, r10, h10
+
+    def test_matches_v9_on_lorentzian_prior(self, tmp_path):
+        """Identical accept/reject cascade: same costs, same iteration
+        counts, same carried Hessian (the CRLB input), all converged.
+        The 3-voxel batch at v_tile=2 also exercises the padding lane
+        (done0 mask) of the whole-loop kernel."""
+        r9, h9, r10, h10 = self._run_pair(self.LORENTZ_CSV, tmp_path)
+        np.testing.assert_allclose(
+            np.asarray(r10.x_free), np.asarray(r9.x_free),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r10.cost), np.asarray(r9.cost), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r10.n_iter), np.asarray(r9.n_iter)
+        )
+        np.testing.assert_allclose(
+            np.asarray(h10), np.asarray(h9), rtol=1e-3,
+            atol=1e-4 * float(np.abs(np.asarray(h9)).max()),
+        )
+        assert np.asarray(r10.converged).all()
+        assert np.asarray(r10.done).all()
+
+    def test_matches_v9_on_voigt_fixed_g(self, tmp_path):
+        """Fixed g = 0.3: the degree-2 linewidth coefficient rows flow
+        through the in-kernel loop identically."""
+        csv = self.LORENTZ_CSV.replace("g,0,0", "g,0.3,0.3").replace(
+            "g,fixed,fixed", "g,fixed,fixed"
+        )
+        r9, _, r10, _ = self._run_pair(csv, tmp_path)
+        np.testing.assert_allclose(
+            np.asarray(r10.x_free), np.asarray(r9.x_free),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r10.cost), np.asarray(r9.cost), rtol=1e-5
+        )
+        assert np.asarray(r10.converged).all()
+
+    def test_matches_v9_with_tied_amplitude(self, tmp_path):
+        """Tied amplitude (0.5*PCr): the in-kernel free-space fold merges
+        the tied rows exactly as the per-launch kernel does."""
+        csv = self.LORENTZ_CSV.replace(
+            "amplitude,10.0,5.0", "amplitude,10.0,0.5*PCr"
+        )
+        r9, h9, r10, h10 = self._run_pair(csv, tmp_path, n_points=256)
+        np.testing.assert_allclose(
+            np.asarray(r10.x_free), np.asarray(r9.x_free),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r10.n_iter), np.asarray(r9.n_iter)
+        )
+        assert np.asarray(r10.converged).all()
+
+    def test_factored_basis_matches_direct(self, tmp_path):
+        """require_uniform_t=True routes the in-kernel evaluation through
+        the block-factored basis; results match the direct basis."""
+        r9, _, r10, _ = self._run_pair(
+            self.LORENTZ_CSV, tmp_path, require_uniform_t=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(r10.x_free), np.asarray(r9.x_free),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert np.asarray(r10.converged).all()
+
+    def test_free_g_falls_back_to_launch_loop(self, tmp_path):
+        """A free-g prior auto-enables the VARPRO override, which is a
+        launch-loop concept: kernel_version=10 must transparently produce
+        the v9 path's exact result."""
+        from tests.test_fitting import PK_CSV
+
+        r9, _, r10, _ = self._run_pair(PK_CSV, tmp_path, n_points=256)
+        np.testing.assert_array_equal(
+            np.asarray(r10.x_free), np.asarray(r9.x_free)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r10.cost), np.asarray(r9.cost)
+        )

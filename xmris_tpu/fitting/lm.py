@@ -718,6 +718,11 @@ def _select_pallas_kernel(
         eq6_normal_equations_pallas_v9,
     )
 
+    if kernel_version >= 10:
+        # v10 is the whole-loop kernel; per-evaluation callers (CRLB
+        # recompute) use its v9 evaluation core.
+        kernel_version = 9
+
     if kernel_version == 9:
         # v_tile 128 measured best for the moment kernels (33.0 ms vs
         # 37.3 at 64 on the 5-peak bench fit — fewer programs amortize the
@@ -934,6 +939,12 @@ def _lm_fit_batched_pallas_impl(
     is the external one scaled by the bound-transform diagonal, which we
     divide back out).
     """
+    # The whole-loop kernel replaces the jit-level while loop outright; the
+    # VARPRO override and the accept gate are launch-loop concepts, so
+    # either one falls back to the per-iteration v9 path.
+    whole_loop = kernel_version >= 10 and not varpro and not gate_rejects
+    if kernel_version >= 10 and not whole_loop:
+        kernel_version = 9
     kernel_fn, active, vt_default = _select_pallas_kernel(
         kernel_version, pmap_static, fids_re.shape[-1],
         factored_ok=uniform_t_ok,
@@ -952,6 +963,34 @@ def _lm_fit_batched_pallas_impl(
     if u0.ndim == 1:
         u0 = jnp.broadcast_to(u0[None, :], (b, u0.shape[0]))
     n_free = u0.shape[-1]
+
+    if whole_loop:
+        from xmris_tpu.ops.kernels.lm_pallas import lm_loop_pallas_v10
+
+        active = active_param_rows(pmap_static)
+        u, cost, n_acc, done, h_fin = lm_loop_pallas_v10(
+            u0, fids_re, fids_im, t, lower, upper, kind,
+            n_peaks=pmap_static[3],
+            mhz=mhz,
+            active=active,
+            g_zero=lorentzian_env_flags(pmap_static),
+            n_free=n_free,
+            fold_slots=tuple(int(pmap_static[0][j]) for j in active),
+            fold_scales=tuple(float(pmap_static[1][j]) for j in active),
+            pmap_idx=tuple(int(v) for v in pmap_static[0]),
+            pmap_scale=tuple(float(v) for v in pmap_static[1]),
+            pmap_offset=tuple(float(v) for v in pmap_static[2]),
+            max_iter=max_iter,
+            lam0=lam0,
+            ftol=ftol,
+            plateau_streak=plateau_streak,
+            v_tile=v_tile,
+            interpret=interpret,
+            factored_t=uniform_t_ok and fids_re.shape[-1] % 128 == 0,
+        )
+        return _pallas_result_tail(
+            u, cost, n_acc, done, h_fin, lower, upper, kind, return_hessian
+        )
     n_peaks = pmap_static[3]
     smat_np = _scatter_matrix(pmap_static, n_free)
     if active is not None:
@@ -1096,6 +1135,17 @@ def _lm_fit_batched_pallas_impl(
     u, cost, _, h_fin, _, n_acc, _, done, _ = jax.lax.while_loop(
         cond, step, carry0
     )
+    return _pallas_result_tail(
+        u, cost, n_acc, done, h_fin, lower, upper, kind, return_hessian
+    )
+
+
+def _pallas_result_tail(
+    u, cost, n_acc, done, h_fin, lower, upper, kind, return_hessian
+):
+    """Shared epilogue of the pallas LM drivers (per-iteration and v10
+    whole-loop): bound back-transform, convergence flags, and external-space
+    Hessian recovery for the zero-cost CRLB."""
     x_final, dxdu_fin = internal_to_external_jax(
         u, lower[None, :], upper[None, :], kind[None, :]
     )

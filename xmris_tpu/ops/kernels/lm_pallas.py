@@ -2031,3 +2031,439 @@ def eq6_normal_equations_pallas_v9(
     g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, a_pad)
     cost = jnp.transpose(cost_out, (0, 2, 1)).reshape(b_pad)
     return cost[:b], g[:b, :n_keep], h[:b, :n_keep, :n_keep]
+
+
+# ---------------------------------------------------------------------------
+# v10: the ENTIRE LM loop in one kernel launch
+# ---------------------------------------------------------------------------
+
+
+def _lm_loop_kernel_v10(
+    u0_ref,  # (1, f_pad, V) VMEM — initial internal params (tile layout)
+    done0_ref,  # (1, 1, V) VMEM — 1.0 marks padding voxels (never iterate)
+    yre_ref,  # (V, n_t) VMEM
+    yim_ref,  # (V, n_t) VMEM
+    t_ref,  # (1, n_t) VMEM
+    lo_ref,  # (1, f_pad) VMEM — finite-substituted lower bounds
+    hi_ref,  # (1, f_pad) VMEM
+    kd_ref,  # (1, f_pad) VMEM — bound-kind codes as float32 (0/1/2/3)
+    consts_ref,  # (1, 8) VMEM — [lam0, ftol, ...] runtime scalars
+    u_out_ref,  # (1, f_pad, V) out — final internal params (doubles as state)
+    h_out_ref,  # (1, a_pad*a_pad, V) out — carried folded H (column slabs)
+    stats_ref,  # (1, 8, V) out — rows: cost, lam, done, n_acc, streak
+    g_ref,  # (a_pad, V) scratch — accepted-state gradient
+    htr_ref,  # (a_pad*a_pad, V) scratch — trial H
+    gtr_ref,  # (a_pad, V) scratch — trial gradient
+    *,
+    n_peaks: int,
+    mhz: float,
+    v_tile: int,
+    a_pad: int,
+    f_pad: int,
+    n_free: int,
+    active: tuple[int, ...],
+    g_zero: tuple[bool, ...],
+    factored_t: bool,
+    fold_slots: tuple[int, ...],
+    fold_scales: tuple[float, ...],
+    pmap_idx: tuple[int, ...],
+    pmap_scale: tuple[float, ...],
+    pmap_offset: tuple[float, ...],
+    max_iter: int,
+    plateau_streak: int,
+):
+    """Whole-loop LM kernel: bound transform, v9 moment evaluation, damped
+    Cholesky solve, and accept/reject state all live in VMEM for the tile,
+    so the full fit costs ONE kernel launch (and one y DMA) instead of one
+    launch plus XLA glue per LM iteration.
+
+    Semantics mirror the launch-per-iteration driver
+    (:func:`xmris_tpu.fitting.lm._lm_fit_batched_pallas_impl`): predicted-
+    decrease exit, accept gating on strict cost improvement, rejection-
+    plateau termination, and the carried Gauss-Newton H/g reused by
+    rejected trials.  The initial evaluation is folded into loop trip 0
+    (accepted-state cost starts at +inf so the first trial — a zero step
+    off the seed, H=0 and g=0 give delta=0 — always accepts and installs
+    cost0/H0/g0 without re-damping; ``lam`` is pinned back to ``lam0`` on
+    that trip), which keeps exactly ONE traced copy of the evaluation in
+    the kernel body.
+
+    Layouts: per-voxel small state is lane-major (voxels on lanes) —
+    (f_pad, V) parameter planes, (1, V) scalar rows — matching the
+    orientation the moment combination already produces; the per-voxel
+    Hessians live as ``a_pad`` column slabs of shape (a_pad, V) inside a
+    flat (a_pad*a_pad, V) ref (entry (i, j) at row ``j*a_pad + i``), so
+    every rank-1 Cholesky update is a dense (a_pad, V) vector op.  The
+    Eq.6 basis still wants per-voxel scalars as (V, 1) sublane columns;
+    the (1, V)->(V, 1) relayout per physical parameter is the same one
+    the v9 kernel pays reading its parameter block.
+    """
+    f32 = jnp.float32
+    eps = float(np.finfo(np.float32).eps)
+    lam0 = consts_ref[0, 0]
+    ftol = consts_ref[0, 1]
+
+    lo_col = lo_ref[0, :].reshape(f_pad, 1)
+    hi_col = hi_ref[0, :].reshape(f_pad, 1)
+    kd_col = kd_ref[0, :].reshape(f_pad, 1)
+
+    def transform(u):
+        """(f_pad, V) internal -> (external x, dx/du) — vectorized
+        counterpart of fitting.lm.internal_to_external_jax."""
+        s = jnp.sin(u)
+        x_both = lo_col + (s + 1.0) * 0.5 * (hi_col - lo_col)
+        d_both = 0.5 * (hi_col - lo_col) * jnp.cos(u)
+        root = jnp.sqrt(u * u + 1.0)
+        x_lower = lo_col - 1.0 + root
+        d_lower = u / root
+        x_upper = hi_col + 1.0 - root
+        d_upper = -u / root
+        x = jnp.where(
+            kd_col == 0.0,
+            x_both,
+            jnp.where(kd_col == 1.0, x_lower, jnp.where(kd_col == 2.0, x_upper, u)),
+        )
+        dxdu = jnp.where(
+            kd_col == 0.0,
+            d_both,
+            jnp.where(
+                kd_col == 1.0,
+                d_lower,
+                jnp.where(kd_col == 2.0, d_upper, jnp.ones_like(u)),
+            ),
+        )
+        return x, dxdu
+
+    def srd(i):
+        return stats_ref[0, i, :]  # (V,)
+
+    def swr(i, v):
+        stats_ref[0, i, :] = v
+
+    def eval_at(u, store_h, store_g):
+        """Trial evaluation at internal params u: returns the (V,) cost and
+        runs the moment H/g work through the given stores."""
+        x, dxdu = transform(u)
+        param_cache = {}
+
+        def read_param(j):
+            if j not in param_cache:
+                slot = pmap_idx[j]
+                if slot < 0:
+                    val = jnp.full((v_tile, 1), pmap_offset[j], f32)
+                else:
+                    row = x[slot : slot + 1, :]  # (1, V)
+                    val = (pmap_offset[j] + pmap_scale[j] * row).reshape(
+                        v_tile, 1
+                    )
+                param_cache[j] = val
+            return param_cache[j]
+
+        def dxdu_row(f):
+            return dxdu[f : f + 1, :].reshape(v_tile)  # (V,) lane-major
+
+        cost, moments_fn = _v9_tile_eval(
+            read_param,
+            yre_ref[:, :],
+            yim_ref[:, :],
+            t_ref,
+            dxdu_row,
+            store_h,
+            store_g,
+            n_peaks=n_peaks,
+            mhz=mhz,
+            v_tile=v_tile,
+            a_pad=a_pad,
+            active=active,
+            g_zero=g_zero,
+            factored_t=factored_t,
+            fold=(fold_slots, fold_scales, n_free),
+        )
+        moments_fn()
+        return cost
+
+    def solve(lam_row):
+        """Damped Cholesky solve of the carried (accepted) H/g for every
+        lane: returns (delta rows [(1, V)] * n_free, solve_ok (V,))."""
+        iota_col = jax.lax.broadcasted_iota(jnp.int32, (a_pad, 1), 0)
+        one_hot = [(iota_col == j).astype(f32) for j in range(n_free)]
+        mask_ge = [(iota_col >= k).astype(f32) for k in range(n_free)]
+        a_cols = []
+        for j in range(n_free):
+            slab = h_out_ref[0, j * a_pad : (j + 1) * a_pad, :]  # (a_pad, V)
+            diag = slab[j : j + 1, :]
+            bump = lam_row * jnp.maximum(diag, 1e-12) + 1e-12
+            a_cols.append(slab + one_hot[j] * bump)
+        l_cols = [None] * n_free
+        for k in range(n_free):
+            dk = a_cols[k][k : k + 1, :]
+            inv = jax.lax.rsqrt(jnp.where(dk > 0, dk, jnp.nan))
+            lk = a_cols[k] * mask_ge[k] * inv
+            for j in range(k + 1, n_free):
+                a_cols[j] = a_cols[j] - lk * lk[j : j + 1, :]
+            l_cols[k] = lk
+        # forward: L y = g
+        ys = [None] * n_free
+        for i in range(n_free):
+            acc = g_ref[i : i + 1, :]
+            for j in range(i):
+                acc = acc - l_cols[j][i : i + 1, :] * ys[j]
+            ys[i] = acc / l_cols[i][i : i + 1, :]
+        # backward: L^T d = y   (L^T[i, j] = L[j, i] = l_cols[i][j])
+        ds = [None] * n_free
+        for i in reversed(range(n_free)):
+            acc = ys[i]
+            for j in range(i + 1, n_free):
+                acc = acc - l_cols[i][j : j + 1, :] * ds[j]
+            ds[i] = acc / l_cols[i][i : i + 1, :]
+        ok = jnp.ones((v_tile,), jnp.bool_)
+        for i in range(n_free):
+            ok = ok & jnp.isfinite(ds[i].reshape(v_tile))
+        return ds, ok
+
+    # --- state init ---
+    u_out_ref[0] = u0_ref[0]
+    h_out_ref[0, :, :] = jnp.zeros((a_pad * a_pad, v_tile), f32)
+    g_ref[:, :] = jnp.zeros((a_pad, v_tile), f32)
+    swr(0, jnp.full((v_tile,), jnp.inf, f32))  # cost
+    swr(1, jnp.broadcast_to(lam0, (v_tile,)).astype(f32))  # lam
+    swr(2, done0_ref[0, 0, :])  # done
+    swr(3, jnp.zeros((v_tile,), f32))  # n_acc
+    swr(4, jnp.zeros((v_tile,), f32))  # streak
+    for i in range(5, 8):
+        swr(i, jnp.zeros((v_tile,), f32))
+
+    def store_h_tr(f_, h2, v):
+        htr_ref[h2 * a_pad + f_, :] = v
+
+    def store_g_tr(f_, v):
+        gtr_ref[f_, :] = v
+
+    def trip(it, carry):
+        done_row = srd(2)
+
+        @pl.when(~jnp.all(done_row > 0.5))
+        def _():
+            cost = srd(0)
+            lam = srd(1)
+            done = srd(2) > 0.5
+            n_acc = srd(3)
+            streak = srd(4)
+            lam_row = lam.reshape(1, v_tile)
+
+            ds, solve_ok = solve(lam_row)
+            pred = jnp.zeros((1, v_tile), f32)
+            for i in range(n_free):
+                pred = pred + g_ref[i : i + 1, :] * ds[i]
+            pred_rel = pred.reshape(v_tile) / jnp.maximum(cost, 1e-30)
+            # Predicted-decrease exit BEFORE the trial (see the driver);
+            # never fires on trip 0 because lam == lam0 exactly there.
+            done = done | (
+                (pred_rel >= 0.0)
+                & (pred_rel <= 64.0 * eps)
+                & (lam < lam0)
+                & solve_ok
+            )
+
+            delta = jnp.concatenate(
+                [jnp.where(solve_ok[None, :], d, 0.0) for d in ds]
+                + (
+                    [jnp.zeros((f_pad - n_free, v_tile), f32)]
+                    if f_pad > n_free
+                    else []
+                ),
+                axis=0,
+            )
+            u = u_out_ref[0]
+            u_t = u + delta
+            cost_t = eval_at(u_t, store_h_tr, store_g_tr)
+
+            ok = jnp.isfinite(cost_t) & (cost_t < cost) & ~done
+            rel_drop = (cost - cost_t) / jnp.maximum(cost, 1e-30)
+            okc = ok[None, :]
+
+            u_out_ref[0] = jnp.where(okc, u_t, u)
+            h_out_ref[0, :, :] = jnp.where(
+                okc, htr_ref[:, :], h_out_ref[0, :, :]
+            )
+            g_ref[:, :] = jnp.where(okc, gtr_ref[:, :], g_ref[:, :])
+            swr(0, jnp.where(ok, cost_t, cost))
+            lam_new = jnp.clip(
+                jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12
+            )
+            # Trip 0 is the initial evaluation in disguise: the +inf->cost0
+            # "accept" must not soften the damping.
+            swr(1, jnp.where(it == 0, lam0, lam_new))
+            n_acc = n_acc + jnp.where(ok & (it > 0), 1.0, 0.0)
+            swr(3, n_acc)
+            plateau = ~ok & ~done & (jnp.abs(rel_drop) <= 64.0 * eps)
+            streak = jnp.where(plateau, streak + 1.0, 0.0)
+            swr(4, streak)
+            done = (
+                done
+                | (ok & (rel_drop < ftol) & (lam < lam0))
+                | (streak >= plateau_streak)
+            )
+            swr(2, jnp.where(done, 1.0, 0.0))
+
+        return carry
+
+    jax.lax.fori_loop(0, max_iter + 1, trip, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_peaks", "mhz", "active", "g_zero", "n_free", "max_iter",
+        "plateau_streak", "fold_slots", "fold_scales", "pmap_idx",
+        "pmap_scale", "pmap_offset", "v_tile", "interpret", "factored_t",
+    ),
+)
+def lm_loop_pallas_v10(
+    u0,  # (B, F) float32 internal parameters (seeded)
+    y_re,
+    y_im,
+    t,
+    lower,  # (F,)
+    upper,  # (F,)
+    kind,  # (F,) int
+    n_peaks: int,
+    mhz: float,
+    active: tuple[int, ...],
+    g_zero: tuple[bool, ...],
+    n_free: int,
+    fold_slots: tuple[int, ...],
+    fold_scales: tuple[float, ...],
+    pmap_idx: tuple[int, ...],
+    pmap_scale: tuple[float, ...],
+    pmap_offset: tuple[float, ...],
+    max_iter: int = 24,
+    lam0: float = 1e-3,
+    ftol: float = 1e-10,
+    plateau_streak: int = 3,
+    v_tile: int = 128,
+    interpret: bool = False,
+    factored_t: bool = False,
+):
+    """One-launch batched LM: returns ``(u_final, cost, n_acc, done, h)``
+    with ``h`` the carried folded Gauss-Newton Hessian (B, n_free, n_free)
+    at the final accepted state — the same object the per-iteration driver
+    carries for the zero-cost CRLB.
+    """
+    f32 = jnp.float32
+    b = y_re.shape[0]
+    f_pad = _round_up(n_free, 8)
+    a_pad = _round_up(n_free, 8)
+    n_t = y_re.shape[-1]
+
+    pad_b = (-b) % v_tile
+    u0 = u0.astype(f32)
+    if pad_b:
+        u0 = jnp.pad(u0, ((0, pad_b), (0, 0)))
+        y_re = jnp.pad(y_re, ((0, pad_b), (0, 0)))
+        y_im = jnp.pad(y_im, ((0, pad_b), (0, 0)))
+    b_pad = b + pad_b
+    n_tiles = b_pad // v_tile
+
+    u0_t = (
+        jnp.pad(u0, ((0, 0), (0, f_pad - n_free)))
+        .reshape(n_tiles, v_tile, f_pad)
+        .transpose(0, 2, 1)
+    )
+    done0 = jnp.zeros((b_pad,), f32).at[b:].set(1.0)
+    done0_t = done0.reshape(n_tiles, 1, v_tile)
+
+    lo = jnp.where(jnp.isfinite(lower), lower, 0.0).astype(f32)
+    hi = jnp.where(jnp.isfinite(upper), upper, 0.0).astype(f32)
+    kd = kind.astype(f32)
+    pad_f = f_pad - n_free
+    lo = jnp.pad(lo, (0, pad_f)).reshape(1, f_pad)
+    hi = jnp.pad(hi, (0, pad_f)).reshape(1, f_pad)
+    kd = jnp.pad(kd, (0, pad_f), constant_values=3.0).reshape(1, f_pad)
+
+    kernel = functools.partial(
+        _lm_loop_kernel_v10,
+        n_peaks=n_peaks,
+        mhz=float(mhz),
+        v_tile=v_tile,
+        a_pad=a_pad,
+        f_pad=f_pad,
+        n_free=n_free,
+        active=tuple(active),
+        g_zero=tuple(bool(z) for z in g_zero),
+        factored_t=bool(factored_t) and n_t % 128 == 0,
+        fold_slots=tuple(fold_slots),
+        fold_scales=tuple(float(s) for s in fold_scales),
+        pmap_idx=tuple(int(i) for i in pmap_idx),
+        pmap_scale=tuple(float(s) for s in pmap_scale),
+        pmap_offset=tuple(float(o) for o in pmap_offset),
+        max_iter=int(max_iter),
+        plateau_streak=int(plateau_streak),
+    )
+    consts = jnp.zeros((1, 8), f32).at[0, 0].set(lam0).at[0, 1].set(ftol)
+
+    u_out, h_out, stats = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f_pad, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, n_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, f_pad, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, a_pad * a_pad, v_tile),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, f_pad, v_tile), f32),
+            jax.ShapeDtypeStruct((n_tiles, a_pad * a_pad, v_tile), f32),
+            jax.ShapeDtypeStruct((n_tiles, 8, v_tile), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((a_pad, v_tile), f32),
+            pltpu.VMEM((a_pad * a_pad, v_tile), f32),
+            pltpu.VMEM((a_pad, v_tile), f32),
+        ],
+        interpret=interpret,
+    )(
+        u0_t,
+        done0_t,
+        y_re.astype(f32),
+        y_im.astype(f32),
+        t.reshape(1, -1).astype(f32),
+        lo,
+        hi,
+        kd,
+        consts,
+    )
+
+    u_fin = jnp.transpose(u_out, (0, 2, 1)).reshape(b_pad, f_pad)[:b, :n_free]
+    # Column-slab flat layout: entry (i, j) at row j*a_pad + i -> the
+    # reshape gives h[b, j, i]; H is symmetric so no transpose is needed.
+    h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, a_pad, a_pad)[
+        :b, :n_free, :n_free
+    ]
+    st = jnp.transpose(stats, (0, 2, 1)).reshape(b_pad, 8)[:b]
+    cost = st[:, 0]
+    n_acc = st[:, 3].astype(jnp.int32)
+    done = st[:, 2] > 0.5
+    return u_fin, cost, n_acc, done, h
