@@ -2317,6 +2317,7 @@ def _lm_loop_kernel_v10(
         "n_peaks", "mhz", "active", "g_zero", "n_free", "max_iter",
         "plateau_streak", "fold_slots", "fold_scales", "pmap_idx",
         "pmap_scale", "pmap_offset", "v_tile", "interpret", "factored_t",
+        "vmem_limit_mb",
     ),
 )
 def lm_loop_pallas_v10(
@@ -2344,6 +2345,7 @@ def lm_loop_pallas_v10(
     v_tile: int = 128,
     interpret: bool = False,
     factored_t: bool = False,
+    vmem_limit_mb: int | None = 100,
 ):
     """One-launch batched LM: returns ``(u_final, cost, n_acc, done, h)``
     with ``h`` the carried folded Gauss-Newton Hessian (B, n_free, n_free)
@@ -2443,6 +2445,16 @@ def lm_loop_pallas_v10(
             pltpu.VMEM((a_pad * a_pad, v_tile), f32),
             pltpu.VMEM((a_pad, v_tile), f32),
         ],
+        # The unrolled moment temps inside the loop body count against
+        # Mosaic's scoped-VMEM budget without reuse (see CLAUDE.md); the
+        # 16 MB default is too tight at v_tile=128 x n_t=1024.
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+            if vmem_limit_mb and not interpret
+            else None
+        ),
         interpret=interpret,
     )(
         u0_t,
