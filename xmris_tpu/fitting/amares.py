@@ -624,10 +624,13 @@ def fit_amares(
     ``engine`` selects the device solver: ``"xla"`` (vmapped planar LM),
     ``"pallas"`` (fused normal-equations kernel, Jacobians never leave VMEM),
     or ``"auto"`` (pallas on TPU, xla elsewhere); ``kernel_version`` picks
-    the pallas formulation (9 = generalized moment-based H for EVERY
+    the pallas formulation (10 = the whole LM loop fused into ONE kernel
+    launch around the v9 evaluation — solve, bound transforms and
+    accept/reject state live in VMEM; VARPRO priors fall back to 9;
+    9 = generalized moment-based H for EVERY
     Eq.6 prior — Lorentzian, Voigt and free-g at the same speed — with
-    the free-parameter fold done in-kernel: the measured-fastest and the
-    default; 8 = moment-based H for purely Lorentzian priors only,
+    the free-parameter fold done in-kernel;
+    8 = moment-based H for purely Lorentzian priors only,
     auto-falling back to 6 for Voigt; 6 = active rows + stacked-voxel
     MXU Gram dots + converged-tile skipping; 5 = active rows only;
     3 = all rows; 2/1 earlier formulations).

@@ -870,6 +870,12 @@ def lm_fit_batched_pallas(
     conditions — the dynamic ``pl.when`` serializes more than the skipped
     work saves — so it defaults off; kept for non-seeded workloads with
     long rejection phases.
+
+    ``kernel_version=10`` fuses the ENTIRE LM loop into one kernel launch
+    (see :func:`xmris_tpu.ops.kernels.lm_pallas.lm_loop_pallas_v10`);
+    configurations that need driver-side per-iteration work (the VARPRO
+    override, ``gate_rejects``) transparently fall back to the v9 launch
+    loop.
     """
     # Only guard when v7 will actually run: on n_t % 128 != 0 the selector
     # falls back to v6, which has no uniformity precondition.
