@@ -31,8 +31,29 @@ jax.config.update("jax_enable_x64", True)
 # segfault observed only after a long in-process compile history (the
 # same program compiles fine in isolation; with the cache warm the
 # crashing compile never happens again).
+# The cache directory is fingerprinted by the host's CPU flags: XLA:CPU
+# serializes AOT executables with the *compiling* machine's features, and
+# loading an entry written by a different host (this build's driver moves
+# between machines mid-round, /tmp travels with the image) can SIGILL or
+# segfault outright in the deserializer (observed 2026-08-17:
+# get_executable_and_time -> Fatal Python error: Segmentation fault).
+def _host_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 for _k, _v in (
-    ("jax_compilation_cache_dir", "/tmp/jax_xmt_test_cache"),
+    ("jax_compilation_cache_dir", f"/tmp/jax_xmt_test_cache_{_host_fingerprint()}"),
     ("jax_persistent_cache_min_entry_size_bytes", -1),
     ("jax_persistent_cache_min_compile_time_secs", 0.5),
 ):
