@@ -875,7 +875,11 @@ def lm_fit_batched_pallas(
     (see :func:`xmris_tpu.ops.kernels.lm_pallas.lm_loop_pallas_v10`);
     configurations that need driver-side per-iteration work (the VARPRO
     override, ``gate_rejects``) transparently fall back to the v9 launch
-    loop.
+    loop.  Measured SLOWER than the default on v5e (81.9 vs 22.4 ms at
+    bench scale, results/tpu_r6.jsonl) at bit-identical parameters: the
+    relay dispatch floor is per jitted program, not per launch inside
+    it, so the fused loop only stood to save XLA glue while its
+    in-kernel per-trip overhead costs ~3x the evaluation itself.
     """
     # Only guard when v7 will actually run: on n_t % 128 != 0 the selector
     # falls back to v6, which has no uniformity precondition.
