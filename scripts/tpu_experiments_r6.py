@@ -210,7 +210,10 @@ def main() -> None:
         cfg = PipelineConfig(
             zero_fill_to=bench.ZERO_FILL, lb=5.0, autophase="single"
         )
-        for kv in (9, 10):
+        e2e_kvs = tuple(
+            int(s) for s in os.environ.get("XMT_E2E_KV", "9,10").split(",")
+        )
+        for kv in e2e_kvs:
             try:
                 with Budget(int(os.environ.get("XMT_E2E_BUDGET", "2400"))):
                     os.environ["XMT_KERNEL_VERSION"] = str(kv)
