@@ -2288,20 +2288,25 @@ def _lm_loop_kernel_v10(
             )
             g_ref[:, :] = jnp.where(okc, gtr_ref[:, :], g_ref[:, :])
             swr(0, jnp.where(ok, cost_t, cost))
-            lam_new = jnp.clip(
-                jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12
-            )
             # Trip 0 is the initial evaluation in disguise: the +inf->cost0
             # "accept" must not soften the damping.
-            swr(1, jnp.where(it == 0, lam0, lam_new))
+            lam_new = jnp.where(
+                it == 0,
+                lam0,
+                jnp.clip(jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12),
+            )
+            swr(1, lam_new)
             n_acc = n_acc + jnp.where(ok & (it > 0), 1.0, 0.0)
             swr(3, n_acc)
             plateau = ~ok & ~done & (jnp.abs(rel_drop) <= 64.0 * eps)
             streak = jnp.where(plateau, streak + 1.0, 0.0)
             swr(4, streak)
+            # The ftol accept-exit tests the POST-update lam, matching both
+            # per-iteration drivers (never fires on trip 0: rel_drop is NaN
+            # off the +inf initial cost).
             done = (
                 done
-                | (ok & (rel_drop < ftol) & (lam < lam0))
+                | (ok & (rel_drop < ftol) & (lam_new < lam0))
                 | (streak >= plateau_streak)
             )
             swr(2, jnp.where(done, 1.0, 0.0))
