@@ -211,7 +211,9 @@ def main() -> None:
             zero_fill_to=bench.ZERO_FILL, lb=5.0, autophase="single"
         )
         e2e_kvs = tuple(
-            int(s) for s in os.environ.get("XMT_E2E_KV", "9,10").split(",")
+            int(s)
+            for s in os.environ.get("XMT_E2E_KV", "9,10").split(",")
+            if s.strip()
         )
         for kv in e2e_kvs:
             try:

@@ -52,15 +52,22 @@ def _host_fingerprint() -> str:
     return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
 
 
-for _k, _v in (
-    ("jax_compilation_cache_dir", f"/tmp/jax_xmt_test_cache_{_host_fingerprint()}"),
-    ("jax_persistent_cache_min_entry_size_bytes", -1),
-    ("jax_persistent_cache_min_compile_time_secs", 0.5),
-):
-    try:
-        jax.config.update(_k, _v)
-    except Exception:  # pragma: no cover — older jax without the option
-        pass
+# Kill-switch: XMT_NO_COMPILE_CACHE=1 disables the persistent cache
+# entirely (used by the v10 subprocess umbrella, and the right first
+# move when a suite run dies inside get/put_executable_and_time).
+if not os.environ.get("XMT_NO_COMPILE_CACHE"):
+    for _k, _v in (
+        (
+            "jax_compilation_cache_dir",
+            f"/tmp/jax_xmt_test_cache_{_host_fingerprint()}",
+        ),
+        ("jax_persistent_cache_min_entry_size_bytes", -1),
+        ("jax_persistent_cache_min_compile_time_secs", 0.5),
+    ):
+        try:
+            jax.config.update(_k, _v)
+        except Exception:  # pragma: no cover — older jax without the option
+            pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
