@@ -168,6 +168,82 @@ class TestRealBrukerData:
         assert peak_display == pytest.approx(8.8e7, rel=0.25)
 
 
+class TestSyntheticBrukerData:
+    """Self-contained end-to-end vendor oracle (no reference checkout needed).
+
+    ``tests/data/synth_nspect_1H`` is generated by
+    ``tests/data/generate_synth_bruker.py``: a known water-line FID pushed
+    through the forward digital-filter model and written in the exact
+    netCDF-3 layout of the reference's scanner export.  The ground-truth
+    TOML values are closed-form functions of the synthesis constants, so the
+    full ingest pipeline must recover them on ANY checkout — this is the
+    always-on analog of ``TestRealBrukerData``.
+    """
+
+    SYNTH = pathlib.Path(__file__).parent / "data" / "synth_nspect_1H"
+
+    @pytest.fixture(scope="class")
+    def gt(self):
+        import tomllib
+
+        with open(self.SYNTH / "ground_truth.toml", "rb") as f:
+            return tomllib.load(f)["synth_1h"]
+
+    @pytest.fixture(scope="class")
+    def spectrum_ppm(self):
+        raw = load_dataarray(self.SYNTH / "rawdatajob0.nc")
+        assert raw.dims == ("raw", "component")
+        cplx = raw.xmr.to_complex()
+        data, dims = reshape_bruker_raw(cplx.values, cplx.attrs)
+        fid = build_fid(data, dims, cplx.attrs)
+        fid = fid.xmr.remove_digital_filter(
+            group_delay=float(fid.attrs["bruker_group_delay"])
+        )
+        fid_avg = fid.mean(dim="averages")
+        fid_avg.attrs = fid.attrs
+        spec = fid_avg.xmr.to_spectrum().xmr.autophase()
+        return spec.xmr.to_ppm()
+
+    def test_water_peak_position(self, spectrum_ppm, gt):
+        water = gt["spectrum_view"]["water_main"]
+        i = int(np.argmax(np.abs(spectrum_ppm.values)))
+        ppm = spectrum_ppm.coords[DIMS.chemical_shift].values[i]
+        hz = spectrum_ppm.coords[DIMS.frequency].values[i]
+        assert ppm == pytest.approx(water["ppm"], abs=1e-3)
+        assert hz == pytest.approx(water["hz"], abs=0.01)
+
+    def test_water_peak_amplitude(self, spectrum_ppm, gt):
+        water = gt["spectrum_view"]["water_main"]
+        peak = float(np.max(np.abs(spectrum_ppm.values)))
+        assert peak == pytest.approx(water["amplitude_ortho"], rel=1e-2)
+
+    def test_autophase_recovers_absorptive_peak(self, spectrum_ppm):
+        vals = spectrum_ppm.values
+        i = int(np.argmax(np.abs(vals)))
+        # noiseless synthesis modulo the injected SNR-2000 noise: the
+        # phased peak must be essentially pure-real
+        assert abs(vals[i].real) / abs(vals[i]) > 0.999
+
+    def test_filter_removal_matches_synthesis_decay(self, gt):
+        """The recovered (filter-removed, averaged) FID's early envelope
+        must follow the synthesized exponential decay."""
+        raw = load_dataarray(self.SYNTH / "rawdatajob0.nc")
+        cplx = raw.xmr.to_complex()
+        data, dims = reshape_bruker_raw(cplx.values, cplx.attrs)
+        fid = build_fid(data, dims, cplx.attrs)
+        fid = fid.xmr.remove_digital_filter(
+            group_delay=float(fid.attrs["bruker_group_delay"])
+        )
+        avg = np.asarray(fid.mean(dim="averages").values)
+        t = fid.coords[DIMS.time].values
+        lb = gt["synthesis"]["decay_rate"]["value"]
+        amp = gt["synthesis"]["amplitude"]
+        n_fit = 200  # early, high-SNR samples
+        np.testing.assert_allclose(
+            np.abs(avg[:n_fit]), amp * np.exp(-lb * t[:n_fit]), rtol=5e-3
+        )
+
+
 @pytest.mark.skipif(not C13_TOML.exists(), reason="reference 13C TOML absent")
 class Test13CGroundTruthOracle:
     """Second vendor oracle: the 13C twin dataset's hand-curated TOML.
