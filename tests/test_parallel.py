@@ -305,3 +305,157 @@ class TestShardedPallasFit:
                 jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
                 mesh=make_mesh(8), interpret=True,
             )
+
+
+class TestShardedFlagship:
+    """The FUSED per-grid program (spectra + single-pivot autophase + LS
+    seeding + pallas LM fit + CRLB — what BENCH measures) over the 8-device
+    mesh, parity-checked against the single-device program.  The only
+    collective is the autophase pivot election
+    (``process._autophase_single_collective``)."""
+
+    FIXED_G_CSV = (
+        "Index,PCr,ATP\n"
+        "Initial Values,,\n"
+        "amplitude,10.0,5.0\n"
+        "chemicalshift,0.0,-7.5\n"
+        "linewidth,15.0,20.0\n"
+        "phase,0,0\n"
+        "g,0,0\n"
+        "Bounds,,\n"
+        'amplitude,"(0, ","(0, "\n'
+        'chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"\n'
+        'linewidth,"(5.0, 30.0)","(10.0, 40.0)"\n'
+        'phase,"(-180, 180)","(-180, 180)"\n'
+        "g,fixed,fixed\n"
+    )
+
+    def _setup(self, tmp_path, n_vox=16, n_points=256, zf=512, sw=10000.0):
+        import jax.numpy as jnp
+
+        from tests.test_fitting import make_phantom
+        from xmris_tpu.fitting.amares import seed_plan, template_optimum
+        from xmris_tpu.fitting.lm import hashable_pmap
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        p = tmp_path / "pk.csv"
+        p.write_text(self.FIXED_G_CSV)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=n_vox, n_points=n_points, sw=sw)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t_np = (np.arange(n_points) / sw).astype(np.float32)
+        t = jnp.asarray(t_np)
+        x_template = jnp.asarray(
+            template_optimum(fids, pk, t, 120.0).astype(np.float32)
+        )
+        amp_slots, ls_plan = seed_plan(pk)
+
+        t_full = np.arange(zf) / sw
+        weight = jnp.asarray(np.exp(-np.pi * 5.0 * t_full), dtype=jnp.float32)
+        freqs = jnp.asarray(
+            np.fft.fftshift(np.fft.fftfreq(zf, d=1 / sw)), dtype=jnp.float32
+        )
+        args = (
+            jnp.asarray(np.ascontiguousarray(fids.real)),
+            jnp.asarray(np.ascontiguousarray(fids.imag)),
+            weight, freqs, t, x_template,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper), jnp.asarray(pk.kind),
+        )
+        kwargs = dict(
+            pmap_static=hashable_pmap(pk.pmap), mhz=120.0,
+            amp_slots=amp_slots, ls_plan=ls_plan, max_iter=16,
+            v_tile=2, interpret=True, uniform_t_ok=True,
+        )
+        return args, kwargs
+
+    def test_sharded_matches_single_device(self, tmp_path):
+        from xmris_tpu.parallel import make_mesh
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import (
+            process_grid_planar_raw,
+            process_grid_sharded,
+        )
+
+        args, kwargs = self._setup(tmp_path)
+        cfg = PipelineConfig(
+            zero_fill_to=512, lb=5.0, autophase="single", de_maxiter=30
+        )
+        single = process_grid_planar_raw(*args, cfg=cfg, **kwargs)
+        sharded = process_grid_sharded(
+            *args, mesh=make_mesh(8), cfg=cfg, **kwargs
+        )
+
+        s_sr, s_si, (s_p0, s_p1, s_piv), s_x, s_cost, s_conv, s_sds = single
+        d_sr, d_si, (d_p0, d_p1, d_piv), d_x, d_cost, d_conv, d_sds = sharded
+
+        # pivot election: same winning bin, same phases (deterministic DE)
+        assert float(d_piv) == float(s_piv)
+        assert abs(float(d_p0) - float(s_p0)) < 0.1
+        assert abs(float(d_p1) - float(s_p1)) < 2.0
+        scale = float(np.abs(np.asarray(s_sr)).max())
+        np.testing.assert_allclose(
+            np.asarray(d_sr), np.asarray(s_sr), atol=5e-3 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_si), np.asarray(s_si), atol=5e-3 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_x), np.asarray(s_x), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_cost), np.asarray(s_cost), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_conv), np.asarray(s_conv)
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_sds), np.asarray(s_sds), rtol=1e-3, atol=1e-5
+        )
+        # outputs really shard over all 8 devices
+        assert len(d_sr.sharding.device_set) == 8
+        assert len(d_x.sharding.device_set) == 8
+
+    def test_sharded_no_autophase_and_all(self, tmp_path):
+        """autophase='none' shards trivially; 'all' stays fully per-voxel
+        (phases come back voxel-sharded)."""
+        from xmris_tpu.parallel import make_mesh
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import (
+            process_grid_planar_raw,
+            process_grid_sharded,
+        )
+
+        args, kwargs = self._setup(tmp_path)
+        mesh = make_mesh(8)
+
+        cfg = PipelineConfig(zero_fill_to=512, lb=5.0, autophase="none")
+        single = process_grid_planar_raw(*args, cfg=cfg, **kwargs)
+        sharded = process_grid_sharded(*args, mesh=mesh, cfg=cfg, **kwargs)
+        scale = float(np.abs(np.asarray(single[0])).max())
+        np.testing.assert_allclose(
+            np.asarray(sharded[0]), np.asarray(single[0]), atol=1e-4 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded[3]), np.asarray(single[3]), rtol=1e-4, atol=1e-4
+        )
+
+        cfg_all = PipelineConfig(
+            zero_fill_to=512, lb=5.0, autophase="all",
+            ap_optimizer="grid", p0_only=True,
+        )
+        sh_all = process_grid_sharded(*args, mesh=mesh, cfg=cfg_all, **kwargs)
+        p0s = np.asarray(sh_all[2][0])
+        assert p0s.shape == (16,)
+        assert len(sh_all[2][0].sharding.device_set) == 8
+
+    def test_batch_must_divide_mesh(self, tmp_path):
+        from xmris_tpu.parallel import make_mesh
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import process_grid_sharded
+
+        args, kwargs = self._setup(tmp_path, n_vox=6)
+        cfg = PipelineConfig(zero_fill_to=512, lb=5.0, autophase="none")
+        with pytest.raises(ValueError, match="divide"):
+            process_grid_sharded(*args, mesh=make_mesh(8), cfg=cfg, **kwargs)

@@ -27,23 +27,14 @@ def _apply_phase_planar(re, im, phi):
     return re * c - im * s, re * s + im * c
 
 
-def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig, peak=None):
-    if peak is None:
-        mag2 = re * re + im * im
-        flat_idx = jnp.argmax(mag2)
-        n_freq = re.shape[-1]
-        voxel_idx = flat_idx // n_freq
-        freq_idx = flat_idx % n_freq
-    else:
-        # Pivot search already done while the spectrum was VMEM-resident
-        # (spectrum_pallas with_maxmag) — only the B-long voxel reduction
-        # remains, so the full-grid magnitude pass over HBM never runs.
-        voxel_idx, freq_idx = peak
-    pivot = freqs[freq_idx]
-    x_range = freqs[-1] - freqs[0]
+def _solve_phase_on_row(row_re, row_im, freqs, pivot, cfg: PipelineConfig):
+    """ACME differential-evolution (p0, p1) solve on one pivot spectrum row.
 
-    row_re = jax.lax.dynamic_index_in_dim(re, voxel_idx, axis=0, keepdims=False)
-    row_im = jax.lax.dynamic_index_in_dim(im, voxel_idx, axis=0, keepdims=False)
+    Deterministic in its inputs (fixed DE seed from ``cfg``), so replicated
+    callers (every shard of the sharded fused program) all land on the same
+    phases with zero extra communication.
+    """
+    x_range = freqs[-1] - freqs[0]
 
     def objective(ph):
         p0 = ph[0]
@@ -67,6 +58,28 @@ def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig, peak=None):
     )
     p0 = result.x[0]
     p1 = result.x[1] if not cfg.p0_only else jnp.asarray(0.0, result.x.dtype)
+    return p0, p1
+
+
+def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig, peak=None):
+    if peak is None:
+        mag2 = re * re + im * im
+        flat_idx = jnp.argmax(mag2)
+        n_freq = re.shape[-1]
+        voxel_idx = flat_idx // n_freq
+        freq_idx = flat_idx % n_freq
+    else:
+        # Pivot search already done while the spectrum was VMEM-resident
+        # (spectrum_pallas with_maxmag) — only the B-long voxel reduction
+        # remains, so the full-grid magnitude pass over HBM never runs.
+        voxel_idx, freq_idx = peak
+    pivot = freqs[freq_idx]
+    x_range = freqs[-1] - freqs[0]
+
+    row_re = jax.lax.dynamic_index_in_dim(re, voxel_idx, axis=0, keepdims=False)
+    row_im = jax.lax.dynamic_index_in_dim(im, voxel_idx, axis=0, keepdims=False)
+
+    p0, p1 = _solve_phase_on_row(row_re, row_im, freqs, pivot, cfg)
 
     phi = (jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((freqs - pivot) / x_range)).astype(
         re.dtype

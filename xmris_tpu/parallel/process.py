@@ -15,14 +15,21 @@ Everything is planar float32 (no complex dtype on device; see CLAUDE.md).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from xmris_tpu.fitting.amares import seeded_fit_grid_raw
+from xmris_tpu.parallel.mesh import GRID_AXIS
 from xmris_tpu.parallel.pipeline import PipelineConfig
-from xmris_tpu.parallel.planar_pipeline import spectral_pipeline_planar_raw
+from xmris_tpu.parallel.planar_pipeline import (
+    _apply_phase_planar,
+    _solve_phase_on_row,
+    spectral_pipeline_planar_raw,
+)
 
 
 @functools.partial(
@@ -83,3 +90,141 @@ def process_grid_planar_raw(
         engine=engine,
     )
     return spec_re, spec_im, phases, x_free, cost, converged, sds
+
+
+def _autophase_single_collective(spec_re, spec_im, freqs, cfg, axis_name):
+    """Grid-global single-pivot autophase across voxel shards.
+
+    Each shard reduces its block to one candidate (its loudest spectrum row
+    + peak bin); one ``all_gather`` of those n_dev candidates elects the
+    grid-global pivot, and every shard then runs the SAME deterministic DE
+    solve on the winning row (replicated compute — far cheaper than
+    shipping the phases around).  The election preserves the unsharded
+    ``jnp.argmax`` tie-breaking (first occurrence in voxel-major order), so
+    the result matches the single-device program.
+    """
+    n_freq = spec_re.shape[-1]
+    mag2 = spec_re * spec_re + spec_im * spec_im
+    flat_idx = jnp.argmax(mag2)
+    local_max = jnp.reshape(mag2, (-1,))[flat_idx]
+    voxel_idx = flat_idx // n_freq
+    freq_idx = flat_idx % n_freq
+    row_re = jax.lax.dynamic_index_in_dim(
+        spec_re, voxel_idx, axis=0, keepdims=False
+    )
+    row_im = jax.lax.dynamic_index_in_dim(
+        spec_im, voxel_idx, axis=0, keepdims=False
+    )
+
+    maxs = jax.lax.all_gather(local_max, axis_name)          # (n_dev,)
+    rows_re = jax.lax.all_gather(row_re, axis_name)          # (n_dev, n_freq)
+    rows_im = jax.lax.all_gather(row_im, axis_name)
+    freq_idxs = jax.lax.all_gather(freq_idx, axis_name)
+    winner = jnp.argmax(maxs)  # first max wins, like the flat argmax
+
+    g_row_re = rows_re[winner]
+    g_row_im = rows_im[winner]
+    pivot = freqs[freq_idxs[winner]]
+
+    p0, p1 = _solve_phase_on_row(g_row_re, g_row_im, freqs, pivot, cfg)
+
+    x_range = freqs[-1] - freqs[0]
+    phi = (
+        jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((freqs - pivot) / x_range)
+    ).astype(spec_re.dtype)
+    spec_re, spec_im = _apply_phase_planar(spec_re, spec_im, phi[None, :])
+    return spec_re, spec_im, (p0, p1, pivot)
+
+
+def process_grid_sharded(
+    fids_re,
+    fids_im,
+    weight,
+    freqs,
+    t,
+    x_template,
+    lower,
+    upper,
+    kind,
+    *,
+    mesh: Mesh,
+    axis_name: str = GRID_AXIS,
+    cfg: PipelineConfig,
+    pmap_static,
+    mhz: float,
+    amp_slots: tuple,
+    ls_plan: tuple,
+    max_iter: int = 24,
+    lam0: float = 1e-3,
+    kernel_version: int = 9,
+    v_tile: int | None = None,
+    interpret: bool = False,
+    plateau_streak: int = 3,
+    uniform_t_ok: bool = False,
+    engine: str = "pallas",
+):
+    """The flagship fused per-grid program over a multi-chip voxel mesh.
+
+    Same contract as :func:`process_grid_planar_raw`, executed under
+    ``shard_map`` with the voxel axis split across ``mesh``:
+
+    * spectral transform, LS seeding, LM fit, CRLB — all per-voxel or
+      replicated-template work, so each chip runs them on its shard with
+      zero communication (the Pallas kernels launch per-shard, which is
+      how they partition at all);
+    * the ONLY collective is the single-mode autophase pivot election —
+      one ``all_gather`` of n_dev candidate rows, after which every chip
+      runs the identical deterministic DE solve
+      (:func:`_autophase_single_collective`).
+
+    Parity with the single-device program is exact up to per-voxel float
+    reassociation (asserted in ``tests/test_parallel.py``).
+    """
+    n_dev = mesh.shape[axis_name]
+    b = fids_re.shape[0]
+    if b % n_dev:
+        raise ValueError(
+            f"Voxel batch ({b}) must divide by the mesh axis ({n_dev}); "
+            "pad with pad_to_multiple first."
+        )
+    if cfg.autophase == "single":
+        # The pivot election is the collective; run the stage pipeline
+        # unphased and phase inside the body.
+        stage_cfg = dataclasses.replace(cfg, autophase="none")
+    else:
+        stage_cfg = cfg  # "all"/"none": per-voxel or no work — shards freely
+
+    fit_kwargs = dict(
+        pmap_static=pmap_static, mhz=mhz, amp_slots=amp_slots,
+        ls_plan=ls_plan, max_iter=max_iter, lam0=lam0,
+        kernel_version=kernel_version, v_tile=v_tile, interpret=interpret,
+        plateau_streak=plateau_streak, uniform_t_ok=uniform_t_ok,
+        engine=engine,
+    )
+
+    def body(re, im, weight, freqs, t, x_template, lower, upper, kind):
+        spec_re, spec_im, phases = spectral_pipeline_planar_raw(
+            re, im, weight, freqs, stage_cfg
+        )
+        if cfg.autophase == "single":
+            spec_re, spec_im, phases = _autophase_single_collective(
+                spec_re, spec_im, freqs, cfg, axis_name
+            )
+        x_free, cost, converged, sds = seeded_fit_grid_raw(
+            re, im, t, x_template, lower, upper, kind, **fit_kwargs
+        )
+        return spec_re, spec_im, phases, x_free, cost, converged, sds
+
+    sh = P(axis_name)
+    rep = P()
+    phase_spec = (sh, sh, sh) if cfg.autophase == "all" else (rep, rep, rep)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(sh, sh, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=(sh, sh, phase_spec, sh, sh, sh, sh),
+        check_vma=False,
+    )
+    return fn(
+        fids_re, fids_im, weight, freqs, t, x_template, lower, upper, kind
+    )
