@@ -143,6 +143,7 @@ def _spectrum_kernel(
     s2: str,
     pre_panel: bool = False,
     with_maxmag: bool = False,
+    precision: str = "highest",
 ):
     """All values stay 2D after the input relayout (Mosaic can neither
     split nor merge a vector's lane dimension).  The input arrives in its
@@ -168,7 +169,14 @@ def _spectrum_kernel(
     the in-kernel copy loop disappears.
     """
     f32 = jnp.float32
-    prec = jax.lax.Precision.HIGHEST
+    # "highest" (6 bf16 passes, ~1e-7) is the production setting; the
+    # lower tiers exist for the roofline precision ablation ONLY (one
+    # pass ~1.3e-3 relative error — never ship it).
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
 
     mm = functools.partial(
         jnp.matmul, preferred_element_type=f32, precision=prec
@@ -295,7 +303,7 @@ def _spectrum_kernel(
     jax.jit,
     static_argnames=(
         "n_out", "n2", "shifted", "ortho", "v_tile", "interpret", "s2",
-        "pre_relayout", "vmem_limit_mb", "with_maxmag",
+        "pre_relayout", "vmem_limit_mb", "with_maxmag", "precision",
     ),
 )
 def spectrum_pallas(
@@ -312,6 +320,7 @@ def spectrum_pallas(
     pre_relayout: bool = False,
     vmem_limit_mb: int | None = None,
     with_maxmag: bool = False,
+    precision: str = "highest",
 ):
     """Fused window -> zero-fill -> ortho DFT -> fftshift of a planar batch.
 
@@ -385,6 +394,7 @@ def spectrum_pallas(
     kernel = functools.partial(
         _spectrum_kernel, n1=n1, n2=n2, v_tile=v_tile, s2=s2,
         pre_panel=pre_relayout, with_maxmag=with_maxmag,
+        precision=precision,
     )
 
     lanes = v_tile * n2
