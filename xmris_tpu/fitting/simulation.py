@@ -58,17 +58,19 @@ def _simulate_fid_ndarray(
         np.broadcast_to(np.asarray(lineshape_g, dtype=np.float64), (n_peaks,)), 0.0, 1.0
     )
 
-    dwelltime = 1.0 / spectral_width
-    t = np.arange(n_points, dtype=np.float64) * dwelltime + dead_time
+    t = np.arange(n_points, dtype=np.float64) / spectral_width + dead_time
 
     # Evaluate in NumPy (host) for exact double-precision parity; the jittable
     # device-side equivalent is xmris_tpu.models.lineshapes.eq6_fid.
-    t_col = t[:, None]
-    complex_phase = np.exp(1j * phases)
-    decay = np.exp(-dampings * (1 - g_arr + g_arr * t_col) * t_col)
-    oscillation = np.exp(1j * 2 * np.pi * freqs * t_col)
-    fid_matrix = amplitudes * complex_phase * decay * oscillation
-    return np.sum(fid_matrix, axis=1)
+    # Eq.6 per peak: a_k e^{i p_k} e^{(i 2 pi f_k - d_k (1 - g_k + g_k t)) t},
+    # accumulated peak-by-peak.
+    acc = np.zeros(n_points, dtype=np.complex128)
+    for a_k, f_k, d_k, p_k, g_k in zip(
+        amplitudes, freqs, dampings, phases, g_arr
+    ):
+        envelope = np.exp(-d_k * (1.0 - g_k + g_k * t) * t)
+        acc += a_k * envelope * np.exp(1j * (p_k + 2 * np.pi * f_k * t))
+    return acc
 
 
 def simulate_fid_raw(
@@ -113,7 +115,7 @@ def simulate_fid(
     optional ``seed`` for reproducible noise (the reference draws from an
     unseeded generator).
     """
-    fid_data = _simulate_fid_ndarray(
+    payload = _simulate_fid_ndarray(
         amplitudes=amplitudes,
         frequencies=frequencies,
         chemical_shifts=chemical_shifts,
@@ -128,17 +130,16 @@ def simulate_fid(
     )
 
     if target_snr is not None:
-        signal_slice = fid_data[0 : min(10, n_points)]
-        signal_p = np.mean(np.abs(signal_slice))
-        noise_std_total = signal_p / target_snr
-        noise_std_channel = noise_std_total / np.sqrt(2)
+        # SNR is defined on the mean magnitude of the first 10 points; the
+        # total noise variance splits evenly between the quadrature channels.
+        head_mag = np.mean(np.abs(payload[0 : min(10, n_points)]))
+        per_channel = head_mag / target_snr / np.sqrt(2)
         rng = np.random.default_rng(seed)
-        noise_real = rng.normal(0, noise_std_channel, fid_data.shape)
-        noise_imag = rng.normal(0, noise_std_channel, fid_data.shape)
-        fid_data = fid_data + (noise_real + 1j * noise_imag)
+        payload = payload + per_channel * (
+            rng.normal(size=payload.shape) + 1j * rng.normal(size=payload.shape)
+        )
 
-    dwelltime = 1.0 / spectral_width
-    time_coords = np.arange(n_points, dtype=np.float64) * dwelltime + dead_time
+    taxis = np.arange(n_points, dtype=np.float64) / spectral_width + dead_time
 
     attrs = {
         "spectral_width": spectral_width,
@@ -158,10 +159,10 @@ def simulate_fid(
         attrs["sim_chemical_shifts_ppm"] = np.atleast_1d(chemical_shifts).tolist()
 
     return XmrArray(
-        data=fid_data,
+        data=payload,
         dims=[DIMS.time],
         coords={
-            COORDS.time: (DIMS.time, time_coords, {"units": "s", "long_name": "Time"})
+            COORDS.time: (DIMS.time, taxis, {"units": "s", "long_name": "Time"})
         },
         attrs=attrs,
         name="FID Signal",

@@ -47,25 +47,21 @@ def to_fid(
     """
     _check_dims(da, dim, "to_fid")
 
-    da_unshifted = ifftshift(da, dim=dim)
-    da_fid = ifft(da_unshifted, dim=dim, out_dim=out_dim)
+    result = ifft(ifftshift(da, dim=dim), dim=dim, out_dim=out_dim)
 
     if dim in da.coords:
-        freqs = da.coords[dim].values
-        n_points = len(freqs)
-        if n_points > 1:
-            df = abs(float(freqs[1] - freqs[0]))
-            dt = 1.0 / (n_points * df)
-            t_coords = np.arange(n_points) * dt
-            term = COORDS.time if out_dim == DIMS.time else None
-            coord = (
-                as_coord(term, out_dim, t_coords)
-                if term
-                else Coord(out_dim, t_coords)
-            )
-            da_fid = da_fid.assign_coords({out_dim: coord})
+        f_axis = da.coords[dim].values
+        n = len(f_axis)
+        if n > 1:
+            df = abs(float(f_axis[1] - f_axis[0]))
+            rebuilt_t = np.arange(n) / (n * df)
+            if out_dim == DIMS.time:
+                tick = as_coord(COORDS.time, out_dim, rebuilt_t)
+            else:
+                tick = Coord(out_dim, rebuilt_t)
+            result = result.assign_coords({out_dim: tick})
 
-    return da_fid
+    return result
 
 
 def _apply_weight(da: XmrArray, dim: str, weight: np.ndarray) -> XmrArray:
@@ -106,14 +102,14 @@ def apodize_lg(
     _check_dims(da, dim, "apodize_lg")
     t = da.coords[dim].values.astype(np.float64)
 
-    weight_lorentzian = np.exp(np.pi * lb * t)
+    undo_lorentz = np.exp(np.pi * lb * t)
     if gb != 0:
-        t_g = (2.0 * np.sqrt(np.log(2.0))) / (np.pi * gb)
-        weight_gaussian = np.exp(-(t**2) / (t_g**2))
+        gauss_tc = (2.0 * np.sqrt(np.log(2.0))) / (np.pi * gb)
+        impose_gauss = np.exp(-((t / gauss_tc) ** 2))
     else:
-        weight_gaussian = np.ones_like(t)
+        impose_gauss = np.ones_like(t)
 
-    out = _apply_weight(da, dim, weight_lorentzian * weight_gaussian)
+    out = _apply_weight(da, dim, undo_lorentz * impose_gauss)
     out.attrs[ATTRS.apodization_lb] = lb
     out.attrs[ATTRS.apodization_gb] = gb
     return out
@@ -134,45 +130,44 @@ def zero_fill(
     """
     _check_dims(da, dim, "zero_fill")
 
-    current_points = da.sizes[dim]
-    if target_points <= current_points:
+    n_now = da.sizes[dim]
+    if target_points <= n_now:
         return da.copy()
 
-    pad_size = target_points - current_points
+    extra = target_points - n_now
     if position == "end":
-        pad_width = (0, pad_size)
+        margins = (0, extra)
     elif position == "symmetric":
-        pad_left = pad_size // 2
-        pad_width = (pad_left, pad_size - pad_left)
+        margins = (extra // 2, extra - extra // 2)
     else:
         raise ValueError("`position` must be either 'end' or 'symmetric'.")
 
-    da_padded = da.pad({dim: pad_width}, mode="constant", constant_values=0)
+    padded = da.pad({dim: margins}, mode="constant", constant_values=0)
 
     if dim in da.coords:
-        old_coords = da.coords[dim].values
-        if len(old_coords) > 1:
-            delta = old_coords[1] - old_coords[0]
-            if position == "end":
-                new_coords = old_coords[0] + np.arange(target_points) * delta
-            else:
-                start_coord = old_coords[0] - (pad_width[0] * delta)
-                new_coords = start_coord + np.arange(target_points) * delta
+        axis_old = da.coords[dim].values
+        if len(axis_old) > 1:
+            # Extrapolate linearly from the original spacing, shifting the
+            # origin left by whatever landed in front.
+            step = axis_old[1] - axis_old[0]
+            first = axis_old[0] - margins[0] * step
+            axis_new = first + np.arange(target_points) * step
 
-            term = None
-            for candidate in (COORDS.time, COORDS.frequency, COORDS.chemical_shift):
-                if candidate == dim:
-                    term = candidate
-                    break
-
-            coord = (
-                as_coord(term, dim, new_coords)
-                if term
-                else Coord(dim, new_coords, da.coords[dim].attrs)
+            vocab = next(
+                (
+                    c
+                    for c in (COORDS.time, COORDS.frequency, COORDS.chemical_shift)
+                    if c == dim
+                ),
+                None,
             )
-            da_padded = da_padded.assign_coords({dim: coord})
+            if vocab is not None:
+                tick = as_coord(vocab, dim, axis_new)
+            else:
+                tick = Coord(dim, axis_new, da.coords[dim].attrs)
+            padded = padded.assign_coords({dim: tick})
 
-    da_padded = da_padded.assign_attrs(da.attrs)
-    da_padded.attrs[ATTRS.zero_fill_target] = target_points
-    da_padded.attrs[ATTRS.zero_fill_position] = position
-    return da_padded
+    padded = padded.assign_attrs(da.attrs)
+    padded.attrs[ATTRS.zero_fill_target] = target_points
+    padded.attrs[ATTRS.zero_fill_position] = position
+    return padded
