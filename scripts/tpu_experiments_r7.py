@@ -231,6 +231,79 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             report("apsplit/pivot_argmax", error=repr(e)[:500])
 
+    # ---- n2sweep: kernel split sweep incl. the untested aligned n2=128 ----
+    # The r7 profiler trace showed ~1.7 ms of the 5.7 ms jit program is XLA
+    # layout passes AROUND the kernel (two 0.6 ms lane-split reshapes + a
+    # 0.54 ms copy).  n2=128 makes the input split vreg-aligned (free) and
+    # the stage-2 contraction full-MXU-width, at identical normalized MXU
+    # cost by the occupancy model — never measured (r3 swept 16/64 only).
+    if "n2sweep" in groups:
+        from xmris_tpu.ops.kernels.dft_pallas import spectrum_pallas
+
+        ref = None
+        for n2 in (32, 128, 16, 256):
+            try:
+                with Budget(int(os.environ.get("XMT_SPEC_BUDGET", "1200"))):
+                    t0 = time.perf_counter()
+                    sr, si = spectrum_pallas(
+                        re_j, im_j, ZF, window=w_j, interpret=interp, n2=n2
+                    )
+                    wit = float(jnp.sum(sr[0]))
+                    comp = time.perf_counter() - t0
+                    if ref is None:
+                        ref = (np.asarray(sr[:64]), np.asarray(si[:64]))
+                        err = 0.0
+                    else:
+                        err = float(
+                            np.max(np.abs(np.asarray(sr[:64]) - ref[0]))
+                            / max(1e-30, np.max(np.abs(ref[0])))
+                        )
+                    times = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        for _ in range(chain):
+                            sr, si = spectrum_pallas(
+                                re_j, im_j, ZF, window=w_j,
+                                interpret=interp, n2=n2,
+                            )
+                        float(jnp.sum(sr[0]) + jnp.sum(si[0]))
+                        times.append((time.perf_counter() - t0) / chain)
+                    report(
+                        f"n2sweep/n2_{n2}",
+                        ms_chained=round(1e3 * float(np.median(times)), 2),
+                        compile_s=round(comp, 1),
+                        rel_err_vs_n2_32=err,
+                        witness=wit,
+                    )
+            except Exception as e:  # noqa: BLE001
+                report(f"n2sweep/n2_{n2}", error=repr(e)[:600])
+
+        # and the production variant: with_maxmag at the best two splits
+        for n2 in (32, 128):
+            try:
+                with Budget(900):
+                    out = spectrum_pallas(
+                        re_j, im_j, ZF, window=w_j, interpret=interp,
+                        n2=n2, with_maxmag=True,
+                    )
+                    float(jnp.sum(out[0][0]))
+                    times = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        for _ in range(chain):
+                            out = spectrum_pallas(
+                                re_j, im_j, ZF, window=w_j,
+                                interpret=interp, n2=n2, with_maxmag=True,
+                            )
+                        float(jnp.sum(out[0][0]) + jnp.sum(out[2]))
+                        times.append((time.perf_counter() - t0) / chain)
+                    report(
+                        f"n2sweep/maxmag_n2_{n2}",
+                        ms_chained=round(1e3 * float(np.median(times)), 2),
+                    )
+            except Exception as e:  # noqa: BLE001
+                report(f"n2sweep/maxmag_n2_{n2}", error=repr(e)[:600])
+
     # ---- profiler: is a device trace available through the relay? --------
     if "profiler" in groups:
         from xmris_tpu.ops.kernels.dft_pallas import spectrum_pallas
