@@ -75,6 +75,89 @@ import pytest  # noqa: E402
 from xmris_tpu import ATTRS, COORDS, DIMS, XmrArray  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# Generic subprocess isolation for giant-compile tests
+# ---------------------------------------------------------------------------
+# On hosts with very few cores, XLA:CPU's compiler segfaults when a giant
+# program (a shard_map'd whole-pipeline or whole-loop Pallas program) is
+# compiled late in a long in-process compile history — the same program
+# compiles fine in a fresh process (docs/xla_cpu_segfault.md; observed at
+# the v10 kernel tests in round 3 and, once those were isolated, at the
+# next-largest compile, test_parallel's 8-device mrsi_pipeline).  Tests
+# carrying ``@pytest.mark.bigcompile`` therefore run in a FRESH python
+# subprocess on such hosts (fresh compile history; the persistent cache
+# keeps repeat runs fast).  Multi-core hosts run them in-process, where
+# the crash has never been observed.
+
+
+def _isolate_bigcompile() -> bool:
+    if os.environ.get("XMT_ISOLATED_CHILD"):
+        return False  # already inside an isolation subprocess
+    forced = os.environ.get("XMT_ISOLATE_BIGCOMPILE")
+    if forced is not None:
+        return forced not in ("0", "")
+    return (os.cpu_count() or 1) <= 2
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "bigcompile: giant XLA:CPU compile; runs in a fresh subprocess on "
+        "few-core hosts (see docs/xla_cpu_segfault.md)",
+    )
+
+
+def pytest_runtest_protocol(item, nextitem):
+    if item.get_closest_marker("bigcompile") is None:
+        return None
+    if not _isolate_bigcompile():
+        return None
+    import subprocess
+    import sys
+    import time
+
+    from _pytest.reports import TestReport
+
+    hook = item.ihook
+    hook.pytest_runtest_logstart(nodeid=item.nodeid, location=item.location)
+    t0 = time.monotonic()
+    env = dict(os.environ, XMT_ISOLATED_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "--no-header", item.nodeid],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(item.config.rootpath),
+    )
+    duration = time.monotonic() - t0
+    out = proc.stdout or ""
+    if proc.returncode == 0 and "passed" not in out and "skipped" in out:
+        outcome = "skipped"
+        longrepr = (str(item.path), 0, "skipped inside isolated subprocess")
+    elif proc.returncode == 0:
+        outcome, longrepr = "passed", None
+    else:
+        outcome = "failed"
+        tail = (out[-8000:] + "\n" + (proc.stderr or "")[-4000:]).strip()
+        longrepr = (
+            f"isolated subprocess exited rc={proc.returncode}\n{tail}"
+        )
+    report = TestReport(
+        nodeid=item.nodeid,
+        location=item.location,
+        keywords={item.name: 1},
+        outcome=outcome,
+        longrepr=longrepr,
+        when="call",
+        sections=[],
+        duration=duration,
+        user_properties=[],
+    )
+    hook.pytest_runtest_logreport(report=report)
+    hook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
+    return True
+
+
 @pytest.fixture
 def empty_da() -> XmrArray:
     """Worst-case input: no coords, no attrs, anonymous dims."""

@@ -93,6 +93,7 @@ class TestSharding:
     def test_eight_device_mesh(self):
         assert len(jax.devices()) >= 8
 
+    @pytest.mark.bigcompile
     def test_sharded_matches_single_device(self):
         da = make_grid(nx=8, ny=2)
         cfg = PipelineConfig(zero_fill_to=512, lb=5.0, autophase="single")
@@ -111,6 +112,7 @@ class TestSharding:
         arr = shard_voxels(np.zeros((16, 64), dtype=np.complex128), mesh)
         assert len(arr.sharding.device_set) == 8
 
+    @pytest.mark.bigcompile
     def test_raw_pipeline_output_keeps_sharding(self):
         from xmris_tpu.parallel.pipeline import spectral_pipeline_raw
 
@@ -161,6 +163,7 @@ class TestIselOuterSemantics:
 
 
 class TestShardedPallasFit:
+    @pytest.mark.bigcompile
     def test_sharded_matches_single_launch(self, tmp_path):
         """shard_map'd fused-kernel LM over 8 devices == one launch.
 
@@ -222,6 +225,7 @@ class TestShardedPallasFit:
         # results actually shard over all 8 devices
         assert len(sharded.x_free.sharding.device_set) == 8
 
+    @pytest.mark.bigcompile
     def test_sharded_return_hessian(self, tmp_path):
         """Sharded return_hessian hands back the same voxel-sharded GN
         Hessian the single launch computes."""
@@ -370,6 +374,7 @@ class TestShardedFlagship:
         )
         return args, kwargs
 
+    @pytest.mark.bigcompile
     def test_sharded_matches_single_device(self, tmp_path):
         from xmris_tpu.parallel import make_mesh
         from xmris_tpu.parallel.pipeline import PipelineConfig
@@ -417,6 +422,7 @@ class TestShardedFlagship:
         assert len(d_sr.sharding.device_set) == 8
         assert len(d_x.sharding.device_set) == 8
 
+    @pytest.mark.bigcompile
     def test_sharded_no_autophase_and_all(self, tmp_path):
         """autophase='none' shards trivially; 'all' stays fully per-voxel
         (phases come back voxel-sharded)."""
