@@ -200,6 +200,64 @@ class TestAutophase:
         for v, (pristine, _) in enumerate(builds):
             assert real_corr(out.values[v], pristine.values) > 0.98
 
+    @pytest.mark.parametrize("polish", ["newton", "bfgs"])
+    def test_mode_all_grid_second_order_polish(self, polish):
+        """newton/bfgs polish lands in the same optimum as the gd polish
+        for both the 1-D (p0) and 2-D (p0, p1) searches."""
+        builds = [
+            build_spectrum(p0_true=p, p1_true=q, seed=s)
+            for p, q, s in [(40.0, 300.0, 1), (-70.0, -800.0, 2), (160.0, 0.0, 3)]
+        ]
+        stacked = XmrArray(
+            np.stack([s.values for _, s in builds]),
+            dims=("voxel", DIMS.frequency),
+            coords={DIMS.frequency: builds[0][1].coords[DIMS.frequency].values},
+        )
+        out = xmt.autophase(
+            stacked, mode="all", optimizer="grid", polish_optimizer=polish
+        )
+        out_gd = xmt.autophase(stacked, mode="all", optimizer="grid")
+        for v, (pristine, _) in enumerate(builds):
+            assert real_corr(out.values[v], pristine.values) > 0.98
+        # same basin as the measured gd default
+        np.testing.assert_allclose(
+            out.attrs[ATTRS.phase_p0], out_gd.attrs[ATTRS.phase_p0], atol=2.0
+        )
+        # contract: p0 wrapped, p1 boxed
+        assert np.all(np.abs(out.attrs[ATTRS.phase_p0]) <= 180.0)
+        assert np.all(np.abs(out.attrs[ATTRS.phase_p1]) <= 4000.0)
+
+    def test_mode_all_grid_polish_p0_only_second_order(self):
+        builds = [
+            build_spectrum(p0_true=p, seed=s) for p, s in [(40.0, 1), (-70.0, 2)]
+        ]
+        stacked = XmrArray(
+            np.stack([s.values for _, s in builds]),
+            dims=("voxel", DIMS.frequency),
+            coords={DIMS.frequency: builds[0][1].coords[DIMS.frequency].values},
+        )
+        for polish in ("newton", "bfgs"):
+            out = xmt.autophase(
+                stacked, mode="all", p0_only=True, optimizer="grid",
+                polish_optimizer=polish,
+            )
+            for v, (pristine, _) in enumerate(builds):
+                assert real_corr(out.values[v], pristine.values) > 0.98
+            assert np.all(out.attrs[ATTRS.phase_p1] == 0.0)
+
+    def test_mode_all_grid_rejects_bad_polish(self):
+        builds = [build_spectrum(p0_true=40.0, seed=1)]
+        stacked = XmrArray(
+            np.stack([s.values for _, s in builds]),
+            dims=("voxel", DIMS.frequency),
+            coords={DIMS.frequency: builds[0][1].coords[DIMS.frequency].values},
+        )
+        with pytest.raises(ValueError, match="polish_optimizer"):
+            xmt.autophase(
+                stacked, mode="all", optimizer="grid",
+                polish_optimizer="adam",
+            )
+
     def test_mode_all_grid_roi_method(self):
         """ROI methods (peak_minima) scan at full resolution under the
         grid optimizer — decimation would shift/collapse the flank

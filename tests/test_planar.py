@@ -252,3 +252,18 @@ class TestPlanarAutophaseAll:
             np.asarray(re_g) + 1j * np.asarray(im_g), np.asarray(spec_cg),
             atol=1e-4,
         )
+        # second-order polish (ap_polish="bfgs") lands in the same optimum
+        cfg_b = PipelineConfig(
+            zero_fill_to=zf, lb=0.0, autophase="all", p0_only=True,
+            ap_optimizer="grid", ap_polish="bfgs",
+        )
+        _, _, (p0_b, _, _) = spectral_pipeline_planar_raw(
+            jnp.asarray(fids.real), jnp.asarray(fids.imag),
+            jnp.asarray(weight), jnp.asarray(freqs), cfg_b,
+        )
+        # same flat ACME basin as the other optimizers (~2 degree spread)
+        np.testing.assert_allclose(np.asarray(p0_b), np.asarray(p0_g), atol=2.0)
+
+    def test_pipeline_config_rejects_bad_ap_polish(self):
+        with pytest.raises(ValueError, match="ap_polish"):
+            PipelineConfig(ap_polish="adam")

@@ -254,6 +254,7 @@ def autophase(
     temp_time_dim: str = DIMS.time,
     optimizer: str = "de",
     seed: int = 42,
+    polish_optimizer: str = "gd",
     **kwargs,
 ) -> XmrArray:
     """Automatically find and apply phase correction.
@@ -269,8 +270,13 @@ def autophase(
       entire grid in one launch (reference raises NotImplementedError here).
       ``optimizer="de"`` runs one DE search per voxel; ``optimizer="grid"``
       scores a deterministic candidate mesh on decimated spectra and
-      gradient-polishes the per-voxel winner at full resolution — several
+      polishes the per-voxel winner at full resolution — several
       times cheaper at grid scale (see :func:`_grid_phase_search`).
+    * ``polish_optimizer`` (grid mode only): ``"gd"`` (backtracking
+      gradient descent, the measured r5 default), ``"newton"`` (damped
+      per-voxel Newton), or ``"bfgs"`` (one exact Hessian + rank-2
+      updates — second-order steps at gradient-descent per-iteration
+      cost; fewest full-resolution objective passes).
 
     Bounds: p0 in [-180, 180] degrees; p1 in [-4000, 4000] degrees unless
     ``p0_only`` locks p1 = 0.
@@ -298,6 +304,7 @@ def autophase(
         return _autophase_all(
             da, dim, method, target_coord, p0_only, index_width, seed, lb,
             temp_time_dim, optimizer=optimizer,
+            polish_optimizer=polish_optimizer,
         )
 
     # ---- mode == "single" ----
@@ -388,6 +395,8 @@ def _grid_phase_search(
     grid_decimate: int | None = None,
     polish_iters: int = 40,
     cand_chunk: int = 4,
+    polish_optimizer: str = "gd",
+    newton_iters: int | None = None,
 ):
     """Per-voxel phase search: coarse candidate scan + gradient polish.
 
@@ -575,6 +584,161 @@ def _grid_phase_search(
         )
         return best_p
 
+    def polish_second_order(best_p, re_, im_, crd, ti, iw, iters, mode):
+        """Second-order polish on the exact objective (Levenberg-damped).
+
+        The polish is HBM-bandwidth-bound in passes over the
+        (voxels, points) planes, so the figure of merit is objective-pass
+        count, not iteration count.  Two modes:
+
+        * ``"newton"``: the exact 1x1/2x2 Hessian every iteration (one
+          forward-over-reverse AD pass, ~2x a gradient) + a trial
+          evaluation.  Quadratic convergence from within half a mesh cell.
+        * ``"bfgs"``: the exact Hessian ONCE at the seed, then rank-2
+          BFGS updates from the gradient pairs the trial evaluations
+          already produce — each iteration costs one ``value_and_grad``
+          (same passes as one backtracking-GD iteration) but takes a
+          curvature-aware step.
+
+        All algebra is per-voxel closed form (damped 2x2 solve); rejected
+        trials raise the per-voxel damping until the step degenerates into
+        a small, well-scaled gradient step, so indefinite curvature (the
+        ROI scores are piecewise linear) can never ascend.
+        """
+        n_par = 1 if p0_only else 2
+        sp = span[:n_par]
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        eye = jnp.eye(n_par, dtype=dtype)
+
+        def one_obj(u, row_re, row_im, pivot, ti_):
+            p0_ = u[0] * sp[0]
+            p1_ = jnp.asarray(0.0, dtype) if p0_only else u[1] * sp[1]
+            d = _phased_real_planar(row_re, row_im, crd, p0_, p1_, pivot, x_range)
+            return score(d, ti_, iw)
+
+        obj_b = jax.vmap(one_obj)
+        vg_b = jax.vmap(jax.value_and_grad(one_obj))
+        hess_b = jax.vmap(jax.jacfwd(jax.grad(one_obj)))
+
+        def clip_u(u):
+            # p0 is periodic (wrap so reported phases stay in [-180, 180));
+            # p1 keeps the DE search box.
+            p0u = (jnp.mod(u[:, 0] * sp[0] + 180.0, 360.0) - 180.0) / sp[0]
+            if p0_only:
+                return p0u[:, None]
+            p1u = jnp.clip(u[:, 1], -4000.0 / sp[1], 4000.0 / sp[1])
+            return jnp.stack([p0u, p1u], axis=1)
+
+        def sanitize_h(h):
+            bad = ~jnp.all(jnp.isfinite(h), axis=(1, 2))
+            return jnp.where(bad[:, None, None], eye[None], h)
+
+        def damped_step(g, h, lam):
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            # Marquardt scaling: damp with the diagonal's magnitude so a
+            # large lam yields a small gradient step in unit space.
+            dmag = jnp.maximum(
+                jnp.abs(jnp.diagonal(h, axis1=1, axis2=2)), 1e-6
+            )
+            hd = h + lam[:, None, None] * (dmag[:, :, None] * eye[None])
+            if n_par == 1:
+                return -g / hd[:, :, 0]
+            a = hd[:, 0, 0]
+            b = hd[:, 0, 1]
+            c = hd[:, 1, 0]
+            e = hd[:, 1, 1]
+            det = a * e - b * c
+            safe = jnp.abs(det) > tiny
+            det = jnp.where(safe, det, 1.0)
+            s = jnp.stack(
+                [
+                    -(e * g[:, 0] - b * g[:, 1]) / det,
+                    -(a * g[:, 1] - c * g[:, 0]) / det,
+                ],
+                axis=1,
+            )
+            return jnp.where(safe[:, None], s, 0.0)
+
+        u0 = clip_u(best_p[:, :n_par] / sp[None, :])
+        lam0 = jnp.full((v,), jnp.asarray(1e-2, dtype))
+
+        if mode == "newton":
+
+            def body(_, carry):
+                u, f, lam = carry
+                h = sanitize_h(hess_b(u, re_, im_, pivots, ti))
+                g = jax.vmap(jax.grad(one_obj))(u, re_, im_, pivots, ti)
+                u_new = clip_u(u + damped_step(g, h, lam))
+                f_new = obj_b(u_new, re_, im_, pivots, ti)
+                better = f_new < f
+                return (
+                    jnp.where(better[:, None], u_new, u),
+                    jnp.where(better, f_new, f),
+                    jnp.where(better, lam * 0.33, lam * 4.0),
+                )
+
+            f0 = obj_b(u0, re_, im_, pivots, ti)
+            u_fin, _, _ = jax.lax.fori_loop(0, iters, body, (u0, f0, lam0))
+        else:  # bfgs
+
+            def body(_, carry):
+                u, f, g, bmat, lam = carry
+                u_new = clip_u(u + damped_step(g, bmat, lam))
+                f_new, g_new = vg_b(u_new, re_, im_, pivots, ti)
+                ok = jnp.isfinite(f_new) & (f_new < f)
+                s_vec = u_new - u
+                y = g_new - g
+                sy = jnp.sum(s_vec * y, axis=1)
+                bs = jnp.einsum("vij,vj->vi", bmat, s_vec)
+                sbs = jnp.sum(s_vec * bs, axis=1)
+                upd = (
+                    ok
+                    & (sy > 1e-12)
+                    & (sbs > 1e-12)
+                    & jnp.all(jnp.isfinite(y), axis=1)
+                )
+                sy_s = jnp.where(upd, sy, 1.0)
+                sbs_s = jnp.where(upd, sbs, 1.0)
+                b_new = (
+                    bmat
+                    + y[:, :, None] * y[:, None, :] / sy_s[:, None, None]
+                    - bs[:, :, None] * bs[:, None, :] / sbs_s[:, None, None]
+                )
+                return (
+                    jnp.where(ok[:, None], u_new, u),
+                    jnp.where(ok, f_new, f),
+                    jnp.where(ok[:, None], g_new, g),
+                    jnp.where(upd[:, None, None], b_new, bmat),
+                    jnp.where(ok, lam * 0.33, lam * 4.0),
+                )
+
+            f0, g0 = vg_b(u0, re_, im_, pivots, ti)
+            g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+            b0 = sanitize_h(hess_b(u0, re_, im_, pivots, ti))
+            u_fin, _, _, _, _ = jax.lax.fori_loop(
+                0, iters, body, (u0, f0, g0, b0, lam0)
+            )
+        p0f = jnp.mod(u_fin[:, 0] * sp[0] + 180.0, 360.0) - 180.0
+        p1f = jnp.zeros_like(p0f) if p0_only else u_fin[:, 1] * sp[1]
+        return jnp.stack([p0f, p1f], axis=1)
+
+    if polish_optimizer in ("newton", "bfgs"):
+        # Few superlinearly-converging iterations from within half a mesh
+        # cell: runs entirely on the exact objective (no decimated phase).
+        # Defaults measured on the 24-voxel CPU oracle: newton-18 and
+        # bfgs-28 both dominate gd-40 voxel-for-voxel.
+        if newton_iters is None:
+            newton_iters = 18 if polish_optimizer == "newton" else 28
+        return polish_second_order(
+            best_p, rows_re, rows_im, coords_j, t_idx, index_width,
+            newton_iters, polish_optimizer,
+        )
+    if polish_optimizer != "gd":
+        raise ValueError(
+            f"polish_optimizer must be 'gd', 'newton', or 'bfgs', got "
+            f"{polish_optimizer!r}."
+        )
+
     # Two-phase polish is QUALITY-NEUTRAL only for the 1-D p0 search
     # (measured 99.99 % of voxels at-or-below the DE score,
     # results/tpu_r5.jsonl).  For p0 + p1 the decimated phase walks to a
@@ -608,6 +772,7 @@ def _autophase_all(
     lb: float,
     temp_time_dim: str,
     optimizer: str = "de",
+    polish_optimizer: str = "gd",
 ) -> XmrArray:
     """Per-voxel autophase: one DE search per 1-D spectrum, vmapped.
 
@@ -656,6 +821,7 @@ def _autophase_all(
             return _grid_phase_search(
                 rows_re, rows_im, coords_j, x_range, pivots, t_idx,
                 index_width, method, p0_only,
+                polish_optimizer=polish_optimizer,
             )
 
         solutions = solve_grid(rows_re, rows_im, pivots, t_idx)

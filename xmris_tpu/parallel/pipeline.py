@@ -56,6 +56,11 @@ class PipelineConfig:
     # decimated spectra + vectorized gradient polish — several times
     # cheaper at grid scale; see ops.phasing._grid_phase_search).
     ap_optimizer: str = "de"
+    # Polish stage for ap_optimizer="grid": "gd" (backtracking gradient
+    # descent), "newton" (damped per-voxel Newton), or "bfgs" (one exact
+    # Hessian + rank-2 updates; fewest full-resolution objective passes —
+    # see ops.phasing._grid_phase_search).
+    ap_polish: str = "gd"
     # Planar-engine DFT formulation (None -> ops.kernels.dft.DEFAULT_VARIANT);
     # see dft_planar for the menu.  Only the planar pipeline consumes this.
     dft_variant: str | None = None
@@ -76,6 +81,11 @@ class PipelineConfig:
             raise ValueError(
                 f"ap_optimizer must be 'de' or 'grid', got "
                 f"{self.ap_optimizer!r}."
+            )
+        if self.ap_polish not in ("gd", "newton", "bfgs"):
+            raise ValueError(
+                f"ap_polish must be 'gd', 'newton', or 'bfgs', got "
+                f"{self.ap_polish!r}."
             )
 
 
@@ -143,7 +153,7 @@ def _autophase_all_raw(spec, freqs, cfg: PipelineConfig):
 
         xs = _grid_phase_search(
             jnp.real(spec), jnp.imag(spec), freqs, x_range, pivots, t_idx,
-            1, "acme", cfg.p0_only,
+            1, "acme", cfg.p0_only, polish_optimizer=cfg.ap_polish,
         )
     else:
         keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)

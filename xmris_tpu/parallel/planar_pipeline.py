@@ -99,7 +99,8 @@ def _autophase_all_planar(re, im, freqs, cfg: PipelineConfig):
         from xmris_tpu.ops.phasing import _grid_phase_search
 
         xs = _grid_phase_search(
-            re, im, freqs, x_range, pivots, t_idx, 1, "acme", cfg.p0_only
+            re, im, freqs, x_range, pivots, t_idx, 1, "acme", cfg.p0_only,
+            polish_optimizer=cfg.ap_polish,
         )
     else:
         keys = jax.random.split(jax.random.PRNGKey(cfg.de_seed), n_voxels)
