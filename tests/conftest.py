@@ -154,6 +154,31 @@ def pytest_runtest_protocol(item, nextitem):
         user_properties=[],
     )
     hook.pytest_runtest_logreport(report=report)
+    # Short-circuiting the protocol skips pytest's LAZY teardown step:
+    # earlier in-process items leave class/module finalizers on the
+    # SetupState stack for the *next* item's protocol to pop, and if we
+    # don't pop them here the next in-process test dies in
+    # SetupState.setup with "previous item was not torn down properly".
+    # This item itself never ran setup in-process, so teardown_exact only
+    # retires state owed by previous items, exactly as the normal
+    # protocol's pytest_runtest_teardown(nextitem=...) would.
+    try:
+        item.session._setupstate.teardown_exact(nextitem)
+    except BaseException:
+        hook.pytest_runtest_logreport(
+            report=TestReport(
+                nodeid=item.nodeid,
+                location=item.location,
+                keywords={item.name: 1},
+                outcome="failed",
+                longrepr="teardown of prior in-process fixtures failed "
+                "after isolated-subprocess run",
+                when="teardown",
+                sections=[],
+                duration=0.0,
+                user_properties=[],
+            )
+        )
     hook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
     return True
 

@@ -1,0 +1,93 @@
+"""The bigcompile subprocess-isolation hook must not corrupt pytest state.
+
+``tests/conftest.py`` short-circuits ``pytest_runtest_protocol`` for
+``@pytest.mark.bigcompile`` items on few-core hosts, running them in a
+fresh python subprocess (docs/xla_cpu_segfault.md).  Skipping the normal
+protocol also skips pytest's lazy teardown: earlier in-process items
+leave class/module finalizers on the SetupState stack for the next
+item's protocol to pop.  The hook must pop them itself or the next
+in-process test errors with "previous item was not torn down properly"
+(observed 2026-08-18 at
+``test_parallel.py::TestEngineSelection::test_planar_engine_labeled_front_end``,
+the first unmarked test after the marked shard_map group).
+
+This test drives the REAL conftest (read from disk, so it cannot drift
+from the code under test) in a pytester-managed tmp dir with isolation
+forced on, reproducing the exact failing shape: a plain test in one
+class, a marked test, then a plain test in a *different* class.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+pytest_plugins = ["pytester"]
+
+_REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_isolated_item_tears_down_previous_state(pytester, monkeypatch):
+    monkeypatch.setenv("XMT_ISOLATE_BIGCOMPILE", "1")
+    monkeypatch.delenv("XMT_ISOLATED_CHILD", raising=False)
+    # The copied conftest imports xmris_tpu; the tmp rootdir isn't the
+    # repo, so extend the import path for the subprocess (and its nested
+    # isolation child, which inherits the environment).
+    pythonpath = str(_REPO_ROOT)
+    if os.environ.get("PYTHONPATH"):
+        pythonpath += os.pathsep + os.environ["PYTHONPATH"]
+    monkeypatch.setenv("PYTHONPATH", pythonpath)
+
+    pytester.makeconftest((Path(__file__).parent / "conftest.py").read_text())
+    pytester.makepyfile(
+        test_seq="""
+        import os
+
+        import pytest
+
+
+        class TestFirst:
+            def test_plain(self):
+                assert True
+
+            @pytest.mark.bigcompile
+            def test_isolated(self):
+                # Proof the marked body really ran in the fresh child.
+                assert os.environ.get("XMT_ISOLATED_CHILD") == "1"
+
+
+        class TestSecond:
+            def test_after_isolated(self):
+                assert True
+        """
+    )
+    result = pytester.runpytest_subprocess("-q", "-p", "no:cacheprovider")
+    result.assert_outcomes(passed=3, errors=0, failed=0)
+
+
+def test_isolated_item_failure_is_reported(pytester, monkeypatch):
+    monkeypatch.setenv("XMT_ISOLATE_BIGCOMPILE", "1")
+    monkeypatch.delenv("XMT_ISOLATED_CHILD", raising=False)
+    pythonpath = str(_REPO_ROOT)
+    if os.environ.get("PYTHONPATH"):
+        pythonpath += os.pathsep + os.environ["PYTHONPATH"]
+    monkeypatch.setenv("PYTHONPATH", pythonpath)
+
+    pytester.makeconftest((Path(__file__).parent / "conftest.py").read_text())
+    pytester.makepyfile(
+        test_seq="""
+        import pytest
+
+
+        @pytest.mark.bigcompile
+        def test_isolated_fails():
+            raise AssertionError("boom-in-child")
+
+
+        def test_after_failure():
+            assert True
+        """
+    )
+    result = pytester.runpytest_subprocess("-q", "-p", "no:cacheprovider")
+    result.assert_outcomes(passed=1, failed=1, errors=0)
+    result.stdout.fnmatch_lines(["*boom-in-child*"])
