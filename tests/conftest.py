@@ -107,6 +107,102 @@ def pytest_configure(config):
     )
 
 
+# ---------------------------------------------------------------------------
+# Chunked full-suite execution on few-core hosts
+# ---------------------------------------------------------------------------
+# Per-test isolation above is not enough: on a 1-CPU host the XLA:CPU
+# heap corruption accumulates over the WHOLE in-process compile history,
+# and once past the threshold (~500 tests into a full run) the next
+# sizeable native operation — a compile, a compile-cache read, or a
+# cache write — segfaults.  The crash site therefore moves every time a
+# single test is isolated (observed at the v10 kernels, then the 8-device
+# mrsi_pipeline, then mrsi_pipeline's engine-selection compile, then a
+# plain DE autophase cache READ in test_phasing — the last one is not
+# even a big compile).  The structural fix: when a full-suite run starts
+# on a few-core host, run each test MODULE in its own fresh subprocess.
+# Compile history is bounded by one module, the persistent compile cache
+# keeps repeat compiles cheap, and the per-test bigcompile isolation
+# still applies inside each chunk.  Multi-core hosts (where the crash
+# has never been observed) run the normal in-process loop.
+
+
+def _chunk_suite(session) -> bool:
+    if os.environ.get("XMT_ISOLATED_CHILD") or os.environ.get(
+        "XMT_CHUNK_CHILD"
+    ):
+        return False  # never recurse
+    forced = os.environ.get("XMT_CHUNK_SUITE")
+    if forced is not None:
+        return forced not in ("0", "")
+    # Only full-suite-sized runs are at risk; single-file runs keep
+    # today's behavior.
+    return (os.cpu_count() or 1) <= 2 and len(session.items) >= 200
+
+
+def pytest_runtestloop(session):
+    if session.config.getvalue("collectonly"):
+        return None
+    if not _chunk_suite(session):
+        return None
+    import subprocess
+    import sys
+
+    groups: list[tuple[str, list[str]]] = []
+    for item in session.items:
+        path = str(item.path)
+        if not groups or groups[-1][0] != path:
+            groups.append((path, []))
+        groups[-1][1].append(item.nodeid)
+
+    maxfail = session.config.getvalue("maxfail") or 0
+    capman = session.config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    try:
+        print(
+            f"\n[conftest] few-core host: running {len(session.items)} "
+            f"tests as {len(groups)} per-module subprocess chunks "
+            f"(fresh XLA compile history each; see "
+            f"docs/xla_cpu_segfault.md). XMT_CHUNK_SUITE=0 disables.",
+            flush=True,
+        )
+        failed_chunks: list[str] = []
+        for path, nodeids in groups:
+            rel = os.path.relpath(path, session.config.rootpath)
+            print(f"[conftest] chunk: {rel} ({len(nodeids)} tests)", flush=True)
+            cmd = [sys.executable, "-m", "pytest", "-q", "--no-header"]
+            if maxfail:
+                cmd.append("-x")
+            cmd += nodeids
+            env = dict(os.environ, XMT_CHUNK_CHILD="1")
+            rc = subprocess.run(
+                cmd, cwd=str(session.config.rootpath), env=env
+            ).returncode
+            # rc 5 = "no tests ran" (a chunk fully deselected/skipped
+            # by the child's own logic) — not a failure.
+            if rc not in (0, 5):
+                failed_chunks.append(rel)
+                session.testsfailed += 1
+                if maxfail and len(failed_chunks) >= maxfail:
+                    break
+        if failed_chunks:
+            print(
+                f"[conftest] {len(failed_chunks)} chunk(s) failed: "
+                + ", ".join(failed_chunks),
+                flush=True,
+            )
+        else:
+            print(
+                f"[conftest] all {len(groups)} chunks green "
+                "(counts are in the per-chunk summaries above)",
+                flush=True,
+            )
+    finally:
+        if capman is not None:
+            capman.resume_global_capture()
+    return True
+
+
 def pytest_runtest_protocol(item, nextitem):
     if item.get_closest_marker("bigcompile") is None:
         return None

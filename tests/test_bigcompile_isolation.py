@@ -91,3 +91,55 @@ def test_isolated_item_failure_is_reported(pytester, monkeypatch):
     result = pytester.runpytest_subprocess("-q", "-p", "no:cacheprovider")
     result.assert_outcomes(passed=1, failed=1, errors=0)
     result.stdout.fnmatch_lines(["*boom-in-child*"])
+
+
+def _chunk_env(monkeypatch):
+    monkeypatch.setenv("XMT_CHUNK_SUITE", "1")
+    monkeypatch.delenv("XMT_CHUNK_CHILD", raising=False)
+    monkeypatch.delenv("XMT_ISOLATED_CHILD", raising=False)
+    monkeypatch.setenv("XMT_ISOLATE_BIGCOMPILE", "0")
+    pythonpath = str(_REPO_ROOT)
+    if os.environ.get("PYTHONPATH"):
+        pythonpath += os.pathsep + os.environ["PYTHONPATH"]
+    monkeypatch.setenv("PYTHONPATH", pythonpath)
+
+
+def test_chunked_suite_runs_each_module_in_subprocess(pytester, monkeypatch):
+    _chunk_env(monkeypatch)
+    pytester.makeconftest((Path(__file__).parent / "conftest.py").read_text())
+    pytester.makepyfile(
+        test_alpha="""
+        import os
+
+
+        def test_in_chunk_child():
+            assert os.environ.get("XMT_CHUNK_CHILD") == "1"
+        """,
+        test_beta="""
+        def test_two():
+            assert True
+        """,
+    )
+    result = pytester.runpytest_subprocess("-q", "-p", "no:cacheprovider")
+    assert result.ret == 0
+    result.stdout.fnmatch_lines(
+        ["*chunk: test_alpha.py*", "*chunk: test_beta.py*", "*chunks green*"]
+    )
+
+
+def test_chunked_suite_propagates_failure(pytester, monkeypatch):
+    _chunk_env(monkeypatch)
+    pytester.makeconftest((Path(__file__).parent / "conftest.py").read_text())
+    pytester.makepyfile(
+        test_alpha="""
+        def test_fails():
+            raise AssertionError("chunk-failure-marker")
+        """,
+        test_beta="""
+        def test_ok():
+            assert True
+        """,
+    )
+    result = pytester.runpytest_subprocess("-q", "-p", "no:cacheprovider")
+    assert result.ret == 1
+    result.stdout.fnmatch_lines(["*chunk-failure-marker*", "*1 chunk(s) failed*"])

@@ -129,6 +129,11 @@ class TestSharding:
 
 
 class TestEngineSelection:
+    # Compiles the whole mrsi_pipeline twice (complex + planar engines,
+    # in-graph DE autophase) — big enough that even its compile-cache
+    # READ segfaults late in a long in-process compile history on a
+    # 1-CPU host (2026-08-18, docs/xla_cpu_segfault.md).
+    @pytest.mark.bigcompile
     def test_planar_engine_labeled_front_end(self):
         da = make_grid(nx=4, ny=2)
         cfg = PipelineConfig(zero_fill_to=512, lb=5.0, autophase="single")
