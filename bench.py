@@ -451,6 +451,10 @@ def main() -> None:
         lb=5.0,
         autophase="single",
         dft_variant=os.environ.get("XMT_DFT_VARIANT") or None,
+        # "stacked" keeps the Pallas kernel's native (B, n2, n1) spectrum
+        # layout (host reshape is free), skipping the XLA lane-merge
+        # relayout of the flat return — measurement knob, default flat.
+        spec_layout=os.environ.get("XMT_SPEC_LAYOUT", "flat"),
     )
 
     backend = jax.default_backend()

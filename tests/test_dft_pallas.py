@@ -190,3 +190,121 @@ class TestInKernelMaxMag:
                 xr, xr, 128, v_tile=2, interpret=True, s2="stacked",
                 with_maxmag=True,
             )
+
+
+class TestStackedOut:
+    def test_stacked_out_is_reshape_of_flat(self):
+        """stacked_out returns batch + (n2, n1) blocks whose C-order reshape
+        IS the flat spectrum (bit-identical: same kernel, no relayout)."""
+        from xmris_tpu.ops.kernels.dft_pallas import stacked_spec_shape
+
+        rng = np.random.default_rng(11)
+        b, n_in, n_out = 5, 1024, 2048
+        xr = rng.normal(size=(b, n_in)).astype(np.float32)
+        xi = rng.normal(size=(b, n_in)).astype(np.float32)
+        w = np.exp(-np.arange(n_in) / 250.0).astype(np.float32)
+        flat = spectrum_pallas(
+            jnp.asarray(xr), jnp.asarray(xi), n_out, window=jnp.asarray(w),
+            v_tile=2, interpret=True,
+        )
+        stk = spectrum_pallas(
+            jnp.asarray(xr), jnp.asarray(xi), n_out, window=jnp.asarray(w),
+            v_tile=2, interpret=True, stacked_out=True,
+        )
+        n2, n1 = stacked_spec_shape(n_in, n_out)
+        assert stk[0].shape == (b, n2, n1)
+        np.testing.assert_array_equal(
+            np.asarray(stk[0]).reshape(b, n_out), np.asarray(flat[0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stk[1]).reshape(b, n_out), np.asarray(flat[1])
+        )
+
+    def test_stacked_out_with_maxmag(self):
+        """The in-kernel peak extras compose with the stacked return."""
+        rng = np.random.default_rng(12)
+        b, n_in, n_out = 3, 256, 512
+        xr = rng.normal(size=(b, n_in)).astype(np.float32)
+        xi = rng.normal(size=(b, n_in)).astype(np.float32)
+        sr, si, mv, mi = spectrum_pallas(
+            jnp.asarray(xr), jnp.asarray(xi), n_out, v_tile=4,
+            interpret=True, with_maxmag=True, stacked_out=True,
+        )
+        m2 = (np.asarray(sr) ** 2 + np.asarray(si) ** 2).reshape(b, n_out)
+        np.testing.assert_allclose(np.asarray(mv), m2.max(axis=1), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mi), m2.argmax(axis=1))
+
+    def test_stacked_out_rejects_stacked_s2(self):
+        xr = jnp.zeros((4, 64), jnp.float32)
+        with pytest.raises(ValueError, match="stacked_out"):
+            spectrum_pallas(
+                xr, xr, 128, v_tile=2, interpret=True, s2="stacked",
+                stacked_out=True,
+            )
+
+    def test_pipeline_stacked_layout_parity(self):
+        """spec_layout='stacked' matches the flat pallas pipeline exactly
+        (same kernel output, same autophase solution) after a host reshape."""
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.planar_pipeline import (
+            spectral_pipeline_planar_raw,
+        )
+
+        rng = np.random.default_rng(13)
+        n_vox, n_time, zf = 6, 128, 256
+        re = rng.normal(size=(n_vox, n_time)).astype(np.float32)
+        im = rng.normal(size=(n_vox, n_time)).astype(np.float32)
+        t_full = np.arange(zf) / 4000.0
+        weight = np.exp(-np.pi * 5.0 * t_full).astype(np.float32)
+        freqs = np.fft.fftshift(np.fft.fftfreq(zf, d=1 / 4000.0)).astype(
+            np.float32
+        )
+
+        for autophase in ("single", "none"):
+            flat_cfg = PipelineConfig(
+                zero_fill_to=zf, lb=5.0, autophase=autophase,
+                dft_variant="pallas",
+            )
+            stk_cfg = PipelineConfig(
+                zero_fill_to=zf, lb=5.0, autophase=autophase,
+                dft_variant="pallas", spec_layout="stacked",
+            )
+            a = spectral_pipeline_planar_raw(
+                jnp.asarray(re), jnp.asarray(im), jnp.asarray(weight),
+                jnp.asarray(freqs), flat_cfg,
+            )
+            s = spectral_pipeline_planar_raw(
+                jnp.asarray(re), jnp.asarray(im), jnp.asarray(weight),
+                jnp.asarray(freqs), stk_cfg,
+            )
+            assert s[0].ndim == 3
+            np.testing.assert_allclose(
+                np.asarray(s[0]).reshape(n_vox, zf), np.asarray(a[0]),
+                rtol=0, atol=1e-6 * float(np.max(np.abs(np.asarray(a[0])))),
+            )
+            np.testing.assert_allclose(
+                np.asarray(s[1]).reshape(n_vox, zf), np.asarray(a[1]),
+                rtol=0, atol=1e-6 * float(np.max(np.abs(np.asarray(a[1])))),
+            )
+            for k in range(3):  # identical (p0, p1, pivot)
+                np.testing.assert_allclose(
+                    float(s[2][k]), float(a[2][k]), atol=1e-5
+                )
+
+    def test_config_rejects_stacked_with_all(self):
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+
+        with pytest.raises(ValueError, match="stacked"):
+            PipelineConfig(autophase="all", spec_layout="stacked")
+
+    def test_sharded_rejects_stacked(self):
+        from xmris_tpu.parallel.mesh import make_mesh
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import process_grid_sharded
+
+        cfg = PipelineConfig(spec_layout="stacked", autophase="none")
+        with pytest.raises(ValueError, match="flat"):
+            process_grid_sharded(
+                *([None] * 9), mesh=make_mesh(1), cfg=cfg,
+                pmap_static=None, mhz=1.0, amp_slots=(), ls_plan=(),
+            )

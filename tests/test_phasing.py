@@ -129,14 +129,14 @@ class TestScores:
 
 
 class TestAutophase:
-    @pytest.mark.parametrize("optimizer", ["de", "scipy"])
+    @pytest.mark.parametrize("optimizer", ["de", "scipy", "grid"])
     def test_recovers_p0(self, optimizer):
         pristine, spec = build_spectrum(p0_true=-55.0)
         out = xmt.autophase(spec, p0_only=True, optimizer=optimizer)
         assert real_corr(out.values, pristine.values) > 0.98
         assert out.attrs[ATTRS.phase_p1] == 0.0
 
-    @pytest.mark.parametrize("optimizer", ["de", "scipy"])
+    @pytest.mark.parametrize("optimizer", ["de", "scipy", "grid"])
     def test_recovers_p0_p1(self, optimizer):
         pristine, spec = build_spectrum(p0_true=30.0, p1_true=-400.0)
         out = xmt.autophase(spec, optimizer=optimizer)
@@ -149,6 +149,15 @@ class TestAutophase:
         # Same basin, agreeing to well under a degree of p0
         d = abs(out_de.attrs[ATTRS.phase_p0] - out_sp.attrs[ATTRS.phase_p0])
         assert d < 0.5
+
+    def test_single_grid_matches_de_optimum(self):
+        """mode='single' optimizer='grid' lands in the DE basin (same ACME
+        objective, deterministic candidate scan + polish)."""
+        _, spec = build_spectrum(p0_true=-55.0)
+        out_g = xmt.autophase(spec, p0_only=True, optimizer="grid")
+        out_de = xmt.autophase(spec, p0_only=True, optimizer="de")
+        d = abs(out_g.attrs[ATTRS.phase_p0] - out_de.attrs[ATTRS.phase_p0])
+        assert d < 1.0
 
     def test_mode_all_per_voxel(self):
         # two voxels with different true phase errors

@@ -168,6 +168,37 @@ class TestPlanarPipelineParity:
         assert float(p0_c) == pytest.approx(float(p0_p), abs=1e-6)
         np.testing.assert_allclose(planar, complexp, atol=1e-8)
 
+    def test_single_grid_optimizer_matches_de(self):
+        """ap_optimizer='grid' on the single-mode pivot-row solve lands on
+        the DE optimum (same ACME objective; far fewer sequential steps)."""
+        rng = np.random.default_rng(21)
+        n_vox, n_time, zf = 6, 256, 512
+        t = np.arange(n_time) / 4000.0
+        fids = (
+            rng.uniform(1, 4, (n_vox, 1))
+            * np.exp((1j * 2 * np.pi * rng.uniform(-1e3, 1e3, (n_vox, 1)) - 30) * t)
+        )
+        fids *= np.exp(1j * np.deg2rad(35.0))
+        fids += rng.normal(0, 1e-3, fids.shape) + 1j * rng.normal(0, 1e-3, fids.shape)
+        t_full = np.arange(zf) / 4000.0
+        weight = np.exp(-np.pi * 5.0 * t_full)
+        freqs = np.fft.fftshift(np.fft.fftfreq(zf, d=t[1] - t[0]))
+
+        outs = {}
+        for opt in ("de", "grid"):
+            cfg = PipelineConfig(
+                zero_fill_to=zf, lb=5.0, autophase="single", ap_optimizer=opt
+            )
+            re, im, (p0, p1, piv) = spectral_pipeline_planar_raw(
+                jnp.asarray(fids.real), jnp.asarray(fids.imag),
+                jnp.asarray(weight), jnp.asarray(freqs), cfg,
+            )
+            outs[opt] = (float(p0), float(p1), float(piv))
+        assert outs["grid"][2] == outs["de"][2]  # same pivot election
+        assert abs(outs["grid"][0] - outs["de"][0]) < 2.0
+        # p1 agrees on the ramp scale (same basin)
+        assert abs(outs["grid"][1] - outs["de"][1]) < 100.0
+
     def test_no_autophase_mode(self):
         xr, xi = rand_planar((4, 128), seed=9)
         weight = np.ones(128)

@@ -299,11 +299,26 @@ def _spectrum_kernel(
             )
 
 
+def stacked_spec_shape(n_in: int, n_out: int, n2: int | None = None):
+    """The (n2, n1) per-voxel block shape of the ``stacked_out`` layout.
+
+    ``spectrum_pallas(..., stacked_out=True)`` returns spectra shaped
+    ``batch + (n2, n1)`` where the flat frequency index is
+    ``k = k1 + n1 * k2`` — i.e. a C-order reshape of the last two dims
+    recovers the flat spectrum exactly (the layouts are linear-memory
+    identical; only the on-device tiling differs).
+    """
+    if n2 is None:
+        n2 = _pick_n2(n_in, n_out)
+    return n2, n_out // n2
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_out", "n2", "shifted", "ortho", "v_tile", "interpret", "s2",
         "pre_relayout", "vmem_limit_mb", "with_maxmag", "precision",
+        "stacked_out",
     ),
 )
 def spectrum_pallas(
@@ -321,6 +336,7 @@ def spectrum_pallas(
     vmem_limit_mb: int | None = None,
     with_maxmag: bool = False,
     precision: str = "highest",
+    stacked_out: bool = False,
 ):
     """Fused window -> zero-fill -> ortho DFT -> fftshift of a planar batch.
 
@@ -341,9 +357,20 @@ def spectrum_pallas(
     so the autophase pipeline's full-grid magnitude+argmax pass over HBM
     disappears.  Return becomes ``(out_re, out_im, max_mag2, max_idx)``
     with the extras shaped like the batch.
+
+    ``stacked_out=True`` (loop path only) skips the final XLA lane-merge
+    relayout and returns the spectra in the kernel's native stacked layout,
+    shaped ``batch + (n2, n1)`` with flat frequency ``k = k1 + n1*k2`` (see
+    :func:`stacked_spec_shape`).  The stacked block is linear-memory
+    identical to the flat spectrum, so a host-side C-order reshape — or a
+    leading-dim-preserving consumer on device — recovers it for free; the
+    relayout the flat return pays (~0.6 ms/plane at bench scale, r7 trace)
+    never runs.
     """
     if with_maxmag and s2 != "loop":
         raise ValueError("with_maxmag requires the default s2='loop' path")
+    if stacked_out and s2 != "loop":
+        raise ValueError("stacked_out requires the default s2='loop' path")
     batch_shape = xr.shape[:-1]
     n_in = xr.shape[-1]
     if n2 is None:
@@ -522,13 +549,22 @@ def spectrum_pallas(
             .transpose(1, 0, 2)
             .reshape(b_pad, n_out)[:b]
         )
+    elif stacked_out:
+        # Keep the kernel's native ((v, k2), k1) layout: the leading-dim
+        # split below is tiling-preserving (32 sublane rows = 4 whole
+        # (8, 128) tiles per voxel either way), so no relayout pass runs.
+        out_re = ore.reshape(b_pad, n2, n1)[:b]
+        out_im = oim.reshape(b_pad, n2, n1)[:b]
     else:
-        # Rows are (v, k2) with k1 on the lanes: k = k1 + n1*k2 is a
-        # contiguity-preserving reshape — no transpose at all.
+        # Rows are (v, k2) with k1 on the lanes: k = k1 + n1*k2 preserves
+        # the linear element order (no transpose), but the TILED layouts
+        # differ (n1-lane rows vs dense n_out-lane rows) so XLA still pays
+        # a relayout pass here; stacked_out=True is the way to skip it.
         out_re = ore.reshape(b_pad, n_out)[:b]
         out_im = oim.reshape(b_pad, n_out)[:b]
-    out_re = out_re.reshape(batch_shape + (n_out,))
-    out_im = out_im.reshape(batch_shape + (n_out,))
+    tail = (n2, n1) if stacked_out else (n_out,)
+    out_re = out_re.reshape(batch_shape + tail)
+    out_im = out_im.reshape(batch_shape + tail)
     if with_maxmag:
         mv = outs[2][:, 0, :].reshape(b_pad)[:b].reshape(batch_shape)
         mi = outs[3][:, 0, :].reshape(b_pad)[:b].reshape(batch_shape)

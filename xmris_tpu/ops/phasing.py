@@ -266,6 +266,10 @@ def autophase(
     * ``optimizer="scipy"``: the reference's exact scipy differential
       evolution (best1bin, tol 0.01, seeded) on a NumPy objective, for
       bit-level reproduction of reference results.  Single mode only.
+    * ``optimizer="grid"`` (either mode): deterministic candidate scan +
+      polish (:func:`_grid_phase_search`).  In single mode the solve is
+      sequential-latency-bound on device, and the grid search runs ~5×
+      fewer sequential steps than the DE generations.
     * ``mode="all"``: per-voxel independent searches, vmapped across the
       entire grid in one launch (reference raises NotImplementedError here).
       ``optimizer="de"`` runs one DE search per voxel; ``optimizer="grid"``
@@ -348,7 +352,7 @@ def autophase(
         )
         p0_opt = float(opt.x[0])
         p1_opt = float(opt.x[1]) if not p0_only else 0.0
-    elif optimizer == "de":
+    elif optimizer in ("de", "grid"):
         # Split planes host-side: the device graph stays real-only (the axon
         # TPU backend cannot execute complex programs).
         vals = np.asarray(work_da.values)
@@ -356,26 +360,42 @@ def autophase(
         re_j = jnp.asarray(np.ascontiguousarray(vals.real), dtype=real_dtype)
         im_j = jnp.asarray(np.ascontiguousarray(vals.imag), dtype=real_dtype)
         coords_j = jnp.asarray(coords, dtype=real_dtype)
-        score = _SCORES[method]
 
-        def objective(ph):
-            p0 = ph[0]
-            p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
-            d = _phased_real_planar(re_j, im_j, coords_j, p0, p1, pivot, x_range)
-            return score(d, target_idx, index_width)
+        if optimizer == "grid":
+            # Deterministic candidate scan + polish with a batch of one —
+            # the same search mode="all" uses; far fewer sequential device
+            # steps than the DE generations on this latency-bound solve.
+            xs = _grid_phase_search(
+                re_j[None, :], im_j[None, :], coords_j, x_range,
+                jnp.asarray([pivot], real_dtype),
+                jnp.asarray([target_idx], jnp.int32),
+                index_width, method, p0_only, cand_chunk=16,
+                polish_optimizer=polish_optimizer,
+            )
+            x = np.asarray(xs[0])
+        else:
+            score = _SCORES[method]
 
-        result = differential_evolution(
-            objective,
-            jnp.asarray(bounds_list),
-            seed=seed,
-            tol=0.01,
-            polish_iters=60,
-        )
-        x = np.asarray(result.x)
+            def objective(ph):
+                p0 = ph[0]
+                p1 = ph[1] if not p0_only else jnp.asarray(0.0, ph.dtype)
+                d = _phased_real_planar(
+                    re_j, im_j, coords_j, p0, p1, pivot, x_range
+                )
+                return score(d, target_idx, index_width)
+
+            result = differential_evolution(
+                objective,
+                jnp.asarray(bounds_list),
+                seed=seed,
+                tol=0.01,
+                polish_iters=60,
+            )
+            x = np.asarray(result.x)
         p0_opt = float(x[0])
         p1_opt = float(x[1]) if not p0_only else 0.0
     else:
-        raise ValueError("optimizer must be 'de' or 'scipy'.")
+        raise ValueError("optimizer must be 'de', 'grid', or 'scipy'.")
 
     return phase(da, dim=dim, p0=p0_opt, p1=p1_opt, pivot=pivot)
 

@@ -51,10 +51,12 @@ class PipelineConfig:
     de_popsize: int = 15
     de_maxiter: int = 200
     de_seed: int = 42
-    # Per-voxel search strategy for autophase="all": "de" (one differential
-    # evolution per voxel) or "grid" (shared candidate mesh scored on
-    # decimated spectra + vectorized gradient polish — several times
-    # cheaper at grid scale; see ops.phasing._grid_phase_search).
+    # Phase-search strategy for autophase "all" AND "single": "de" (one
+    # differential evolution per voxel / on the pivot row) or "grid"
+    # (shared candidate mesh scored on decimated spectra + vectorized
+    # polish — several times cheaper at grid scale, and far fewer
+    # sequential steps for the latency-bound single-row solve; see
+    # ops.phasing._grid_phase_search).
     ap_optimizer: str = "de"
     # Polish stage for ap_optimizer="grid": "gd" (backtracking gradient
     # descent), "newton" (damped per-voxel Newton), or "bfgs" (one exact
@@ -70,6 +72,13 @@ class PipelineConfig:
     # the dense rect matmul, where K=2048 pushed it to 8.6e-6); "default"
     # (one bf16 pass, ~1.3e-3) is for throughput experiments only.
     dft_precision: str | None = None
+    # Spectral output layout (planar Pallas path only).  "flat" returns
+    # (B, n_out) spectra; "stacked" keeps the kernel's native
+    # (B, n2, n1) block layout (flat k = k1 + n1*k2 — a C-order reshape of
+    # the last two dims, free on host) and skips the XLA lane-merge
+    # relayout the flat return pays.  Requires the pallas DFT variant and
+    # autophase in ("single", "none").
+    spec_layout: str = "flat"
 
     def __post_init__(self):
         if self.autophase not in ("single", "all", "none"):
@@ -86,6 +95,16 @@ class PipelineConfig:
             raise ValueError(
                 f"ap_polish must be 'gd', 'newton', or 'bfgs', got "
                 f"{self.ap_polish!r}."
+            )
+        if self.spec_layout not in ("flat", "stacked"):
+            raise ValueError(
+                f"spec_layout must be 'flat' or 'stacked', got "
+                f"{self.spec_layout!r}."
+            )
+        if self.spec_layout == "stacked" and self.autophase == "all":
+            raise ValueError(
+                "spec_layout='stacked' supports autophase 'single'/'none' "
+                "only (per-voxel autophase needs flat spectra)."
             )
 
 

@@ -28,13 +28,32 @@ def _apply_phase_planar(re, im, phi):
 
 
 def _solve_phase_on_row(row_re, row_im, freqs, pivot, cfg: PipelineConfig):
-    """ACME differential-evolution (p0, p1) solve on one pivot spectrum row.
+    """ACME (p0, p1) solve on one pivot spectrum row.
 
-    Deterministic in its inputs (fixed DE seed from ``cfg``), so replicated
-    callers (every shard of the sharded fused program) all land on the same
-    phases with zero extra communication.
+    ``cfg.ap_optimizer`` selects the search: ``"de"`` (default) runs the
+    in-graph differential evolution; ``"grid"`` runs the deterministic
+    candidate scan + polish of :func:`xmris_tpu.ops.phasing._grid_phase_search`
+    with a batch of one — far fewer *sequential* device steps (the
+    single-row solve is latency-bound, not throughput-bound), same ACME
+    objective.  Both are deterministic in their inputs, so replicated
+    callers (every shard of the sharded fused program) all land on the
+    same phases with zero extra communication.
     """
     x_range = freqs[-1] - freqs[0]
+
+    if cfg.ap_optimizer == "grid":
+        from xmris_tpu.ops.phasing import _grid_phase_search
+
+        # t_idx feeds only the ROI scores; the pipeline objective is ACME.
+        xs = _grid_phase_search(
+            row_re[None, :], row_im[None, :], freqs, x_range,
+            pivot[None], jnp.zeros((1,), jnp.int32), 1, "acme",
+            cfg.p0_only, cand_chunk=16,
+            polish_optimizer=cfg.ap_polish,
+        )
+        p0 = xs[0, 0]
+        p1 = xs[0, 1] if not cfg.p0_only else jnp.asarray(0.0, xs.dtype)
+        return p0, p1
 
     def objective(ph):
         p0 = ph[0]
@@ -62,10 +81,16 @@ def _solve_phase_on_row(row_re, row_im, freqs, pivot, cfg: PipelineConfig):
 
 
 def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig, peak=None):
+    """Accepts flat ``(B, n_freq)`` spectra or the stacked ``(B, n2, n1)``
+    Pallas block layout (flat frequency k = k1 + n1*k2, so a C-order
+    reshape of a voxel's trailing dims IS its flat spectrum)."""
+    stacked = re.ndim == 3
+    n_freq = freqs.shape[0]
     if peak is None:
         mag2 = re * re + im * im
         flat_idx = jnp.argmax(mag2)
-        n_freq = re.shape[-1]
+        # Both layouts linearize voxel-major with the flat frequency as
+        # the intra-voxel order, so the decomposition is layout-agnostic.
         voxel_idx = flat_idx // n_freq
         freq_idx = flat_idx % n_freq
     else:
@@ -78,13 +103,22 @@ def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig, peak=None):
 
     row_re = jax.lax.dynamic_index_in_dim(re, voxel_idx, axis=0, keepdims=False)
     row_im = jax.lax.dynamic_index_in_dim(im, voxel_idx, axis=0, keepdims=False)
+    if stacked:
+        # One voxel's (n2, n1) block -> flat row; tiny, so the relayout
+        # the full-grid flat return would pay never touches the batch.
+        row_re = row_re.reshape(n_freq)
+        row_im = row_im.reshape(n_freq)
 
     p0, p1 = _solve_phase_on_row(row_re, row_im, freqs, pivot, cfg)
 
     phi = (jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((freqs - pivot) / x_range)).astype(
         re.dtype
     )
-    re, im = _apply_phase_planar(re, im, phi[None, :])
+    if stacked:
+        phi = phi.reshape(re.shape[-2:])[None]
+    else:
+        phi = phi[None, :]
+    re, im = _apply_phase_planar(re, im, phi)
     return re, im, p0, p1, pivot
 
 
@@ -150,6 +184,12 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
 
     Same contract as ``spectral_pipeline_raw`` but inputs/outputs are
     (real, imag) pairs; returns ``(spec_re, spec_im, (p0, p1, pivot))``.
+
+    With ``cfg.spec_layout == "stacked"`` (pallas variant only) the spectra
+    come back in the kernel's native ``(B, n2, n1)`` block layout — flat
+    frequency ``k = k1 + n1*k2``, i.e. a C-order reshape of the trailing
+    dims recovers the flat spectrum (free on host) — skipping the XLA
+    lane-merge relayout of the flat return.
     """
     b, n_time = fids_re.shape
 
@@ -181,6 +221,14 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
         if pallas_split_ok(n_time, cfg.zero_fill_to):
             variant = "pallas"
 
+    stacked = cfg.spec_layout == "stacked"
+    if stacked and variant != "pallas":
+        raise ValueError(
+            "spec_layout='stacked' requires the pallas DFT variant "
+            f"(resolved variant: {variant!r}; shapes must satisfy "
+            "pallas_split_ok and the backend must select/force it)."
+        )
+
     peak = None
     if variant == "pallas":
         # Window + zero-fill + ortho DFT + fftshift in ONE Pallas kernel
@@ -196,6 +244,7 @@ def spectral_pipeline_planar_raw(fids_re, fids_im, weight, freqs, cfg: PipelineC
             window=weight[:n_time].astype(fids_re.dtype),
             interpret=jax.default_backend() not in ("tpu",),
             with_maxmag=want_peak,
+            stacked_out=stacked,
         )
         if want_peak:
             spec_re, spec_im, mv, mi = out

@@ -180,6 +180,11 @@ def process_grid_sharded(
     Parity with the single-device program is exact up to per-voxel float
     reassociation (asserted in ``tests/test_parallel.py``).
     """
+    if cfg.spec_layout != "flat":
+        raise ValueError(
+            "process_grid_sharded supports spec_layout='flat' only (the "
+            "autophase pivot election assumes flat spectrum rows)."
+        )
     n_dev = mesh.shape[axis_name]
     b = fids_re.shape[0]
     if b % n_dev:
