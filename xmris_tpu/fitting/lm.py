@@ -853,6 +853,7 @@ def lm_fit_batched_pallas(
     gate_rejects: bool = False,
     plateau_streak: int = 3,
     varpro: bool | None = None,
+    spd_pallas: bool = True,
 ):
     """Public entry: validates v7's uniform-t precondition eagerly, then
     dispatches to the jitted implementation (see
@@ -901,7 +902,7 @@ def lm_fit_batched_pallas(
         interpret=interpret, kernel_version=kernel_version,
         return_hessian=return_hessian, gate_rejects=gate_rejects,
         uniform_t_ok=uniform_t_ok, plateau_streak=plateau_streak,
-        varpro=varpro,
+        varpro=varpro, spd_pallas=spd_pallas,
     )
 
 
@@ -910,7 +911,7 @@ def lm_fit_batched_pallas(
     static_argnames=(
         "pmap_static", "max_iter", "mhz", "v_tile", "interpret",
         "kernel_version", "return_hessian", "gate_rejects", "uniform_t_ok",
-        "plateau_streak", "varpro",
+        "plateau_streak", "varpro", "spd_pallas",
     ),
 )
 def _lm_fit_batched_pallas_impl(
@@ -934,6 +935,7 @@ def _lm_fit_batched_pallas_impl(
     uniform_t_ok: bool = False,
     plateau_streak: int = 3,
     varpro: bool = False,
+    spd_pallas: bool = True,
 ):
     """Bounded LM with the fused Pallas normal-equations kernel.
 
@@ -1055,16 +1057,29 @@ def _lm_fit_batched_pallas_impl(
 
     def step(carry):
         u, cost, g, h, lam, n_acc, streak, done, i = carry
-        diag = jnp.diagonal(h, axis1=1, axis2=2)
-        damped = h + (
-            lam[:, None, None] * jnp.maximum(diag, 1e-12)[:, None, :]
-            * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
-        ) + 1e-12 * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
-        # Unrolled tiny-SPD solve: XLA's batched cholesky dominates the whole
-        # LM iteration on TPU (see ops/kernels/spd.py).
-        from xmris_tpu.ops.kernels.spd import spd_solve_small
+        if spd_pallas:
+            # Damping + Cholesky + both substitutions in ONE VMEM-resident
+            # Pallas launch (voxels on lanes; see ops/kernels/spd.py).  The
+            # unrolled XLA form re-materializes the (B, F, F) tensor through
+            # HBM on every rank-1 update — measured ~1.9 ms/LM-iteration at
+            # bench scale (r9 fused-program trace), vs one read + one write
+            # here.
+            from xmris_tpu.ops.kernels.spd import spd_solve_damped_pallas
 
-        delta_raw = spd_solve_small(damped, g)
+            delta_raw = spd_solve_damped_pallas(
+                h, g, lam, interpret=interpret
+            )
+        else:
+            diag = jnp.diagonal(h, axis1=1, axis2=2)
+            damped = h + (
+                lam[:, None, None] * jnp.maximum(diag, 1e-12)[:, None, :]
+                * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
+            ) + 1e-12 * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
+            # Unrolled tiny-SPD solve: XLA's batched cholesky dominates the
+            # whole LM iteration on TPU (see ops/kernels/spd.py).
+            from xmris_tpu.ops.kernels.spd import spd_solve_small
+
+            delta_raw = spd_solve_small(damped, g)
         solve_ok = jnp.all(jnp.isfinite(delta_raw), axis=-1)
         delta = jnp.where(solve_ok[:, None], delta_raw, 0.0)
         u_t = u + delta
@@ -1182,8 +1197,8 @@ def _pallas_result_tail(
     return result, h_ext
 
 
-@jax.jit
-def crlb_from_hessian(h_ext, cost, n_t):
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def crlb_from_hessian(h_ext, cost, n_t, use_pallas=True, interpret=None):
     """CRLB standard deviations from an already-available GN Hessian.
 
     Same math as :func:`crlb_batched_pallas` (sigma^2 from the final
@@ -1195,14 +1210,28 @@ def crlb_from_hessian(h_ext, cost, n_t):
     (the LM driver zeroes the rows of parameters pinned at a bound, and a
     structurally zero Jacobian row lands here too): its CRLB is reported as
     ``inf`` rather than a misleading huge-but-finite ridge artifact.
+
+    ``use_pallas`` selects the VMEM-resident Pallas inverse-diagonal
+    (:func:`~xmris_tpu.ops.kernels.spd.spd_inverse_diag_pallas`; the XLA
+    unrolled form pays ~F HBM re-materializations of the (B, F, F)
+    tensor).  ``interpret=None`` resolves to interpret mode off-TPU at
+    trace time, matching the kernel call sites elsewhere.
     """
-    from xmris_tpu.ops.kernels.spd import spd_inverse_diag
+    from xmris_tpu.ops.kernels.spd import (
+        spd_inverse_diag,
+        spd_inverse_diag_pallas,
+    )
 
     n_free = h_ext.shape[-1]
     h = h_ext + 1e-12 * jnp.eye(n_free, dtype=h_ext.dtype)[None, :, :]
     dof = jnp.maximum(2.0 * n_t - n_free, 1.0)
     sigma2 = cost / dof
-    diag_inv = spd_inverse_diag(h)
+    if use_pallas:
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu",)
+        diag_inv = spd_inverse_diag_pallas(h, interpret=interpret)
+    else:
+        diag_inv = spd_inverse_diag(h)
     sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
     unident = jnp.diagonal(h_ext, axis1=1, axis2=2) <= 0.0
     sds = jnp.where(unident, jnp.inf, sds)
@@ -1231,7 +1260,7 @@ def crlb_batched_pallas(
     ``sqrt(diag(sigma^2 * H^-1))`` via the unrolled Cholesky avoids the XLA
     Jacobian materialization of :func:`crlb_batched_planar` entirely.
     """
-    from xmris_tpu.ops.kernels.spd import spd_inverse_diag
+    from xmris_tpu.ops.kernels.spd import spd_inverse_diag_pallas
 
     kernel_fn, active, vt_default = _select_pallas_kernel(
         kernel_version, pmap_static, fids_re.shape[-1]
@@ -1273,6 +1302,6 @@ def crlb_batched_pallas(
 
     dof = jnp.maximum(2.0 * t.shape[0] - n_free, 1.0)
     sigma2 = cost / dof
-    diag_inv = spd_inverse_diag(h)
+    diag_inv = spd_inverse_diag_pallas(h, interpret=interpret)
     sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
     return sds, sigma2

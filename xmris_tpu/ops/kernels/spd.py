@@ -116,3 +116,204 @@ def spd_inverse_diag(h: jax.Array) -> jax.Array:
                 acc_sq = acc_sq + x_i * x_i
         diag.append(acc_sq)
     return jnp.stack(diag, axis=1)  # (B, F)
+
+
+# ---------------------------------------------------------------------------
+# Pallas variants: the whole factorization stays in VMEM.
+#
+# The unrolled XLA form above fixed the batched-cholesky disaster, but each
+# of its F rank-1 updates still materializes the full (B, F, F) tensor
+# through HBM — ~2·F·B·F² bytes of traffic per solve (~1 GB at the bench
+# shape B=16384, F=20), measured at ~1.9 ms per LM iteration in the r9
+# fused-program trace (13 multiply_subtract_fusion instances).  The kernels
+# below load one v_tile of systems into VMEM — voxels on the LANE dim, the
+# (F, F) matrix unrolled over sublanes as an (F·F, V) slab, matching the
+# native h_out layout of the eq6 moment kernels — and run the entire
+# Cholesky + substitutions on registers/VMEM: HBM traffic drops to one read
+# of (h, g) and one write of the solution.
+# ---------------------------------------------------------------------------
+
+
+def _chol_cols_slab(a, f: int):
+    """Cholesky-Crout on an (F·F, V) symmetric slab; returns L's columns.
+
+    ``a`` holds A row-major: row ``i*f + j`` is A[i, j] across the V lane
+    voxels.  Symmetry makes column k == row slab ``a[k*f:(k+1)*f]``, so the
+    factorization never needs a strided (cross-sublane) gather.  Same
+    update order and NaN semantics (non-SPD pivot -> NaN) as the XLA form.
+    """
+    # Masks come from in-kernel iota + where (float selects): trace-time
+    # jnp constants would be captured consts (pallas rejects them) and
+    # int->float converts don't legalize in Mosaic.
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (f, 1), 0)
+    cols = []
+    for k in range(f):
+        row_k = a[k * f : (k + 1) * f, :]  # == A[:, k] by symmetry
+        dk = row_k[k : k + 1, :]
+        safe_dk = jnp.where(dk > 0, dk, jnp.nan)
+        inv_sqrt = jax.lax.rsqrt(safe_dk)  # (1, V)
+        # (f, V), zeros above k
+        l_k = jnp.where(row_idx >= k, row_k * inv_sqrt, 0.0)
+        outer = l_k[:, None, :] * l_k[None, :, :]  # (f, f, V)
+        # Leading-dim collapse only (sublane-aligned): Mosaic-legal.
+        a = a - outer.reshape(f * f, a.shape[-1])
+        cols.append(l_k)
+    return cols
+
+
+def _spd_solve_kernel(h_ref, g_ref, lam_ref, out_ref, *, f: int):
+    """One tile: damp + factor + solve F×F systems for V lane voxels."""
+    a = h_ref[0, :, :]  # (f*f, V)
+    g = g_ref[0, :, :]  # (f, V)
+    lam = lam_ref[0, :, :]  # (1, V)
+
+    # LM damping, diagonal rows only: A[k,k] += lam*max(A[k,k], 1e-12) and
+    # the absolute 1e-12 Tikhonov floor.  The diagonal sits at slab rows
+    # k*(f+1); the where() masks the update off the other rows.
+    slab_idx = jax.lax.broadcasted_iota(jnp.int32, (f * f, 1), 0)
+    is_diag = (slab_idx % (f + 1)) == 0
+    a = jnp.where(is_diag, a + lam * jnp.maximum(a, 1e-12) + 1e-12, a)
+
+    cols = _chol_cols_slab(a, f)
+
+    # Forward substitution  L y = g.
+    ys = []
+    for i in range(f):
+        acc = g[i : i + 1, :]
+        for j in range(i):
+            acc = acc - cols[j][i : i + 1, :] * ys[j]
+        ys.append(acc / cols[i][i : i + 1, :])
+
+    # Backward substitution  L^T x = y   (L^T[i, j] = cols[i][j]).
+    xs = [None] * f
+    for i in reversed(range(f)):
+        acc = ys[i]
+        for j in range(i + 1, f):
+            acc = acc - cols[i][j : j + 1, :] * xs[j]
+        xs[i] = acc / cols[i][i : i + 1, :]
+
+    out_ref[0, :, :] = jnp.concatenate(xs, axis=0)
+
+
+def _spd_inv_diag_kernel(h_ref, out_ref, *, f: int):
+    """One tile: diag(A^-1) via (A^-1)_jj = sum_i (L^-1)_ij^2."""
+    a = h_ref[0, :, :]
+    cols = _chol_cols_slab(a, f)
+
+    # Rows of W = L^-1 by forward substitution with the identity RHS:
+    # W[i] = (e_i - sum_{j<i} L[i,j] W[j]) / L[i,i], each row an (f, V)
+    # vector across the lane voxels; diag(A^-1) = sum_i W[i]^2.
+    acc_sq = jnp.zeros_like(a[:f, :])
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (f, 1), 0)
+    rows = []
+    for i in range(f):
+        acc = jnp.where(row_idx == i, 1.0, 0.0)  # e_i across the RHS dim
+        for j in range(i):
+            acc = acc - cols[j][i : i + 1, :] * rows[j]
+        w_i = acc / cols[i][i : i + 1, :]
+        rows.append(w_i)
+        acc_sq = acc_sq + w_i * w_i
+    out_ref[0, :, :] = acc_sq
+
+
+def _slab_layout(h: jax.Array, v_tile: int):
+    """(B, F, F) -> padded (T, F·F, v_tile) lane-major slabs (+ pad info)."""
+    b, f, _ = h.shape
+    b_pad = -(-b // v_tile) * v_tile
+    hp = jnp.pad(h, ((0, b_pad - b), (0, 0), (0, 0)))
+    ht = (
+        hp.reshape(b_pad // v_tile, v_tile, f, f)
+        .transpose(0, 2, 3, 1)
+        .reshape(b_pad // v_tile, f * f, v_tile)
+    )
+    return ht, b_pad
+
+
+@functools.partial(jax.jit, static_argnames=("v_tile", "interpret"))
+def spd_solve_damped_pallas(
+    h: jax.Array,
+    g: jax.Array,
+    lam: jax.Array,
+    *,
+    v_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Solve ``(h + lam·max(diag h, 1e-12)·I + 1e-12·I) x = g`` per voxel.
+
+    h: (B, F, F) SPD, g: (B, F), lam: (B,).  One Pallas launch; each grid
+    step holds ``v_tile`` voxels' systems in VMEM (lanes = voxels) and
+    runs damping, Cholesky, and both substitutions without touching HBM
+    in between.  Non-SPD systems yield NaN rows, matching
+    :func:`spd_solve_small` under the LM drivers' damping.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, f, _ = h.shape
+    ht, b_pad = _slab_layout(h.astype(jnp.float32), v_tile)
+    n_tiles = b_pad // v_tile
+    gt = (
+        jnp.pad(g.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
+        .reshape(n_tiles, v_tile, f)
+        .transpose(0, 2, 1)
+    )
+    lamt = jnp.pad(lam.astype(jnp.float32), (0, b_pad - b)).reshape(
+        n_tiles, 1, v_tile
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_spd_solve_kernel, f=f),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f * f, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, f, v_tile), jnp.float32),
+        interpret=interpret,
+    )(ht, gt, lamt)
+    return out.transpose(0, 2, 1).reshape(b_pad, f)[:b].astype(h.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("v_tile", "interpret"))
+def spd_inverse_diag_pallas(
+    h: jax.Array, *, v_tile: int = 128, interpret: bool = False
+) -> jax.Array:
+    """diag(h^-1) for a batch of small SPD systems, one Pallas launch.
+
+    Same contract as :func:`spd_inverse_diag` (NaN on non-SPD pivots);
+    same VMEM-resident layout as :func:`spd_solve_damped_pallas`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, f, _ = h.shape
+    ht, b_pad = _slab_layout(h.astype(jnp.float32), v_tile)
+    n_tiles = b_pad // v_tile
+
+    out = pl.pallas_call(
+        functools.partial(_spd_inv_diag_kernel, f=f),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f * f, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, f, v_tile), jnp.float32),
+        interpret=interpret,
+    )(ht)
+    return out.transpose(0, 2, 1).reshape(b_pad, f)[:b].astype(h.dtype)
