@@ -463,7 +463,7 @@ def _nudge_into_bounds_jax(vals, lo: float, hi: float):
     static_argnames=(
         "pmap_static", "mhz", "amp_slots", "ls_plan", "max_iter", "lam0",
         "kernel_version", "v_tile", "interpret", "plateau_streak",
-        "uniform_t_ok", "engine", "g_scan", "g_plan",
+        "uniform_t_ok", "engine", "g_scan", "g_plan", "spd_pallas",
     ),
 )
 def seeded_fit_grid_raw(
@@ -489,6 +489,7 @@ def seeded_fit_grid_raw(
     engine: str = "pallas",
     g_scan: tuple = (),
     g_plan: tuple = (),
+    spd_pallas: bool = True,
 ):
     """Whole-grid seeding + batched LM + CRLB as ONE device program.
 
@@ -574,9 +575,12 @@ def seeded_fit_grid_raw(
             max_iter=max_iter, lam0=lam0, v_tile=v_tile,
             interpret=interpret, kernel_version=kernel_version,
             return_hessian=True, plateau_streak=plateau_streak,
-            uniform_t_ok=uniform_t_ok, varpro=vp,
+            uniform_t_ok=uniform_t_ok, varpro=vp, spd_pallas=spd_pallas,
         )
-        sds, _ = crlb_from_hessian(h_ext, res.cost, re.shape[-1])
+        sds, _ = crlb_from_hessian(
+            h_ext, res.cost, re.shape[-1], use_pallas=spd_pallas,
+            interpret=interpret if spd_pallas else None,
+        )
     else:
         from xmris_tpu.fitting.lm import crlb_batched_planar
 

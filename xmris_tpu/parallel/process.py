@@ -37,7 +37,7 @@ from xmris_tpu.parallel.planar_pipeline import (
     static_argnames=(
         "cfg", "pmap_static", "mhz", "amp_slots", "ls_plan", "max_iter",
         "lam0", "kernel_version", "v_tile", "interpret", "plateau_streak",
-        "uniform_t_ok", "engine",
+        "uniform_t_ok", "engine", "spd_pallas",
     ),
 )
 def process_grid_planar_raw(
@@ -64,6 +64,7 @@ def process_grid_planar_raw(
     plateau_streak: int = 3,
     uniform_t_ok: bool = False,
     engine: str = "pallas",
+    spd_pallas: bool = True,
 ):
     """One compiled program per grid: spectral pipeline + seeded fit + CRLB.
 
@@ -87,7 +88,7 @@ def process_grid_planar_raw(
         ls_plan=ls_plan, max_iter=max_iter, lam0=lam0,
         kernel_version=kernel_version, v_tile=v_tile, interpret=interpret,
         plateau_streak=plateau_streak, uniform_t_ok=uniform_t_ok,
-        engine=engine,
+        engine=engine, spd_pallas=spd_pallas,
     )
     return spec_re, spec_im, phases, x_free, cost, converged, sds
 
