@@ -108,6 +108,7 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
 
     use_pallas = jax.default_backend() == "tpu"
     kernel_version = int(os.environ.get("XMT_KERNEL_VERSION", "9"))
+    spd_pallas = os.environ.get("XMT_SPD_PALLAS", "1") == "1"
     if max_iter is None:
         max_iter = int(os.environ.get("XMT_FIT_MAX_ITER", "24"))
     if chunk_size is None:
@@ -158,9 +159,11 @@ def run_fit_planar(fids, iters=3, chunk_size=None, max_iter=None):
                 res, h_ext = solver(
                     re, im, t, u0, lower, upper, kind, pmap_static, MHZ,
                     max_iter=max_iter, kernel_version=kernel_version,
-                    return_hessian=True,
+                    return_hessian=True, spd_pallas=spd_pallas,
                 )
-                sds, _ = crlb_from_hessian(h_ext, res.cost, re.shape[-1])
+                sds, _ = crlb_from_hessian(
+                    h_ext, res.cost, re.shape[-1], use_pallas=spd_pallas
+                )
             else:
                 res = solver(
                     re, im, t, u0, lower, upper, kind, pmap_static, MHZ,
@@ -241,6 +244,7 @@ def run_e2e_fused(fids, weight, freqs, cfg, iters=3, chain=16):
         kernel_version=kernel_version, plateau_streak=plateau_streak,
         # bench time axes are uniform by construction (np.arange/SW)
         uniform_t_ok=True,
+        spd_pallas=os.environ.get("XMT_SPD_PALLAS", "1") == "1",
     )
 
     @jax.jit
@@ -446,18 +450,26 @@ def main() -> None:
         return
 
     fids, weight, freqs = make_inputs()
+    backend = jax.default_backend()
     cfg = PipelineConfig(
         zero_fill_to=ZERO_FILL,
         lb=5.0,
         autophase="single",
         dft_variant=os.environ.get("XMT_DFT_VARIANT") or None,
-        # "stacked" keeps the Pallas kernel's native (B, n2, n1) spectrum
-        # layout (host reshape is free), skipping the XLA lane-merge
-        # relayout of the flat return — measurement knob, default flat.
-        spec_layout=os.environ.get("XMT_SPEC_LAYOUT", "flat"),
+        # r10 measured-fastest combo (results/tpu_r10.jsonl): the kernel's
+        # native stacked (B, n2, n1) spectrum layout (skips the XLA
+        # lane-merge relayout; host reshape is free) + the grid single-mode
+        # autophase (equal-or-better ACME score than DE, fewer sequential
+        # steps) = 23.4 vs 24.1 ms/grid flat/de, both with the Pallas SPD
+        # solve.  Stacked requires the pallas DFT variant, so CPU keeps
+        # flat/de.
+        spec_layout=os.environ.get(
+            "XMT_SPEC_LAYOUT", "stacked" if backend == "tpu" else "flat"
+        ),
+        ap_optimizer=os.environ.get(
+            "XMT_AP_OPTIMIZER", "grid" if backend == "tpu" else "de"
+        ),
     )
-
-    backend = jax.default_backend()
     if backend == "cpu":
         spectral_s = run_complex(fids, weight, freqs, cfg)
         engine = "complex"
