@@ -297,14 +297,3 @@ class TestStackedOut:
         with pytest.raises(ValueError, match="stacked"):
             PipelineConfig(autophase="all", spec_layout="stacked")
 
-    def test_sharded_rejects_stacked(self):
-        from xmris_tpu.parallel.mesh import make_mesh
-        from xmris_tpu.parallel.pipeline import PipelineConfig
-        from xmris_tpu.parallel.process import process_grid_sharded
-
-        cfg = PipelineConfig(spec_layout="stacked", autophase="none")
-        with pytest.raises(ValueError, match="flat"):
-            process_grid_sharded(
-                *([None] * 9), mesh=make_mesh(1), cfg=cfg,
-                pmap_static=None, mhz=1.0, amp_slots=(), ls_plan=(),
-            )

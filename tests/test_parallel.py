@@ -461,6 +461,53 @@ class TestShardedFlagship:
         assert p0s.shape == (16,)
         assert len(sh_all[2][0].sharding.device_set) == 8
 
+    @pytest.mark.bigcompile
+    def test_sharded_stacked_grid_matches_single_device(self, tmp_path):
+        """The bench-default combo — stacked spectral layout + grid
+        single-mode autophase + Pallas SPD — shards with exact pivot
+        election parity (the stacked (B, n2, n1) blocks stay kernel-native
+        per shard; only the candidate row and the phase ramp reshape)."""
+        from xmris_tpu.parallel import make_mesh
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import (
+            process_grid_planar_raw,
+            process_grid_sharded,
+        )
+
+        args, kwargs = self._setup(tmp_path)
+        cfg = PipelineConfig(
+            zero_fill_to=512, lb=5.0, autophase="single",
+            dft_variant="pallas", spec_layout="stacked",
+            ap_optimizer="grid",
+        )
+        single = process_grid_planar_raw(*args, cfg=cfg, **kwargs)
+        sharded = process_grid_sharded(
+            *args, mesh=make_mesh(8), cfg=cfg, **kwargs
+        )
+
+        s_sr, s_si, (s_p0, s_p1, s_piv), s_x, _, s_conv, s_sds = single
+        d_sr, d_si, (d_p0, d_p1, d_piv), d_x, _, d_conv, d_sds = sharded
+
+        assert d_sr.shape == s_sr.shape and d_sr.ndim == 3  # stacked blocks
+        assert float(d_piv) == float(s_piv)
+        assert abs(float(d_p0) - float(s_p0)) < 0.1
+        assert abs(float(d_p1) - float(s_p1)) < 2.0
+        scale = float(np.abs(np.asarray(s_sr)).max())
+        np.testing.assert_allclose(
+            np.asarray(d_sr), np.asarray(s_sr), atol=5e-3 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_si), np.asarray(s_si), atol=5e-3 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_x), np.asarray(s_x), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(d_conv), np.asarray(s_conv))
+        np.testing.assert_allclose(
+            np.asarray(d_sds), np.asarray(s_sds), rtol=1e-3, atol=1e-5
+        )
+        assert len(d_sr.sharding.device_set) == 8
+
     def test_batch_must_divide_mesh(self, tmp_path):
         from xmris_tpu.parallel import make_mesh
         from xmris_tpu.parallel.pipeline import PipelineConfig

@@ -238,7 +238,7 @@ def spd_solve_damped_pallas(
     v_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """Solve ``(h + lam·max(diag h, 1e-12)·I + 1e-12·I) x = g`` per voxel.
+    """Solve ``(h + lam·diag(max(h_kk, 1e-12)) + 1e-12·I) x = g`` per voxel.
 
     h: (B, F, F) SPD, g: (B, F), lam: (B,).  One Pallas launch; each grid
     step holds ``v_tile`` voxels' systems in VMEM (lanes = voxels) and

@@ -98,13 +98,22 @@ def _autophase_single_collective(spec_re, spec_im, freqs, cfg, axis_name):
 
     Each shard reduces its block to one candidate (its loudest spectrum row
     + peak bin); one ``all_gather`` of those n_dev candidates elects the
-    grid-global pivot, and every shard then runs the SAME deterministic DE
-    solve on the winning row (replicated compute — far cheaper than
-    shipping the phases around).  The election preserves the unsharded
-    ``jnp.argmax`` tie-breaking (first occurrence in voxel-major order), so
-    the result matches the single-device program.
+    grid-global pivot, and every shard then runs the SAME deterministic
+    phase solve (DE or grid scan, per ``cfg.ap_optimizer``) on the winning
+    row (replicated compute — far cheaper than shipping the phases
+    around).  The election preserves the unsharded ``jnp.argmax``
+    tie-breaking (first occurrence in voxel-major order), so the result
+    matches the single-device program.
+
+    Accepts flat ``(B, n_freq)`` spectra or the stacked ``(B, n2, n1)``
+    Pallas block layout: both linearize voxel-major with the flat
+    frequency as the intra-voxel order (stacked flat k = k1 + n1*k2 IS the
+    C-order index k2*n1 + k1), so the argmax decomposition is
+    layout-agnostic; only the candidate row and the phase ramp need a
+    (cheap, single-row / single-ramp) reshape.
     """
-    n_freq = spec_re.shape[-1]
+    stacked = spec_re.ndim == 3
+    n_freq = freqs.shape[0]
     mag2 = spec_re * spec_re + spec_im * spec_im
     flat_idx = jnp.argmax(mag2)
     local_max = jnp.reshape(mag2, (-1,))[flat_idx]
@@ -116,6 +125,9 @@ def _autophase_single_collective(spec_re, spec_im, freqs, cfg, axis_name):
     row_im = jax.lax.dynamic_index_in_dim(
         spec_im, voxel_idx, axis=0, keepdims=False
     )
+    if stacked:
+        row_re = row_re.reshape(n_freq)
+        row_im = row_im.reshape(n_freq)
 
     maxs = jax.lax.all_gather(local_max, axis_name)          # (n_dev,)
     rows_re = jax.lax.all_gather(row_re, axis_name)          # (n_dev, n_freq)
@@ -133,7 +145,11 @@ def _autophase_single_collective(spec_re, spec_im, freqs, cfg, axis_name):
     phi = (
         jnp.deg2rad(p0) + jnp.deg2rad(p1) * ((freqs - pivot) / x_range)
     ).astype(spec_re.dtype)
-    spec_re, spec_im = _apply_phase_planar(spec_re, spec_im, phi[None, :])
+    if stacked:
+        phi = phi.reshape(spec_re.shape[-2:])[None]
+    else:
+        phi = phi[None, :]
+    spec_re, spec_im = _apply_phase_planar(spec_re, spec_im, phi)
     return spec_re, spec_im, (p0, p1, pivot)
 
 
@@ -163,6 +179,7 @@ def process_grid_sharded(
     plateau_streak: int = 3,
     uniform_t_ok: bool = False,
     engine: str = "pallas",
+    spd_pallas: bool = True,
 ):
     """The flagship fused per-grid program over a multi-chip voxel mesh.
 
@@ -175,17 +192,16 @@ def process_grid_sharded(
       how they partition at all);
     * the ONLY collective is the single-mode autophase pivot election —
       one ``all_gather`` of n_dev candidate rows, after which every chip
-      runs the identical deterministic DE solve
-      (:func:`_autophase_single_collective`).
+      runs the identical deterministic phase solve
+      (:func:`_autophase_single_collective`; DE or grid scan per
+      ``cfg.ap_optimizer``).
 
-    Parity with the single-device program is exact up to per-voxel float
-    reassociation (asserted in ``tests/test_parallel.py``).
+    Both spectral layouts shard: ``spec_layout="stacked"`` keeps the
+    kernel-native per-shard (B/n_dev, n2, n1) blocks end-to-end (the
+    election handles either layout).  Parity with the single-device
+    program is exact up to per-voxel float reassociation (asserted in
+    ``tests/test_parallel.py``).
     """
-    if cfg.spec_layout != "flat":
-        raise ValueError(
-            "process_grid_sharded supports spec_layout='flat' only (the "
-            "autophase pivot election assumes flat spectrum rows)."
-        )
     n_dev = mesh.shape[axis_name]
     b = fids_re.shape[0]
     if b % n_dev:
@@ -205,7 +221,7 @@ def process_grid_sharded(
         ls_plan=ls_plan, max_iter=max_iter, lam0=lam0,
         kernel_version=kernel_version, v_tile=v_tile, interpret=interpret,
         plateau_streak=plateau_streak, uniform_t_ok=uniform_t_ok,
-        engine=engine,
+        engine=engine, spd_pallas=spd_pallas,
     )
 
     def body(re, im, weight, freqs, t, x_template, lower, upper, kind):
