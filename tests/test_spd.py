@@ -110,6 +110,155 @@ class TestSolvePallas:
         np.testing.assert_allclose(got, ref, rtol=2e-4)
 
 
+class TestSlabForms:
+    """Kernel-native padded-slab inputs — the LM loop's zero-relayout path
+    (H goes moment kernel -> SPD kernel without ever materializing
+    (B, F, F); see lm.py slab_mode)."""
+
+    @staticmethod
+    def _to_slab(h, f_pad, v_tile):
+        """(B, F, F) -> (n_tiles, f_pad², v_tile) with NaN padding rows —
+        the slab consumers must never read the pad region."""
+        b, f, _ = h.shape
+        hp = np.full((b, f_pad, f_pad), np.nan, np.float32)
+        hp[:, :f, :f] = h
+        b_pad = -(-b // v_tile) * v_tile
+        hp = np.pad(hp, ((0, b_pad - b), (0, 0), (0, 0)))
+        return (
+            hp.reshape(b_pad // v_tile, v_tile, f_pad * f_pad)
+            .transpose(0, 2, 1)
+        )
+
+    def test_solve_slab_matches_dense(self):
+        import jax.numpy as jnp
+
+        from xmris_tpu.ops.kernels.spd import (
+            spd_solve_damped_pallas,
+            spd_solve_damped_pallas_slab,
+        )
+
+        f, f_pad, v_tile = 5, 8, 8
+        h, g = make_spd(b=13, f=f, seed=11)
+        h = h.astype(np.float32)
+        g = g.astype(np.float32)
+        lam = (
+            np.random.default_rng(11).uniform(1e-5, 1e-2, 13)
+            .astype(np.float32)
+        )
+        ref = np.asarray(
+            spd_solve_damped_pallas(
+                jnp.asarray(h), jnp.asarray(g), jnp.asarray(lam),
+                v_tile=v_tile, interpret=True,
+            )
+        )
+        got = np.asarray(
+            spd_solve_damped_pallas_slab(
+                jnp.asarray(self._to_slab(h, f_pad, v_tile)),
+                jnp.asarray(g), jnp.asarray(lam),
+                f=f, f_pad=f_pad, interpret=True,
+            )
+        )
+        # identical arithmetic on identical values: bit parity, and the
+        # NaN padding rows must never leak in
+        np.testing.assert_array_equal(got, ref)
+
+    def test_inverse_diag_slab_matches_dense(self):
+        import jax.numpy as jnp
+
+        from xmris_tpu.ops.kernels.spd import (
+            spd_inverse_diag_pallas,
+            spd_inverse_diag_pallas_slab,
+        )
+
+        f, f_pad, v_tile = 6, 8, 8
+        h, _ = make_spd(b=10, f=f, seed=21)
+        h = h.astype(np.float32)
+        tik = 1e-6
+        ref = np.asarray(
+            spd_inverse_diag_pallas(
+                jnp.asarray(h + tik * np.eye(f, dtype=np.float32)),
+                v_tile=v_tile, interpret=True,
+            )
+        )
+        got = np.asarray(
+            spd_inverse_diag_pallas_slab(
+                jnp.asarray(self._to_slab(h, f_pad, v_tile)),
+                f=f, f_pad=f_pad, tikhonov=tik, interpret=True,
+            )
+        )[:10]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_lm_driver_slab_matches_xla_spd(self, tmp_path):
+        """The v9 LM driver in slab mode (spd_pallas=True) reproduces the
+        XLA-SPD fit: same parameters, cost, and zero-cost CRLB Hessian."""
+        import jax.numpy as jnp
+
+        from tests.test_fitting import make_phantom
+        from xmris_tpu.fitting.lm import (
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        csv = (
+            "Index,PCr,ATP\n"
+            "Initial Values,,\n"
+            "amplitude,10.0,5.0\n"
+            "chemicalshift,0.0,-7.5\n"
+            "linewidth,15.0,20.0\n"
+            "phase,0,0\n"
+            "g,0,0\n"
+            "Bounds,,\n"
+            'amplitude,"(0, ","(0, "\n'
+            'chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"\n'
+            'linewidth,"(5.0, 30.0)","(10.0, 40.0)"\n'
+            'phase,"(-180, 180)","(-180, 180)"\n'
+            "g,fixed,fixed\n"
+        )
+        p = tmp_path / "pk.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        da = make_phantom(n_voxels=3, n_points=512)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(512) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r_slab, h_slab = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=9, return_hessian=True, spd_pallas=True,
+        )
+        r_xla, h_xla = lm_fit_batched_pallas(
+            re, im, *args, max_iter=25, v_tile=2, interpret=True,
+            kernel_version=9, return_hessian=True, spd_pallas=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_slab.x_free), np.asarray(r_xla.x_free),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_slab.cost), np.asarray(r_xla.cost), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_slab.converged), np.asarray(r_xla.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_slab), np.asarray(h_xla),
+            rtol=1e-4,
+            atol=1e-5 * float(np.max(np.abs(np.asarray(h_xla)))),
+        )
+
+
 class TestInverseDiag:
     @pytest.mark.parametrize("f", [4, 12])
     def test_matches_numpy_inverse(self, f):

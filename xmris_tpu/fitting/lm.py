@@ -1016,6 +1016,17 @@ def _lm_fit_batched_pallas_impl(
         fold_scales = tuple(float(pmap_static[1][j]) for j in active)
     vp_plan = varpro_plan(pmap_static) if varpro else None
 
+    # Slab mode: keep H in the moment kernel's native (n_tiles, a_pad²,
+    # v_tile) column-slab layout through the WHOLE loop — the Pallas SPD
+    # solve consumes it directly, so the (B, F, F) materialization and
+    # spd's re-tiling (two full-tensor HBM relayouts per LM iteration)
+    # both disappear.  The VARPRO override is the one consumer that needs
+    # (B, F, F) mid-loop, so it keeps the materialized path.
+    slab_mode = spd_pallas and kernel_version == 9 and vp_plan is None
+    a_pad = -(-n_free // 8) * 8
+    b_pad = -(-b // v_tile) * v_tile
+    n_tiles = b_pad // v_tile
+
     def full_eval(u, voxel_mask=None, cost_prev=None):
         x, dxdu = internal_to_external_jax(u, lower[None, :], upper[None, :],
                                            kind[None, :])
@@ -1038,7 +1049,7 @@ def _lm_fit_batched_pallas_impl(
                 n_peaks=n_peaks, mhz=mhz, v_tile=v_tile,
                 interpret=interpret,
                 fold_slots=fold_slots, fold_scales=fold_scales,
-                n_free=n_free, dxdu=dxdu,
+                n_free=n_free, dxdu=dxdu, slab_h=slab_mode,
                 **extra,
             )
         cost, g_phys, h_phys = kernel_fn(
@@ -1057,7 +1068,20 @@ def _lm_fit_batched_pallas_impl(
 
     def step(carry):
         u, cost, g, h, lam, n_acc, streak, done, i = carry
-        if spd_pallas:
+        if slab_mode:
+            # H never leaves the kernel-native slab layout: the moment
+            # kernel emitted it as (n_tiles, a_pad², v_tile) column slabs
+            # and the SPD solve reads that form directly — no (B, F, F)
+            # materialization, no re-tiling (two full-tensor HBM
+            # relayouts per iteration in the r10 trace's `copy` rows).
+            from xmris_tpu.ops.kernels.spd import (
+                spd_solve_damped_pallas_slab,
+            )
+
+            delta_raw = spd_solve_damped_pallas_slab(
+                h, g, lam, f=n_free, f_pad=a_pad, interpret=interpret
+            )
+        elif spd_pallas:
             # Damping + Cholesky + both substitutions in ONE VMEM-resident
             # Pallas launch (voxels on lanes; see ops/kernels/spd.py).  The
             # unrolled XLA form re-materializes the (B, F, F) tensor through
@@ -1127,7 +1151,15 @@ def _lm_fit_batched_pallas_impl(
         u = sel(u_t, u)
         cost = jnp.where(ok, cost_t, cost)
         g = sel(g_t, g)
-        h = sel(h_t, h)
+        if slab_mode:
+            # Voxels sit on LANES in the slab: the accept mask broadcasts
+            # as (n_tiles, 1, v_tile) instead of leading-axis rows.
+            ok_lanes = jnp.pad(ok, (0, b_pad - b)).reshape(
+                n_tiles, 1, v_tile
+            )
+            h = jnp.where(ok_lanes, h_t, h)
+        else:
+            h = sel(h_t, h)
         lam = jnp.clip(jnp.where(ok, lam * 0.33, lam * 2.5), 1e-12, 1e12)
         n_acc = n_acc + ok.astype(jnp.int32)
         # See the planar driver: stop on vanishing accepted improvement in
@@ -1160,6 +1192,12 @@ def _lm_fit_batched_pallas_impl(
     u, cost, _, h_fin, _, n_acc, _, done, _ = jax.lax.while_loop(
         cond, step, carry0
     )
+    if slab_mode and return_hessian:
+        # One materialization at the end (the CRLB consumer wants
+        # (B, F, F)) instead of two relayouts per LM iteration.
+        from xmris_tpu.ops.kernels.lm_pallas import slab_to_bff
+
+        h_fin = slab_to_bff(h_fin, b, n_free, a_pad)
     return _pallas_result_tail(
         u, cost, n_acc, done, h_fin, lower, upper, kind, return_hessian
     )

@@ -1895,7 +1895,7 @@ def _normal_eq_kernel_v9(
     jax.jit,
     static_argnames=(
         "n_peaks", "mhz", "active", "g_zero", "v_tile", "interpret",
-        "factored_t", "fold_slots", "fold_scales", "n_free",
+        "factored_t", "fold_slots", "fold_scales", "n_free", "slab_h",
     ),
 )
 def eq6_normal_equations_pallas_v9(
@@ -1916,6 +1916,7 @@ def eq6_normal_equations_pallas_v9(
     fold_scales: tuple[float, ...] | None = None,  # per-active-row scale
     n_free: int | None = None,
     dxdu=None,  # (B, n_free) bound-transform diagonal (required with fold)
+    slab_h: bool = False,
 ):
     """Generalized moment-based fused normal equations with accept gating.
 
@@ -1931,6 +1932,12 @@ def eq6_normal_equations_pallas_v9(
     the FREE-parameter system (B, n_free)/(B, n_free, n_free) with the
     scatter fold and bound-transform diagonal already applied — the LM
     driver then consumes H/g directly with no per-iteration einsums.
+
+    ``slab_h=True`` returns H in the kernel-NATIVE slab layout
+    ``(n_tiles, a_pad·a_pad, v_tile)`` (voxels on lanes, row-major column
+    slabs, padded rows unspecified) instead of (B, F, F) — the layout
+    :func:`xmris_tpu.ops.kernels.spd.spd_solve_damped_pallas_slab`
+    consumes directly, skipping the per-iteration HBM relayout pair.
     """
     gated = cost_prev is not None
     folded = fold_slots is not None
@@ -2027,10 +2034,21 @@ def eq6_normal_equations_pallas_v9(
         t.reshape(1, -1).astype(jnp.float32),
         *extra_inputs,
     )
-    h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, a_pad, a_pad)
     g = jnp.transpose(g_out, (0, 2, 1)).reshape(b_pad, a_pad)
     cost = jnp.transpose(cost_out, (0, 2, 1)).reshape(b_pad)
+    if slab_h:
+        return cost[:b], g[:b, :n_keep], h_out
+    h = jnp.transpose(h_out, (0, 2, 1)).reshape(b_pad, a_pad, a_pad)
     return cost[:b], g[:b, :n_keep], h[:b, :n_keep, :n_keep]
+
+
+def slab_to_bff(h_slab, b: int, f: int, f_pad: int):
+    """(n_tiles, f_pad·f_pad, v_tile) kernel slab -> (B, F, F) Hessians."""
+    n_tiles, _, v_tile = h_slab.shape
+    h = jnp.transpose(h_slab, (0, 2, 1)).reshape(
+        n_tiles * v_tile, f_pad, f_pad
+    )
+    return h[:b, :f, :f]
 
 
 # ---------------------------------------------------------------------------

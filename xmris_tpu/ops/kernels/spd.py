@@ -134,6 +134,23 @@ def spd_inverse_diag(h: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _compact_slab(a, f: int, f_pad: int):
+    """(f_pad·f_pad, V) padded slab -> (f·f, V) compact slab (static slices).
+
+    The LM moment kernels emit H with the free-parameter count rounded up
+    to the sublane multiple (``f_pad = round_up(f, 8)``); the padding
+    rows/columns carry unspecified values and are simply dropped.  One
+    VMEM-local copy — the entire point of accepting the padded slab is to
+    skip the (B, F, F) HBM round trip the driver used to pay per
+    iteration.
+    """
+    if f_pad == f:
+        return a
+    return jnp.concatenate(
+        [a[k * f_pad : k * f_pad + f, :] for k in range(f)], axis=0
+    )
+
+
 def _chol_cols_slab(a, f: int):
     """Cholesky-Crout on an (F·F, V) symmetric slab; returns L's columns.
 
@@ -161,9 +178,10 @@ def _chol_cols_slab(a, f: int):
     return cols
 
 
-def _spd_solve_kernel(h_ref, g_ref, lam_ref, out_ref, *, f: int):
+def _spd_solve_kernel(h_ref, g_ref, lam_ref, out_ref, *, f: int, f_pad=None):
     """One tile: damp + factor + solve F×F systems for V lane voxels."""
-    a = h_ref[0, :, :]  # (f*f, V)
+    a = h_ref[0, :, :]  # (f*f, V) — or (f_pad*f_pad, V), compacted below
+    a = _compact_slab(a, f, f_pad or f)
     g = g_ref[0, :, :]  # (f, V)
     lam = lam_ref[0, :, :]  # (1, V)
 
@@ -195,9 +213,12 @@ def _spd_solve_kernel(h_ref, g_ref, lam_ref, out_ref, *, f: int):
     out_ref[0, :, :] = jnp.concatenate(xs, axis=0)
 
 
-def _spd_inv_diag_kernel(h_ref, out_ref, *, f: int):
+def _spd_inv_diag_kernel(h_ref, out_ref, *, f: int, f_pad=None, tikhonov=0.0):
     """One tile: diag(A^-1) via (A^-1)_jj = sum_i (L^-1)_ij^2."""
-    a = h_ref[0, :, :]
+    a = _compact_slab(h_ref[0, :, :], f, f_pad or f)
+    if tikhonov:
+        slab_idx = jax.lax.broadcasted_iota(jnp.int32, (f * f, 1), 0)
+        a = jnp.where((slab_idx % (f + 1)) == 0, a + tikhonov, a)
     cols = _chol_cols_slab(a, f)
 
     # Rows of W = L^-1 by forward substitution with the identity RHS:
@@ -283,6 +304,117 @@ def spd_solve_damped_pallas(
         interpret=interpret,
     )(ht, gt, lamt)
     return out.transpose(0, 2, 1).reshape(b_pad, f)[:b].astype(h.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "f_pad", "interpret")
+)
+def spd_solve_damped_pallas_slab(
+    h_slab: jax.Array,
+    g: jax.Array,
+    lam: jax.Array,
+    *,
+    f: int,
+    f_pad: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`spd_solve_damped_pallas` taking H in kernel-native slab form.
+
+    ``h_slab``: (n_tiles, f_pad·f_pad, v_tile) — the layout the LM moment
+    kernels emit (``eq6_normal_equations_pallas_v9(..., slab_h=True)``):
+    voxels on lanes, each padded F×F matrix as row-major column slabs.
+    ``g``: (B, f), ``lam``: (B,) with B ≤ n_tiles·v_tile.  Passing the slab
+    straight through skips the (B, F, F) materialization AND this module's
+    ``_slab_layout`` re-tiling — the two HBM relayouts the fused LM loop
+    used to pay per iteration.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_tiles, ff, v_tile = h_slab.shape
+    if ff != f_pad * f_pad:
+        raise ValueError(
+            f"h_slab row count {ff} != f_pad^2 = {f_pad * f_pad}"
+        )
+    b = g.shape[0]
+    b_pad = n_tiles * v_tile
+    gt = (
+        jnp.pad(g.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
+        .reshape(n_tiles, v_tile, f)
+        .transpose(0, 2, 1)
+    )
+    lamt = jnp.pad(lam.astype(jnp.float32), (0, b_pad - b)).reshape(
+        n_tiles, 1, v_tile
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_spd_solve_kernel, f=f, f_pad=f_pad),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f_pad * f_pad, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, f, v_tile), jnp.float32),
+        interpret=interpret,
+    )(h_slab.astype(jnp.float32), gt, lamt)
+    return out.transpose(0, 2, 1).reshape(b_pad, f)[:b].astype(g.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "f_pad", "tikhonov", "interpret")
+)
+def spd_inverse_diag_pallas_slab(
+    h_slab: jax.Array,
+    *,
+    f: int,
+    f_pad: int,
+    tikhonov: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """diag(h^-1) from the kernel-native slab layout (one Pallas launch).
+
+    Same contract as :func:`spd_inverse_diag_pallas` with ``h_slab`` as in
+    :func:`spd_solve_damped_pallas_slab`; ``tikhonov`` adds a diagonal
+    floor in-kernel (the CRLB path's ``+ 1e-12·I``) so no XLA pass touches
+    the slab.  Returns (n_tiles·v_tile, f) — callers slice ``[:b]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_tiles, ff, v_tile = h_slab.shape
+    if ff != f_pad * f_pad:
+        raise ValueError(
+            f"h_slab row count {ff} != f_pad^2 = {f_pad * f_pad}"
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _spd_inv_diag_kernel, f=f, f_pad=f_pad, tikhonov=tikhonov
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f_pad * f_pad, v_tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, v_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, f, v_tile), jnp.float32),
+        interpret=interpret,
+    )(h_slab.astype(jnp.float32))
+    return out.transpose(0, 2, 1).reshape(n_tiles * v_tile, f)
 
 
 @functools.partial(jax.jit, static_argnames=("v_tile", "interpret"))
