@@ -188,6 +188,37 @@ class TestSlabForms:
         )[:10]
         np.testing.assert_array_equal(got, ref)
 
+    def test_crlb_from_hessian_slab_matches_dense(self):
+        import jax.numpy as jnp
+
+        from xmris_tpu.fitting.lm import (
+            crlb_from_hessian,
+            crlb_from_hessian_slab,
+        )
+
+        f, f_pad, v_tile = 5, 8, 8
+        h, _ = make_spd(b=13, f=f, seed=31)
+        h = h.astype(np.float32)
+        # one unidentifiable parameter: zeroed row/col -> inf CRLB
+        h[3, 2, :] = 0.0
+        h[3, :, 2] = 0.0
+        cost = (
+            np.random.default_rng(31).uniform(1.0, 10.0, 13)
+            .astype(np.float32)
+        )
+        ref_sds, ref_s2 = crlb_from_hessian(
+            jnp.asarray(h), jnp.asarray(cost), 512, use_pallas=True,
+            interpret=True,
+        )
+        got_sds, got_s2 = crlb_from_hessian_slab(
+            jnp.asarray(self._to_slab(h, f_pad, v_tile)),
+            jnp.asarray(cost), 512, f=f, f_pad=f_pad, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_s2), np.asarray(ref_s2))
+        np.testing.assert_array_equal(
+            np.asarray(got_sds), np.asarray(ref_sds)
+        )
+
     def test_lm_driver_slab_matches_xla_spd(self, tmp_path):
         """The v9 LM driver in slab mode (spd_pallas=True) reproduces the
         XLA-SPD fit: same parameters, cost, and zero-cost CRLB Hessian."""

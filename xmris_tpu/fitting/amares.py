@@ -570,17 +570,32 @@ def seeded_fit_grid_raw(
         from xmris_tpu.fitting.lm import auto_varpro
 
         vp = auto_varpro(pmap_static)
+        # On the slab-mode path (v9 + Pallas SPD, no VARPRO) the Hessian
+        # stays in the moment kernel's native column-slab layout from the
+        # LM loop all the way into the CRLB inverse-diagonal kernel — zero
+        # (B, F, F) materializations in the whole fused program.
+        slab = spd_pallas and kernel_version == 9 and not vp
         res, h_ext = _lm_fit_batched_pallas_impl(
             re, im, t, u0, lower, upper, kind, pmap_static, mhz,
             max_iter=max_iter, lam0=lam0, v_tile=v_tile,
             interpret=interpret, kernel_version=kernel_version,
-            return_hessian=True, plateau_streak=plateau_streak,
+            return_hessian="slab" if slab else True,
+            plateau_streak=plateau_streak,
             uniform_t_ok=uniform_t_ok, varpro=vp, spd_pallas=spd_pallas,
         )
-        sds, _ = crlb_from_hessian(
-            h_ext, res.cost, re.shape[-1], use_pallas=spd_pallas,
-            interpret=interpret if spd_pallas else None,
-        )
+        if slab:
+            from xmris_tpu.fitting.lm import crlb_from_hessian_slab
+
+            n_free = lower.shape[0]
+            sds, _ = crlb_from_hessian_slab(
+                h_ext, res.cost, re.shape[-1],
+                f=n_free, f_pad=-(-n_free // 8) * 8, interpret=interpret,
+            )
+        else:
+            sds, _ = crlb_from_hessian(
+                h_ext, res.cost, re.shape[-1], use_pallas=spd_pallas,
+                interpret=interpret if spd_pallas else None,
+            )
     else:
         from xmris_tpu.fitting.lm import crlb_batched_planar
 

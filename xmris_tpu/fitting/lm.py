@@ -977,6 +977,10 @@ def _lm_fit_batched_pallas_impl(
     n_free = u0.shape[-1]
 
     if whole_loop:
+        if return_hessian == "slab":
+            raise ValueError(
+                "return_hessian='slab' requires the per-iteration v9 path"
+            )
         from xmris_tpu.ops.kernels.lm_pallas import lm_loop_pallas_v10
 
         active = active_param_rows(pmap_static)
@@ -1023,6 +1027,11 @@ def _lm_fit_batched_pallas_impl(
     # both disappear.  The VARPRO override is the one consumer that needs
     # (B, F, F) mid-loop, so it keeps the materialized path.
     slab_mode = spd_pallas and kernel_version == 9 and vp_plan is None
+    if return_hessian == "slab" and not slab_mode:
+        raise ValueError(
+            "return_hessian='slab' requires the slab-mode path "
+            "(spd_pallas=True, kernel_version=9, no VARPRO override)"
+        )
     a_pad = -(-n_free // 8) * 8
     b_pad = -(-b // v_tile) * v_tile
     n_tiles = b_pad // v_tile
@@ -1192,6 +1201,13 @@ def _lm_fit_batched_pallas_impl(
     u, cost, _, h_fin, _, n_acc, _, done, _ = jax.lax.while_loop(
         cond, step, carry0
     )
+    if slab_mode and return_hessian == "slab":
+        # Zero materializations: the scaled slab goes straight to
+        # crlb_from_hessian_slab (the fused grid path).
+        return _pallas_result_tail(
+            u, cost, n_acc, done, h_fin, lower, upper, kind,
+            return_hessian, slab_meta=(b, n_free, a_pad),
+        )
     if slab_mode and return_hessian:
         # One materialization at the end (the CRLB consumer wants
         # (B, F, F)) instead of two relayouts per LM iteration.
@@ -1204,11 +1220,18 @@ def _lm_fit_batched_pallas_impl(
 
 
 def _pallas_result_tail(
-    u, cost, n_acc, done, h_fin, lower, upper, kind, return_hessian
+    u, cost, n_acc, done, h_fin, lower, upper, kind, return_hessian,
+    slab_meta=None,
 ):
     """Shared epilogue of the pallas LM drivers (per-iteration and v10
     whole-loop): bound back-transform, convergence flags, and external-space
-    Hessian recovery for the zero-cost CRLB."""
+    Hessian recovery for the zero-cost CRLB.
+
+    ``return_hessian="slab"`` (with ``slab_meta=(b, f, f_pad)``): ``h_fin``
+    arrives in the kernel-native ``(n_tiles, f_pad·f_pad, v_tile)`` slab
+    layout and stays there — the bound-transform unscaling is applied
+    elementwise on a 4-D view (lanes untouched, so no relayout), and the
+    scaled slab feeds :func:`crlb_from_hessian_slab` directly."""
     x_final, dxdu_fin = internal_to_external_jax(
         u, lower[None, :], upper[None, :], kind[None, :]
     )
@@ -1229,6 +1252,21 @@ def _pallas_result_tail(
     # infinite CRLB, explicitly flagging the parameter as unidentifiable.
     pinned = jnp.abs(dxdu_fin) < 1e-12
     safe_d = jnp.where(pinned, 1.0, dxdu_fin)
+    if return_hessian == "slab":
+        # Same unscale-and-zero, expressed on the slab: the combined
+        # factor keep/d is padded into the slab's (b_pad, f_pad) frame
+        # (pad entries 0 — the pad region is never read downstream, and a
+        # 0·NaN there is harmless) and applied on the free (n_tiles,
+        # f_pad, f_pad, v_tile) view.
+        b, f, f_pad = slab_meta
+        n_tiles, _, v_tile = h_fin.shape
+        b_pad = n_tiles * v_tile
+        inv = jnp.where(pinned, 0.0, 1.0 / safe_d).astype(h_fin.dtype)
+        inv_p = jnp.zeros((b_pad, f_pad), h_fin.dtype).at[:b, :f].set(inv)
+        d_slab = inv_p.reshape(n_tiles, v_tile, f_pad).transpose(0, 2, 1)
+        h4 = h_fin.reshape(n_tiles, f_pad, f_pad, v_tile)
+        h4 = h4 * d_slab[:, :, None, :] * d_slab[:, None, :, :]
+        return result, h4.reshape(n_tiles, f_pad * f_pad, v_tile)
     h_ext = h_fin / (safe_d[:, :, None] * safe_d[:, None, :])
     keep = (~pinned).astype(h_ext.dtype)
     h_ext = h_ext * keep[:, :, None] * keep[:, None, :]
@@ -1273,6 +1311,37 @@ def crlb_from_hessian(h_ext, cost, n_t, use_pallas=True, interpret=None):
     sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
     unident = jnp.diagonal(h_ext, axis1=1, axis2=2) <= 0.0
     sds = jnp.where(unident, jnp.inf, sds)
+    return sds, sigma2
+
+
+@functools.partial(jax.jit, static_argnames=("f", "f_pad", "interpret"))
+def crlb_from_hessian_slab(h_slab, cost, n_t, *, f, f_pad, interpret=None):
+    """:func:`crlb_from_hessian` taking H in kernel-native slab form.
+
+    ``h_slab``: ``(n_tiles, f_pad·f_pad, v_tile)`` external-space Hessian
+    slabs as returned by the LM driver with ``return_hessian="slab"`` —
+    the fused grid path's zero-relayout CRLB: the Hessian never leaves the
+    layout the moment kernel produced it in (the 1e-12 Tikhonov floor is
+    applied in-kernel).  The unidentifiable-parameter check reads H's
+    diagonal straight off the slab rows ``k·(f_pad+1)``.
+    """
+    from xmris_tpu.ops.kernels.spd import spd_inverse_diag_pallas_slab
+
+    b = cost.shape[0]
+    dof = jnp.maximum(2.0 * n_t - f, 1.0)
+    sigma2 = cost / dof
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    diag_inv = spd_inverse_diag_pallas_slab(
+        h_slab, f=f, f_pad=f_pad, tikhonov=1e-12, interpret=interpret
+    )[:b]
+    n_tiles, _, v_tile = h_slab.shape
+    diag_rows = jnp.stack(
+        [h_slab[:, k * (f_pad + 1), :] for k in range(f)], axis=1
+    )  # (n_tiles, f, v_tile)
+    diag_h = diag_rows.transpose(0, 2, 1).reshape(n_tiles * v_tile, f)[:b]
+    sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
+    sds = jnp.where(diag_h <= 0.0, jnp.inf, sds)
     return sds, sigma2
 
 
