@@ -213,7 +213,7 @@ def run_e2e_fused(fids, weight, freqs, cfg, iters=3, chain=16):
     from xmris_tpu.fitting.amares import seed_plan, template_optimum
     from xmris_tpu.fitting.lm import hashable_pmap
     from xmris_tpu.fitting.prior import load_prior_knowledge
-    from xmris_tpu.parallel.process import process_grid_planar_raw
+    from xmris_tpu.parallel.process import pinned_grid_program
 
     with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
         f.write(PK_CSV)
@@ -254,10 +254,12 @@ def run_e2e_fused(fids, weight, freqs, cfg, iters=3, chain=16):
             jnp.sum(sr) + jnp.sum(si) + jnp.sum(x_free) + jnp.sum(sds)
         )
 
+    # Pinned wrapper: row-major result spectra (saves the per-plane
+    # entry-layout copy XLA's auto choice inserts; r11 HLO audit).
+    program = pinned_grid_program(**kwargs)
+
     def one():
-        return process_grid_planar_raw(
-            re, im, w, f, t, x_template, lower, upper, kind, **kwargs
-        )
+        return program(re, im, w, f, t, x_template, lower, upper, kind)
 
     # Hard cap on the fused program's first compile+run: a cold remote
     # Mosaic/XLA compile through a wedged relay hangs rather than fails,

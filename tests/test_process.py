@@ -280,3 +280,45 @@ class TestProcessGrid:
         np.testing.assert_array_equal(np.asarray(x_free), np.asarray(x2))
         np.testing.assert_array_equal(np.asarray(sds), np.asarray(sds2))
         assert float(phases[0]) == float(phases2[0])
+
+    def test_pinned_wrapper_matches_raw(self, pk):
+        """pinned_grid_program == process_grid_planar_raw bit-for-bit.
+
+        On TPU the wrapper pins the result-spectra entry layouts row-major
+        (kills XLA's per-plane auto-layout copy, r11/r12); off-TPU it must
+        degrade to the plain jitted program with identical outputs."""
+        from xmris_tpu.parallel.pipeline import PipelineConfig
+        from xmris_tpu.parallel.process import (
+            pinned_grid_program,
+            process_grid_planar_raw,
+        )
+
+        fids, re, im, t, mhz = _inputs(pk)
+        n_time = re.shape[-1]
+        zf = 2 * n_time
+        sw = 10000.0
+        t_full = np.arange(zf) / sw
+        weight = jnp.asarray(np.exp(-np.pi * 5.0 * t_full), jnp.float32)
+        freqs = jnp.asarray(
+            np.fft.fftshift(np.fft.fftfreq(zf, d=1.0 / sw)), jnp.float32
+        )
+        cfg = PipelineConfig(zero_fill_to=zf, lb=5.0, autophase="single")
+        kw = dict(
+            cfg=cfg, pmap_static=hashable_pmap(pk.pmap), mhz=mhz,
+            amp_slots=seed_plan(pk)[0], ls_plan=seed_plan(pk)[1],
+            interpret=True, uniform_t_ok=True,
+        )
+        args = (
+            re, im, weight, freqs, t,
+            jnp.asarray(pk.init_free, jnp.float32),
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind),
+        )
+        got = pinned_grid_program(**kw)(*args)
+        ref = process_grid_planar_raw(*args, **kw)
+        import jax
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(ref)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -93,6 +93,47 @@ def process_grid_planar_raw(
     return spec_re, spec_im, phases, x_free, cost, converged, sds
 
 
+def pinned_grid_program(device=None, **static_kwargs):
+    """jit of :func:`process_grid_planar_raw` with row-major result spectra.
+
+    XLA's auto entry-layout assignment prefers the voxel-minor transposed
+    layout for the returned spectral planes (it is physically denser when
+    the spectral lane dim is < 128) and inserts a full-tensor copy per
+    plane to reach it — ~0.3 ms/grid more device time than the tiling
+    padding it saves (r11 HLO audit, ``scripts/hlo_attrib.py``).  Entry
+    layouts can only be set at the jit boundary (in-graph
+    ``with_layout_constraint`` does not override the entry choice —
+    measured: the copy just moves to the root), hence this wrapper: the
+    two spectra outputs are pinned row-major, everything else stays
+    auto.  Off-TPU it degrades to the plain jitted program.
+
+    ``static_kwargs`` are the keyword arguments of
+    :func:`process_grid_planar_raw` (``cfg``, ``pmap_static``, ``mhz``,
+    seeding plans, LM knobs); positional arrays flow through unchanged.
+    """
+
+    def run(fids_re, fids_im, weight, freqs, t, x_template, lower, upper,
+            kind):
+        return process_grid_planar_raw(
+            fids_re, fids_im, weight, freqs, t, x_template, lower, upper,
+            kind, **static_kwargs,
+        )
+
+    if jax.default_backend() != "tpu":
+        return jax.jit(run)
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    dev = device if device is not None else jax.devices()[0]
+    cfg = static_kwargs["cfg"]
+    nd = 3 if getattr(cfg, "spec_layout", "flat") == "stacked" else 2
+    fmt = Format(
+        Layout(major_to_minor=tuple(range(nd))), SingleDeviceSharding(dev)
+    )
+    out_fmts = (fmt, fmt, (None, None, None), None, None, None, None)
+    return jax.jit(run, out_shardings=out_fmts)
+
+
 def _autophase_single_collective(spec_re, spec_im, freqs, cfg, axis_name):
     """Grid-global single-pivot autophase across voxel shards.
 
