@@ -13,7 +13,10 @@ from xmris_tpu.parallel.pipeline import (
     mrsi_pipeline,
     spectral_pipeline_raw,
 )
-from xmris_tpu.parallel.process import process_grid_planar_raw
+from xmris_tpu.parallel.process import (
+    pinned_grid_program,
+    process_grid_planar_raw,
+)
 
 __all__ = [
     "GRID_AXIS",
@@ -21,6 +24,7 @@ __all__ = [
     "lm_fit_batched_pallas_sharded",
     "make_mesh",
     "mrsi_pipeline",
+    "pinned_grid_program",
     "process_grid_planar_raw",
     "replicated",
     "shard_voxels",
