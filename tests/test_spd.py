@@ -188,6 +188,71 @@ class TestSlabForms:
         )[:10]
         np.testing.assert_array_equal(got, ref)
 
+    def test_lm_driver_slab_free_g_varpro_matches_xla(self, tmp_path):
+        """Free-g priors (VARPRO override auto-on) ride the slab too: the
+        override's Gram entries come off static slab rows instead of a
+        (B, F, F) gather.  Slab vs XLA-SPD parity on params/cost."""
+        import jax.numpy as jnp
+
+        from tests.test_fitting import make_phantom
+        from xmris_tpu.fitting.lm import (
+            auto_varpro,
+            external_to_internal,
+            hashable_pmap,
+            lm_fit_batched_pallas,
+        )
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+
+        csv = (
+            "Index,PCr,ATP\n"
+            "Initial Values,,\n"
+            "amplitude,10.0,5.0\n"
+            "chemicalshift,0.0,-7.5\n"
+            "linewidth,15.0,20.0\n"
+            "phase,0,0\n"
+            "g,0.1,0.1\n"
+            "Bounds,,\n"
+            'amplitude,"(0, ","(0, "\n'
+            'chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"\n'
+            'linewidth,"(5.0, 30.0)","(10.0, 40.0)"\n'
+            'phase,"(-180, 180)","(-180, 180)"\n'
+            'g,"(0, 1)","(0, 1)"\n'
+        )
+        p = tmp_path / "pk_free_g.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        assert auto_varpro(hashable_pmap(pk.pmap))  # the case under test
+        da = make_phantom(n_voxels=3, n_points=512)
+        fids = np.asarray(
+            da.transpose("voxel", "time").values
+        ).astype(np.complex64)
+        t = jnp.asarray((np.arange(512) / 10000.0).astype(np.float32))
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        args = (
+            t, u0,
+            jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+            jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
+        )
+        re = jnp.asarray(fids.real)
+        im = jnp.asarray(fids.imag)
+        r_slab = lm_fit_batched_pallas(
+            re, im, *args, max_iter=12, v_tile=2, interpret=True,
+            kernel_version=9, spd_pallas=True,
+        )
+        r_xla = lm_fit_batched_pallas(
+            re, im, *args, max_iter=12, v_tile=2, interpret=True,
+            kernel_version=9, spd_pallas=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_slab.x_free), np.asarray(r_xla.x_free),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_slab.cost), np.asarray(r_xla.cost), rtol=1e-5
+        )
+
     def test_crlb_from_hessian_slab_matches_dense(self):
         import jax.numpy as jnp
 

@@ -570,11 +570,12 @@ def seeded_fit_grid_raw(
         from xmris_tpu.fitting.lm import auto_varpro
 
         vp = auto_varpro(pmap_static)
-        # On the slab-mode path (v9 + Pallas SPD, no VARPRO) the Hessian
-        # stays in the moment kernel's native column-slab layout from the
-        # LM loop all the way into the CRLB inverse-diagonal kernel — zero
-        # (B, F, F) materializations in the whole fused program.
-        slab = spd_pallas and kernel_version == 9 and not vp
+        # On the slab-mode path (v9 + Pallas SPD; VARPRO included — the
+        # override reads its Gram entries off static slab rows) the
+        # Hessian stays in the moment kernel's native column-slab layout
+        # from the LM loop all the way into the CRLB inverse-diagonal
+        # kernel — zero (B, F, F) materializations in the fused program.
+        slab = spd_pallas and kernel_version == 9
         res, h_ext = _lm_fit_batched_pallas_impl(
             re, im, t, u0, lower, upper, kind, pmap_static, mhz,
             max_iter=max_iter, lam0=lam0, v_tile=v_tile,

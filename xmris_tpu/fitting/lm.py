@@ -571,7 +571,8 @@ def auto_varpro(pmap_static) -> bool:
     return has_free_g and varpro_plan(pmap_static) is not None
 
 
-def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0):
+def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0,
+                     slab_meta=None):
     """Kaufman-style variable-projection step: override the trial's
     amplitude/phase slots with the EXACT linear optimum recovered from the
     carried normal equations — zero extra kernel work.
@@ -603,6 +604,12 @@ def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0):
     amplitude below 1e-5 or pinned-at-bound transform factor (the Im
     recovery divides by ``m_p a``), or ``lam > 10 * lam0`` (a voxel stuck
     rejecting falls back to undamped-free LM semantics).
+
+    ``slab_meta=f_pad`` accepts ``h`` in the kernel-native slab layout
+    ``(n_tiles, f_pad·f_pad, v_tile)``: the S² Gram entries the re-solve
+    needs come straight off STATIC slab rows (``sa[k]·f_pad + sa[l]``) —
+    no (B, F, F) materialization, so slab mode carries free-g/VARPRO
+    fits too.
     """
     from xmris_tpu.ops.kernels.spd import spd_solve_small
 
@@ -622,8 +629,29 @@ def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0):
     m_p = scale_p[None, :] * dxdu[:, sp] * (jnp.pi / 180.0)
     mpa = m_p * a
 
-    h_aa = h[:, sa[:, None], sa[None, :]]
-    h_ap = h[:, sa[:, None], sp[None, :]]
+    s = sa.shape[0]
+    if slab_meta is None:
+        h_aa = h[:, sa[:, None], sa[None, :]]
+        h_ap = h[:, sa[:, None], sp[None, :]]
+    else:
+        f_pad = int(slab_meta)
+        n_tiles, _, v_tile = h.shape
+        b = u.shape[0]
+        sa_np = [int(v) for v in plan["sa"]]
+        sp_np = [int(v) for v in plan["sp"]]
+
+        def slab_entries(pairs):
+            rows = jnp.stack(
+                [h[:, i * f_pad + j, :] for (i, j) in pairs], axis=1
+            )  # (n_tiles, S*S, v_tile)
+            return (
+                rows.transpose(0, 2, 1)
+                .reshape(n_tiles * v_tile, len(pairs))[:b]
+                .reshape(b, s, s)
+            )
+
+        h_aa = slab_entries([(i, j) for i in sa_np for j in sa_np])
+        h_ap = slab_entries([(i, j) for i in sa_np for j in sp_np])
     re_z = h_aa / (m_a[:, :, None] * m_a[:, None, :])
     im_z = -h_ap / (m_a[:, :, None] * mpa[:, None, :])
     # Hermitian symmetrization kills f32 recovery noise (Im Z diag is 0
@@ -636,7 +664,6 @@ def _varpro_override(u_t, u, g, h, lam, lower, upper, kind, plan, lam0):
     n_re = v_re + jnp.einsum("bkl,bl->bk", re_z, a)
     n_im = v_im + jnp.einsum("bkl,bl->bk", im_z, a)
 
-    s = sa.shape[0]
     ridge = (1e-6 / s) * jnp.trace(re_z, axis1=1, axis2=2)
     eye2 = jnp.eye(2 * s, dtype=real_dtype)
     top = jnp.concatenate([re_z, -im_z], axis=2)
@@ -1024,13 +1051,13 @@ def _lm_fit_batched_pallas_impl(
     # v_tile) column-slab layout through the WHOLE loop — the Pallas SPD
     # solve consumes it directly, so the (B, F, F) materialization and
     # spd's re-tiling (two full-tensor HBM relayouts per LM iteration)
-    # both disappear.  The VARPRO override is the one consumer that needs
-    # (B, F, F) mid-loop, so it keeps the materialized path.
-    slab_mode = spd_pallas and kernel_version == 9 and vp_plan is None
+    # both disappear.  The VARPRO override reads its S² Gram entries off
+    # static slab rows, so free-g fits ride the slab too.
+    slab_mode = spd_pallas and kernel_version == 9
     if return_hessian == "slab" and not slab_mode:
         raise ValueError(
             "return_hessian='slab' requires the slab-mode path "
-            "(spd_pallas=True, kernel_version=9, no VARPRO override)"
+            "(spd_pallas=True, kernel_version=9)"
         )
     a_pad = -(-n_free // 8) * 8
     b_pad = -(-b // v_tile) * v_tile
@@ -1121,7 +1148,8 @@ def _lm_fit_batched_pallas_impl(
             # the exact linear optimum of the carried linearization while
             # the LM delta moves cs/lw/g (see _varpro_override).
             u_t = _varpro_override(
-                u_t, u, g, h, lam, lower, upper, kind, vp_plan, lam0
+                u_t, u, g, h, lam, lower, upper, kind, vp_plan, lam0,
+                slab_meta=a_pad if slab_mode else None,
             )
 
         # Predicted-decrease exit: for the GN model cost(u+d) ~= cost -
