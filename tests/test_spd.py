@@ -162,6 +162,38 @@ class TestSlabForms:
         # NaN padding rows must never leak in
         np.testing.assert_array_equal(got, ref)
 
+    def test_solve_slab_no_padding_rows(self):
+        """f == f_pad: the in-kernel pad-row compaction short-circuits."""
+        import jax.numpy as jnp
+
+        from xmris_tpu.ops.kernels.spd import (
+            spd_solve_damped_pallas,
+            spd_solve_damped_pallas_slab,
+        )
+
+        f = 8  # exactly the sublane multiple
+        h, g = make_spd(b=9, f=f, seed=17)
+        h = h.astype(np.float32)
+        g = g.astype(np.float32)
+        lam = (
+            np.random.default_rng(17).uniform(1e-5, 1e-2, 9)
+            .astype(np.float32)
+        )
+        ref = np.asarray(
+            spd_solve_damped_pallas(
+                jnp.asarray(h), jnp.asarray(g), jnp.asarray(lam),
+                v_tile=8, interpret=True,
+            )
+        )
+        got = np.asarray(
+            spd_solve_damped_pallas_slab(
+                jnp.asarray(self._to_slab(h, f, 8)),
+                jnp.asarray(g), jnp.asarray(lam),
+                f=f, f_pad=f, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
     def test_inverse_diag_slab_matches_dense(self):
         import jax.numpy as jnp
 
