@@ -575,7 +575,9 @@ def seeded_fit_grid_raw(
         # Hessian stays in the moment kernel's native column-slab layout
         # from the LM loop all the way into the CRLB inverse-diagonal
         # kernel — zero (B, F, F) materializations in the fused program.
-        slab = spd_pallas and kernel_version == 9
+        from xmris_tpu.fitting.lm import uses_slab_hessian
+
+        slab = uses_slab_hessian(spd_pallas, kernel_version)
         res, h_ext = _lm_fit_batched_pallas_impl(
             re, im, t, u0, lower, upper, kind, pmap_static, mhz,
             max_iter=max_iter, lam0=lam0, v_tile=v_tile,
@@ -587,10 +589,11 @@ def seeded_fit_grid_raw(
         if slab:
             from xmris_tpu.fitting.lm import crlb_from_hessian_slab
 
-            n_free = lower.shape[0]
+            # f_pad comes from the slab's own shape (single source of
+            # truth for the kernel's sublane rounding).
             sds, _ = crlb_from_hessian_slab(
-                h_ext, res.cost, re.shape[-1],
-                f=n_free, f_pad=-(-n_free // 8) * 8, interpret=interpret,
+                h_ext, res.cost, re.shape[-1], f=n_free,
+                interpret=interpret,
             )
         else:
             sds, _ = crlb_from_hessian(

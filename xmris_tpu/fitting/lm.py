@@ -557,6 +557,14 @@ def varpro_plan(pmap_static):
     }
 
 
+def uses_slab_hessian(spd_pallas: bool, kernel_version: int) -> bool:
+    """THE slab-mode rule, shared by the LM driver and the fused seeded
+    path (``amares.seeded_fit_grid_raw``) so the two cannot drift: the
+    Hessian stays in the v9 moment kernel's native column-slab layout
+    exactly when the Pallas SPD solve consumes it."""
+    return spd_pallas and kernel_version == 9
+
+
 def auto_varpro(pmap_static) -> bool:
     """The shared auto-enable rule for the Kaufman VARPRO override: on
     exactly when the prior fits a lineshape-mixing fraction (any free g —
@@ -1053,7 +1061,7 @@ def _lm_fit_batched_pallas_impl(
     # spd's re-tiling (two full-tensor HBM relayouts per LM iteration)
     # both disappear.  The VARPRO override reads its S² Gram entries off
     # static slab rows, so free-g fits ride the slab too.
-    slab_mode = spd_pallas and kernel_version == 9
+    slab_mode = uses_slab_hessian(spd_pallas, kernel_version)
     if return_hessian == "slab" and not slab_mode:
         raise ValueError(
             "return_hessian='slab' requires the slab-mode path "
@@ -1229,7 +1237,7 @@ def _lm_fit_batched_pallas_impl(
     u, cost, _, h_fin, _, n_acc, _, done, _ = jax.lax.while_loop(
         cond, step, carry0
     )
-    if slab_mode and return_hessian == "slab":
+    if return_hessian == "slab":  # implies slab_mode (guarded above)
         # Zero materializations: the scaled slab goes straight to
         # crlb_from_hessian_slab (the fused grid path).
         return _pallas_result_tail(
@@ -1343,7 +1351,8 @@ def crlb_from_hessian(h_ext, cost, n_t, use_pallas=True, interpret=None):
 
 
 @functools.partial(jax.jit, static_argnames=("f", "f_pad", "interpret"))
-def crlb_from_hessian_slab(h_slab, cost, n_t, *, f, f_pad, interpret=None):
+def crlb_from_hessian_slab(h_slab, cost, n_t, *, f, f_pad=None,
+                           interpret=None):
     """:func:`crlb_from_hessian` taking H in kernel-native slab form.
 
     ``h_slab``: ``(n_tiles, f_pad·f_pad, v_tile)`` external-space Hessian
@@ -1351,10 +1360,16 @@ def crlb_from_hessian_slab(h_slab, cost, n_t, *, f, f_pad, interpret=None):
     the fused grid path's zero-relayout CRLB: the Hessian never leaves the
     layout the moment kernel produced it in (the 1e-12 Tikhonov floor is
     applied in-kernel).  The unidentifiable-parameter check reads H's
-    diagonal straight off the slab rows ``k·(f_pad+1)``.
+    diagonal straight off the slab rows ``k·(f_pad+1)``.  ``f_pad``
+    defaults to the slab's own row count (``isqrt(h_slab.shape[1])``) —
+    the single source of truth for the kernel's sublane rounding.
     """
+    import math
+
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag_pallas_slab
 
+    if f_pad is None:
+        f_pad = math.isqrt(h_slab.shape[1])
     b = cost.shape[0]
     dof = jnp.maximum(2.0 * n_t - f, 1.0)
     sigma2 = cost / dof
