@@ -381,6 +381,13 @@ def supervise() -> None:
     The remote-TPU relay can wedge indefinitely (requests hang rather than
     fail).  The supervisor gives the accelerator run a hard deadline and
     falls back to a CPU measurement so the benchmark always reports.
+
+    Before committing the full deadline to the accelerator attempt, a
+    ~90 s probe (one tiny jit + witnessed readback in a subprocess)
+    checks that the relay answers at all; a wedged relay then costs one
+    probe timeout instead of the whole attempt budget, and a second
+    probe after a backoff gives a transiently-wedged relay (it
+    self-recovers when left idle) a recovery window.
     """
     import os
     import subprocess
@@ -404,9 +411,24 @@ def supervise() -> None:
                 return line
         return None
 
-    # With the persistent compile cache warm, the TPU run takes ~3-4 min;
-    # a wedged relay would otherwise eat the whole deadline.
-    line = attempt({}, timeout_s=700)
+    def probe_ok(timeout_s=90):
+        line = attempt({"XMT_BENCH_PROBE": "1"}, timeout_s=timeout_s)
+        if line is None:
+            return False
+        try:
+            return json.loads(line).get("probe") == "ok"
+        except json.JSONDecodeError:
+            return False
+
+    line = None
+    backend_up = probe_ok()
+    if not backend_up:
+        time.sleep(int(os.environ.get("XMT_BENCH_PROBE_BACKOFF_S", "180")))
+        backend_up = probe_ok()
+    if backend_up:
+        # With the persistent compile cache warm, the TPU run takes
+        # ~3-4 min; a wedged relay would otherwise eat the whole deadline.
+        line = attempt({}, timeout_s=700)
     if line is None:
         # Degraded mode: the full-grid fit is not CPU-feasible in bounded
         # time; measure the spectral pipeline only, honestly labeled.
@@ -437,6 +459,18 @@ def main() -> None:
 
     if os.environ.get("XMT_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+
+    if os.environ.get("XMT_BENCH_PROBE"):
+        # Supervisor liveness probe: one tiny jitted op with a witnessed
+        # scalar readback on the default backend.  A wedged relay hangs
+        # here (the supervisor's probe timeout catches it) instead of
+        # eating the full measurement deadline.
+        val = float(jax.jit(lambda x: jnp.sum(x * 2.0))(jnp.arange(8.0)))
+        print(json.dumps({
+            "probe": "ok" if val == 56.0 else "bad",
+            "backend": jax.default_backend(),
+        }))
+        return
 
     # Persist compiled executables across processes: remote Mosaic compiles
     # take minutes, and the benchmark shapes are fixed.

@@ -192,3 +192,79 @@ def test_serve_cli_state_file_resumes(tmp_path, capsys):
     ]
     assert [ln["file"] for ln in lines] == ["second.npz"]
     assert sorted(state.read_text().split()) == ["first.npz", "second.npz"]
+
+
+def test_serve_cli_pipeline_matches_serial(tmp_path, capsys):
+    """The threaded loader/writer pipeline (default) produces the same
+    records, outputs, ledger, and exit code as --no-pipeline — including
+    in-order records and correct --max-files accounting."""
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.interop.io import load_dataset_npz, save_npz
+    from xmris_tpu.runtime.cli import serve_main
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed"))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    da = make_phantom(n_voxels=2, n_points=256)
+    for i in range(3):
+        save_npz(da, watch / f"g{i}.npz")
+    (watch / "bad.npz").write_bytes(b"junk")  # load-stage error path
+
+    runs = {}
+    for tag, extra in (("pipe", []), ("serial", ["--no-pipeline"])):
+        out_dir = tmp_path / f"out_{tag}"
+        state = tmp_path / f"{tag}.state"
+        rc = serve_main(
+            [str(watch), str(pk), "-o", str(out_dir), "--once",
+             "--engine", "xla", "--max-iter", "40",
+             "--state-file", str(state)] + extra
+        )
+        lines = [
+            json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        for ln in lines:
+            ln.pop("wall_s", None)  # stage overlap changes wall clocks
+        runs[tag] = (rc, lines, sorted(state.read_text().split()),
+                     sorted(p.name for p in out_dir.glob("*_fit.npz")))
+    assert runs["pipe"] == runs["serial"]
+    rc, lines, ledger, outs = runs["pipe"]
+    assert rc == 2  # bad.npz
+    assert sorted(ln["file"] for ln in lines) == [
+        "bad.npz", "g0.npz", "g1.npz", "g2.npz"
+    ]
+    assert ledger == ["g0.npz", "g1.npz", "g2.npz"]
+    assert outs == ["g0_fit.npz", "g1_fit.npz", "g2_fit.npz"]
+    ds = load_dataset_npz(tmp_path / "out_pipe" / "g0_fit.npz")
+    assert ds["fit_converged"].values.all()
+
+
+def test_serve_cli_pipeline_max_files(tmp_path, capsys):
+    """--max-files stops after exactly N completed grids (pipeline on)."""
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.interop.io import save_npz
+    from xmris_tpu.runtime.cli import serve_main
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed"))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    da = make_phantom(n_voxels=2, n_points=256)
+    for i in range(4):
+        save_npz(da, watch / f"g{i}.npz")
+    out_dir = tmp_path / "out"
+
+    rc = serve_main(
+        [str(watch), str(pk), "-o", str(out_dir), "--once",
+         "--engine", "xla", "--max-iter", "40", "--max-files", "2"]
+    )
+    assert rc == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(lines) == 2
+    assert len(list(out_dir.glob("*_fit.npz"))) == 2

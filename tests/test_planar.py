@@ -199,6 +199,36 @@ class TestPlanarPipelineParity:
         # p1 agrees on the ramp scale (same basin)
         assert abs(outs["grid"][1] - outs["de"][1]) < 100.0
 
+    def test_phase_barrier_is_identity(self):
+        """phase_barrier=True pins cos/sin behind an optimization_barrier
+        (a TPU-fusion dedup; see r13 session) — bit-identical outputs."""
+        rng = np.random.default_rng(33)
+        n_vox, n_time, zf = 6, 256, 512
+        t = np.arange(n_time) / 4000.0
+        fids = (
+            rng.uniform(1, 4, (n_vox, 1))
+            * np.exp((1j * 2 * np.pi * rng.uniform(-1e3, 1e3, (n_vox, 1)) - 30) * t)
+        )
+        fids += rng.normal(0, 1e-3, fids.shape) + 1j * rng.normal(0, 1e-3, fids.shape)
+        t_full = np.arange(zf) / 4000.0
+        weight = np.exp(-np.pi * 5.0 * t_full)
+        freqs = np.fft.fftshift(np.fft.fftfreq(zf, d=t[1] - t[0]))
+
+        outs = {}
+        for barrier in (False, True):
+            cfg = PipelineConfig(
+                zero_fill_to=zf, lb=5.0, autophase="single",
+                phase_barrier=barrier,
+            )
+            re, im, (p0, p1, piv) = spectral_pipeline_planar_raw(
+                jnp.asarray(fids.real), jnp.asarray(fids.imag),
+                jnp.asarray(weight), jnp.asarray(freqs), cfg,
+            )
+            outs[barrier] = (np.asarray(re), np.asarray(im), float(p0))
+        assert outs[True][2] == outs[False][2]
+        np.testing.assert_array_equal(outs[True][0], outs[False][0])
+        np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
     def test_no_autophase_mode(self):
         xr, xi = rand_planar((4, 128), seed=9)
         weight = np.ones(128)

@@ -79,6 +79,13 @@ class PipelineConfig:
     # relayout the flat return pays.  Requires the pallas DFT variant and
     # autophase in ("single", "none").
     spec_layout: str = "flat"
+    # Single-mode phase application: materialize the per-frequency
+    # cos/sin vectors (jax.lax.optimization_barrier) instead of letting
+    # XLA recompute them per element inside the (B, n_freq) rotation
+    # fusion — two transcendentals per spectrum point across the grid
+    # where ~2·n_freq evaluations suffice.  A/B knob for the r13 TPU
+    # session; numerically identity.
+    phase_barrier: bool = False
 
     def __post_init__(self):
         if self.autophase not in ("single", "all", "none"):

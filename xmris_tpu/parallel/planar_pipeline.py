@@ -22,8 +22,16 @@ from xmris_tpu.ops.phasing import _phased_real_planar, acme_score_raw
 from xmris_tpu.parallel.pipeline import PipelineConfig
 
 
-def _apply_phase_planar(re, im, phi):
+def _apply_phase_planar(re, im, phi, barrier: bool = False):
     c, s = jnp.cos(phi), jnp.sin(phi)
+    if barrier:
+        # Force the per-frequency cos/sin vectors to materialize instead
+        # of letting XLA duplicate them INTO the (B, n_freq) elementwise
+        # fusion: fusions recompute cheap producers per output element,
+        # which would evaluate two transcendentals per spectrum point
+        # across the whole grid (~134 M evals at bench scale) where ~2k
+        # suffice.  The barrier costs two tiny (n_freq,) buffers.
+        c, s = jax.lax.optimization_barrier((c, s))
     return re * c - im * s, re * s + im * c
 
 
@@ -118,7 +126,7 @@ def _autophase_single_planar(re, im, freqs, cfg: PipelineConfig, peak=None):
         phi = phi.reshape(re.shape[-2:])[None]
     else:
         phi = phi[None, :]
-    re, im = _apply_phase_planar(re, im, phi)
+    re, im = _apply_phase_planar(re, im, phi, barrier=cfg.phase_barrier)
     return re, im, p0, p1, pivot
 
 

@@ -190,7 +190,9 @@ def _autophase_single_collective(spec_re, spec_im, freqs, cfg, axis_name):
         phi = phi.reshape(spec_re.shape[-2:])[None]
     else:
         phi = phi[None, :]
-    spec_re, spec_im = _apply_phase_planar(spec_re, spec_im, phi)
+    spec_re, spec_im = _apply_phase_planar(
+        spec_re, spec_im, phi, barrier=cfg.phase_barrier
+    )
     return spec_re, spec_im, (p0, p1, pivot)
 
 

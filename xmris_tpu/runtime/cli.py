@@ -212,6 +212,15 @@ def serve_main(argv: list[str] | None = None) -> int:
     any grid failed or left unconverged voxels) — the mode the tests and
     cron-style deployments use; without it the server polls forever and
     exits cleanly on Ctrl-C.
+
+    Within a batch the three per-grid stages are pipelined (a loader
+    thread prefetches grid N+1 and a writer thread saves grid N-1 while
+    the device fits grid N): host I/O on ~134 MB archives rivals the
+    ~22 ms device program, so the overlap roughly doubles steady-state
+    throughput.  Record order, ledger semantics, and exit codes are
+    identical to the serial path (``--no-pipeline``); ``wall_s`` in each
+    record spans ingest-start to result-written, so overlapped grids can
+    report a larger wall than their device time.
     """
     parser = argparse.ArgumentParser(
         prog="xmris-tpu-serve",
@@ -249,6 +258,9 @@ def serve_main(argv: list[str] | None = None) -> int:
                         choices=("auto", "xla", "pallas"))
     parser.add_argument("--max-iter", type=int, default=60)
     parser.add_argument("--kernel-version", type=int, default=9)
+    parser.add_argument("--no-pipeline", action="store_true",
+                        help="disable the loader/writer threads (process "
+                             "each grid strictly serially)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -287,6 +299,133 @@ def serve_main(argv: list[str] | None = None) -> int:
         except OSError:
             return 0.0
 
+    # --- Per-grid pipeline stages -----------------------------------------
+    # The drain loop runs each batch through load -> fit -> write.  With
+    # the pipeline enabled (default), the load of grid N+1 and the
+    # save/ledger of grid N-1 run on side threads while the device fits
+    # grid N: at production scale the host I/O (a ~134 MB npz read + a
+    # result write) rivals the ~22 ms device program, so overlapping the
+    # three stages roughly doubles steady-state serve throughput.  The
+    # single writer thread keeps the JSON record order, the ledger
+    # appends, and the exit-code bookkeeping exactly serial: records
+    # complete in scheduling order because every stage is FIFO.
+
+    def _load_stage(p: Path):
+        """(da, None) or (None, error) — never raises."""
+        try:
+            return _load_input(p, args.variable), None
+        except Exception as e:  # noqa: BLE001 — keep serving
+            return None, e
+
+    def _fit_stage(da):
+        """(ds, None) or (None, error) — never raises."""
+        try:
+            return fit_amares(
+                da, prior, dim=args.dim, mhz=args.mhz, sw=args.sw,
+                engine=args.engine, max_iter=args.max_iter,
+                kernel_version=args.kernel_version,
+            ), None
+        except Exception as e:  # noqa: BLE001 — keep serving
+            return None, e
+
+    def _write_stage(p: Path, ds, err, t0) -> tuple[dict, bool]:
+        """Save + status record + ledger append.
+
+        Returns ``(record, clean)`` where ``clean`` is False on any error
+        or any unconverged voxel (drives the exit code; kept separate
+        from the record's rounded ``converged_frac``)."""
+        record: dict = {"file": p.name}
+        clean = False
+        try:
+            if err is not None:
+                raise err
+            out = out_dir / (p.stem + "_fit.npz")
+            save_dataset_npz(ds, out)
+            conv = np.asarray(ds["fit_converged"].values)
+            record.update(
+                status="ok",
+                output=out.name,
+                voxels=int(conv.size),
+                converged_frac=round(float(conv.mean()), 4),
+                wall_s=round(time.perf_counter() - t0, 3),
+            )
+            clean = bool(conv.all())
+        except Exception as e:  # noqa: BLE001 — keep serving
+            record.update(status="error", error=repr(e)[:300])
+        print(json.dumps(record), flush=True)
+        # Only SUCCESSFUL grids enter the persistent ledger: a transient
+        # failure (e.g. a wedged device backend) must be retried by a
+        # restarted server, not permanently skipped.  Within one server
+        # lifetime the in-memory `seen` still prevents hot-looping on a
+        # permanently bad file.
+        if state_path is not None and record["status"] == "ok":
+            with open(state_path, "a") as sf:
+                sf.write(p.name + "\n")
+        return record, clean
+
+    def _drain_batch(pending) -> None:
+        """Run one batch through the three stages (threaded or serial)."""
+        nonlocal n_done, any_bad
+        if args.no_pipeline:
+            for p in pending:
+                t0 = time.perf_counter()
+                da, err = _load_stage(p)
+                ds = None
+                if err is None:
+                    ds, err = _fit_stage(da)
+                _, clean = _write_stage(p, ds, err, t0)
+                if not clean:
+                    any_bad = True
+                n_done += 1
+            return
+
+        import queue
+        import threading
+
+        load_q: queue.Queue = queue.Queue(maxsize=2)
+        write_q: queue.Queue = queue.Queue(maxsize=2)
+        results: list[bool] = []
+
+        def loader():
+            for p in pending:
+                t0 = time.perf_counter()
+                da, err = _load_stage(p)
+                load_q.put((p, t0, da, err))
+            load_q.put(None)
+
+        def writer():
+            while True:
+                item = write_q.get()
+                if item is None:
+                    return
+                _, clean = _write_stage(*item)
+                results.append(clean)
+
+        lt = threading.Thread(target=loader, daemon=True)
+        wt = threading.Thread(target=writer, daemon=True)
+        lt.start()
+        wt.start()
+        try:
+            while True:
+                item = load_q.get()
+                if item is None:
+                    break
+                p, t0, da, err = item
+                ds = None
+                if err is None:
+                    ds, err = _fit_stage(da)
+                write_q.put((p, ds, err, t0))
+        finally:
+            write_q.put(None)
+            wt.join()
+            # The loader (daemon) can still be blocked on a full load_q if
+            # the main stage aborted mid-batch; don't hang shutdown on it.
+            lt.join(timeout=5.0)
+        for clean in results:
+            if not clean:
+                any_bad = True
+            n_done += 1
+
     try:
         while True:
             pending = sorted(
@@ -303,44 +442,12 @@ def serve_main(argv: list[str] | None = None) -> int:
                     break
                 time.sleep(args.poll)
                 continue
-            for p in pending:
-                seen.add(p.name)
-                t0 = time.perf_counter()
-                record: dict = {"file": p.name}
-                try:
-                    da = _load_input(p, args.variable)
-                    ds = fit_amares(
-                        da, prior, dim=args.dim, mhz=args.mhz, sw=args.sw,
-                        engine=args.engine, max_iter=args.max_iter,
-                        kernel_version=args.kernel_version,
-                    )
-                    out = out_dir / (p.stem + "_fit.npz")
-                    save_dataset_npz(ds, out)
-                    conv = np.asarray(ds["fit_converged"].values)
-                    record.update(
-                        status="ok",
-                        output=out.name,
-                        voxels=int(conv.size),
-                        converged_frac=round(float(conv.mean()), 4),
-                        wall_s=round(time.perf_counter() - t0, 3),
-                    )
-                    if not conv.all():
-                        any_bad = True
-                except Exception as e:  # noqa: BLE001 — keep serving
-                    any_bad = True
-                    record.update(status="error", error=repr(e)[:300])
-                print(json.dumps(record), flush=True)
-                # Only SUCCESSFUL grids enter the persistent ledger: a
-                # transient failure (e.g. a wedged device backend) must be
-                # retried by a restarted server, not permanently skipped.
-                # Within one server lifetime the in-memory `seen` still
-                # prevents hot-looping on a permanently bad file.
-                if state_path is not None and record["status"] == "ok":
-                    with open(state_path, "a") as sf:
-                        sf.write(p.name + "\n")
-                n_done += 1
-                if args.max_files is not None and n_done >= args.max_files:
-                    return 2 if any_bad else 0
+            if args.max_files is not None:
+                pending = pending[: max(0, args.max_files - n_done)]
+            seen.update(p.name for p in pending)
+            _drain_batch(pending)
+            if args.max_files is not None and n_done >= args.max_files:
+                return 2 if any_bad else 0
     except KeyboardInterrupt:  # pragma: no cover — interactive exit
         pass
     return 2 if any_bad else 0
