@@ -196,8 +196,8 @@ def test_serve_cli_state_file_resumes(tmp_path, capsys):
 
 def test_serve_cli_pipeline_matches_serial(tmp_path, capsys):
     """The threaded loader/writer pipeline (default) produces the same
-    records, outputs, ledger, and exit code as --no-pipeline — including
-    in-order records and correct --max-files accounting."""
+    records, outputs, ledger, and exit code as the serial default —
+    including in-order records and correct --max-files accounting."""
     from tests.test_fitting import PK_CSV, make_phantom
     from xmris_tpu.interop.io import load_dataset_npz, save_npz
     from xmris_tpu.runtime.cli import serve_main
@@ -212,7 +212,7 @@ def test_serve_cli_pipeline_matches_serial(tmp_path, capsys):
     (watch / "bad.npz").write_bytes(b"junk")  # load-stage error path
 
     runs = {}
-    for tag, extra in (("pipe", []), ("serial", ["--no-pipeline"])):
+    for tag, extra in (("pipe", ["--pipeline"]), ("serial", [])):
         out_dir = tmp_path / f"out_{tag}"
         state = tmp_path / f"{tag}.state"
         rc = serve_main(
@@ -257,7 +257,7 @@ def test_serve_cli_pipeline_max_files(tmp_path, capsys):
     out_dir = tmp_path / "out"
 
     rc = serve_main(
-        [str(watch), str(pk), "-o", str(out_dir), "--once",
+        [str(watch), str(pk), "-o", str(out_dir), "--once", "--pipeline",
          "--engine", "xla", "--max-iter", "40", "--max-files", "2"]
     )
     assert rc == 0

@@ -258,6 +258,24 @@ class TestFitAmares:
         assert "prior_knowledge_file" in ds.attrs
         assert ds["fit_converged"].values.all()
 
+    def test_return_curves_false_lean_dataset(self, pk_file):
+        """return_curves=False drops only the time-domain curve variables;
+        every map/mask/attr is bit-identical to the full dataset."""
+        from xmris_tpu.fitting.amares import fit_amares
+
+        da = make_phantom(n_voxels=2)
+        full = da.xmr.fit_amares(pk_file)
+        lean = fit_amares(da, pk_file, return_curves=False)
+        for name in ("raw_data", "fit_data", "residuals"):
+            assert name not in lean.data_vars
+        for name in ("amplitude", "chem_shift", "linewidth", "phase",
+                     "crlb", "snr", "fit_converged"):
+            np.testing.assert_array_equal(
+                lean[name].values, full[name].values
+            )
+            assert lean[name].dims == full[name].dims
+        assert lean.attrs == full.attrs
+
     def test_fit_quality(self, pk_file):
         """Residuals after the fit should be noise-level."""
         da = make_phantom(n_voxels=3)

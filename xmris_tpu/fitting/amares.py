@@ -159,7 +159,25 @@ def _linear_seed_scan_g(y_re, y_im, x_t, t, pmap_static, mhz, g_values):
     return amp, phase, g_best, best_cost
 
 
-def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz):
+def _seed_planes(fid_arrs, device_fids):
+    """float32 device planes of the grid for the LS seed solves.
+
+    Reuses already-uploaded planes when the caller provides them (the
+    cast runs on device); otherwise pays the upload here.
+    """
+    if device_fids is not None:
+        return (
+            device_fids[0].astype(jnp.float32),
+            device_fids[1].astype(jnp.float32),
+        )
+    return (
+        jnp.asarray(np.ascontiguousarray(fid_arrs.real, dtype=np.float32)),
+        jnp.asarray(np.ascontiguousarray(fid_arrs.imag, dtype=np.float32)),
+    )
+
+
+def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz,
+                           device_fids=None):
     """Per-voxel LS amplitudes/phases given the template's cs/lw/g.
 
     With frequencies, linewidths and g frozen at the template optimum, the
@@ -172,8 +190,7 @@ def _linear_amp_phase_seed(fid_arrs, x_template, pk, t_j, mhz):
 
     Returns ``(amp, phase_deg)`` numpy arrays of shape (B, K).
     """
-    re = jnp.asarray(np.ascontiguousarray(fid_arrs.real, dtype=np.float32))
-    im = jnp.asarray(np.ascontiguousarray(fid_arrs.imag, dtype=np.float32))
+    re, im = _seed_planes(fid_arrs, device_fids)
     amp, ph = _linear_seed_solve(
         re, im, jnp.asarray(x_template, dtype=jnp.float32),
         t_j.astype(jnp.float32), hashable_pmap(pk.pmap), float(mhz),
@@ -281,6 +298,7 @@ def template_seeded_x0(
     verbose: bool = False,
     linear_seed: bool = True,
     g_scan: tuple | None = None,
+    device_fids: tuple | None = None,
 ) -> np.ndarray:
     """Per-voxel initial values seeded from a template-voxel fit.
 
@@ -298,6 +316,10 @@ def template_seeded_x0(
     linear LS solve runs once per candidate against a basis with that g,
     and each voxel keeps the argmin-cost candidate's g + amplitudes +
     phases.  Ignored when the prior fixes every g.
+
+    ``device_fids``: optional already-uploaded ``(re, im)`` device planes
+    of ``fid_arrs`` — the LS seed casts and reuses them instead of paying
+    a second host→device transfer of the whole grid.
 
     Returns the (B, n_free) array of *external* initial values.
     """
@@ -343,12 +365,7 @@ def template_seeded_x0(
                 # Free-g prior: scan static g candidates, seed the winning
                 # per-voxel mixing fraction alongside its amp/phase LS
                 # solution (a shared template g converges slowly).
-                re = jnp.asarray(
-                    np.ascontiguousarray(fid_arrs.real, dtype=np.float32)
-                )
-                im = jnp.asarray(
-                    np.ascontiguousarray(fid_arrs.imag, dtype=np.float32)
-                )
+                re, im = _seed_planes(fid_arrs, device_fids)
                 amp_j, ph_j, g_best_j, _ = _linear_seed_scan_g(
                     re, im, jnp.asarray(x_template, jnp.float32),
                     t_j.astype(jnp.float32), hashable_pmap(pk.pmap),
@@ -358,7 +375,8 @@ def template_seeded_x0(
                 g_best = np.asarray(g_best_j)
             elif ls_plan:
                 amp, ph = _linear_amp_phase_seed(
-                    fid_arrs, x_template, pk, t_j, mhz
+                    fid_arrs, x_template, pk, t_j, mhz,
+                    device_fids=device_fids,
                 )
             staged: dict[int, tuple[np.ndarray, np.ndarray]] = {}
             for slot, offset, lo, hi in g_slots:
@@ -629,6 +647,7 @@ def fit_amares(
     scale_init_amplitudes: bool = True,
     kernel_version: int = 9,
     g_scan: tuple | str | None = "auto",
+    return_curves: bool = True,
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -667,9 +686,37 @@ def fit_amares(
     LS amplitude solves over candidate g values (``"auto"``: a default
     ladder when the prior leaves any g free, skipped otherwise; a tuple:
     explicit candidates; ``None``: off).
+
+    ``return_curves=False`` omits the per-voxel time-domain curves
+    (``raw_data``/``fit_data``/``residuals``) from the result — the
+    parameter/CRLB/SNR maps and convergence mask are unchanged.  The
+    curves triple the result's footprint (3 full-grid complex arrays) and
+    their device reconstruction + transfer dominate a remote-accelerator
+    deployment's per-grid wall (results/tpu_r14.jsonl), so streaming
+    servers that only consume maps should turn them off
+    (``xmris-tpu-serve --curves`` re-enables them there).
     """
     if dim not in da.dims:
         raise ValueError(f"Dimension '{dim}' missing in DataArray.")
+
+    # Opt-in stage decomposition (XMT_FIT_STAGE_TIMERS=1): one JSON line
+    # with host-wall seconds per stage.  Production serving is dominated
+    # by host/transfer work, not device compute (results/tpu_r14.jsonl),
+    # so the split is the first thing to look at when a deployment is
+    # slower than the device-time arithmetic predicts.
+    import os as _os
+
+    stage_t: dict[str, float] | None = (
+        {} if _os.environ.get("XMT_FIT_STAGE_TIMERS") else None
+    )
+    _mark = time.perf_counter()
+
+    def _stage(name: str) -> None:
+        nonlocal _mark
+        if stage_t is not None:
+            now = time.perf_counter()
+            stage_t[name] = round(now - _mark, 3)
+            _mark = now
 
     # 1. Physical parameter inference (reference: amares.py:269-281)
     if mhz is None:
@@ -703,6 +750,7 @@ def fit_amares(
             )
     else:
         template_fid = fid_arrs[select_template_fid(fid_arrs)]
+    _stage("ingest")
 
     # 4. Prior knowledge
     pk = (
@@ -717,6 +765,13 @@ def fit_amares(
     lower_j = jnp.asarray(pk.lower)
     upper_j = jnp.asarray(pk.upper)
     kind_j = jnp.asarray(pk.kind)
+
+    # ONE device upload of the planar FID planes, shared by the seed and
+    # fit stages: through the remote-TPU relay a production grid uploads
+    # at ~100 MB/s (results/tpu_r14.jsonl), so every avoided re-upload is
+    # worth more than the entire device fit.
+    re_all = jnp.asarray(np.ascontiguousarray(fid_arrs.real))
+    im_all = jnp.asarray(np.ascontiguousarray(fid_arrs.imag))
 
     # Per-voxel initial values: template fit + amplitude rescaling (the
     # shared implementation of pyAMARES.initialize_FID's scheme).  The
@@ -736,9 +791,11 @@ def fit_amares(
         max_iter=max_iter,
         verbose=verbose,
         g_scan=g_scan,
+        device_fids=(re_all, im_all),
     )
     u0 = external_to_internal(x0, pk.lower, pk.upper, pk.kind)
     u0_j = jnp.asarray(u0)
+    _stage("seed")
 
     # 5. Batched bounded LM over voxel chunks
     if engine == "auto":
@@ -781,9 +838,8 @@ def fit_amares(
     t_before = time.perf_counter()
     x_parts, conv_parts, h_parts, cost_parts = [], [], [], []
     for start in range(0, n_spectra, chunk_size):
-        chunk_np = fid_arrs[start : start + chunk_size]
-        re_c = jnp.asarray(np.ascontiguousarray(chunk_np.real))
-        im_c = jnp.asarray(np.ascontiguousarray(chunk_np.imag))
+        re_c = re_all[start : start + chunk_size]
+        im_c = im_all[start : start + chunk_size]
         res, h1 = run_lm(re_c, im_c, u0_j[start : start + chunk_size], max_iter)
         x = res.x_free
         cost_pick = res.cost
@@ -811,18 +867,20 @@ def fit_amares(
         conv_parts.append(np.asarray(conv))
         cost_parts.append(np.asarray(cost_pick))
         if h_pick is not None:
-            h_parts.append(np.asarray(h_pick))
+            # Device-resident: the CRLB pass consumes H per chunk as-is —
+            # a host round trip of the (B, F, F) Hessian buys nothing.
+            h_parts.append(h_pick)
 
     x_free = np.concatenate(x_parts, axis=0)
     converged = np.concatenate(conv_parts, axis=0)
     cost_final = np.concatenate(cost_parts, axis=0)
-    h_final = np.concatenate(h_parts, axis=0) if h_parts else None
 
     elapsed = time.perf_counter() - t_before
     print(
         f"Fitting {n_spectra} spectra with batched device LM took "
         f"{elapsed:.2f} seconds."
     )
+    _stage("fit")
 
     # 6. Expand parameters, CRLBs, reconstructed fits
     metabolites = np.asarray(pk.metabolites, dtype=object)
@@ -837,32 +895,36 @@ def fit_amares(
     grids = full_flat.reshape(n_spectra, n_metab, 5)
 
     sds_parts, sigma_parts, fit_parts = [], [], []
-    for start in range(0, n_spectra, chunk_size):
-        chunk = fid_arrs[start : start + chunk_size]
+    for ci, start in enumerate(range(0, n_spectra, chunk_size)):
         xs = jnp.asarray(x_free[start : start + chunk_size])
-        if h_final is not None:
+        if h_parts:
             # Zero-cost CRLB: the LM driver already returned the GN Hessian
             # (= Fisher information, identity prior) at each voxel's chosen
-            # optimum — no extra kernel evaluation needed.
+            # optimum — no extra kernel evaluation needed, and the chunk's
+            # H is still device-resident from the fit loop.
             from xmris_tpu.fitting.lm import crlb_from_hessian
 
             sds, sigma2 = crlb_from_hessian(
-                jnp.asarray(h_final[start : start + chunk_size]),
+                h_parts[ci],
                 jnp.asarray(cost_final[start : start + chunk_size]),
-                chunk.shape[-1],
+                n_time,
             )
         else:
             sds, sigma2 = crlb_batched(
-                jnp.asarray(chunk), t_j, xs, pmap_static, mhz
+                jnp.asarray(fid_arrs[start : start + chunk_size]),
+                t_j, xs, pmap_static, mhz,
             )
         sds_parts.append(np.asarray(sds))
         sigma_parts.append(np.asarray(sigma2))
-        model = _reconstruct_batch(xs, t_j, pk, mhz)
-        fit_parts.append(np.asarray(model))
+        if return_curves:
+            fit_parts.append(_reconstruct_batch(xs, t_j, pk, mhz))
 
     sds_free = np.concatenate(sds_parts, axis=0)  # (B, F)
     sigma2 = np.concatenate(sigma_parts, axis=0)  # (B,)
-    fit_data = np.concatenate(fit_parts, axis=0)  # (B, n_time)
+    fit_data = (
+        np.concatenate(fit_parts, axis=0) if return_curves else None
+    )  # (B, n_time)
+    _stage("crlb_model")
 
     # Per-metabolite quantities
     amplitudes = grids[:, :, 0]
@@ -900,7 +962,8 @@ def fit_amares(
     failed = ~converged | ~np.isfinite(grids).all(axis=(1, 2))
     for arr in (amplitudes, chem_shifts, linewidths, phases, crlbs, snrs):
         arr[failed] = 0.0
-    fit_data[failed] = 0.0
+    if return_curves:
+        fit_data[failed] = 0.0
 
     # 7. Pack the dataset in the original layout
     def to_voxel_shape(arr, extra=()):
@@ -918,8 +981,6 @@ def fit_amares(
         return out
 
     time_dims = tuple(other_dims) + (dim,)
-    raw_nd = to_voxel_shape(fid_arrs, (n_time,))
-    fit_nd = to_voxel_shape(fit_data, (n_time,))
 
     def back(arr, dims):
         x = XmrArray(arr, dims=dims)
@@ -928,9 +989,12 @@ def fit_amares(
             da.dims
         ) else x
 
-    ds["raw_data"] = back(raw_nd, time_dims)
-    ds["fit_data"] = back(fit_nd, time_dims)
-    ds["residuals"] = back(raw_nd - fit_nd, time_dims)
+    if return_curves:
+        raw_nd = to_voxel_shape(fid_arrs, (n_time,))
+        fit_nd = to_voxel_shape(fit_data, (n_time,))
+        ds["raw_data"] = back(raw_nd, time_dims)
+        ds["fit_data"] = back(fit_nd, time_dims)
+        ds["residuals"] = back(raw_nd - fit_nd, time_dims)
 
     for name, arr in (
         ("amplitude", amplitudes),
@@ -963,7 +1027,30 @@ def fit_amares(
             "amares_version": f"xmris_tpu-{_xmt_version}",
         }
     )
+    _stage("pack")
+    if stage_t is not None:
+        import json as _json
+
+        print(_json.dumps({"fit_amares_stages_s": stage_t}), flush=True)
     return ds
+
+
+@functools.partial(jax.jit, static_argnames=("pmap_static", "mhz"))
+def _reconstruct_planar(xs, t_j, pmap_static, mhz):
+    """Jitted core of :func:`_reconstruct_batch` (module level so the jit
+    cache persists across calls — a closure-local jit would retrace and
+    remote-compile on every ``fit_amares`` invocation, which dominated the
+    warm per-grid wall through the TPU relay; results/tpu_r14.jsonl)."""
+    from xmris_tpu.fitting.lm import _pmap_jax, eq6_basis_planar, expand_params
+
+    pmap = _pmap_jax(pmap_static, xs.dtype)
+
+    def one(x):
+        grid = expand_params(x, pmap)
+        m_re, m_im, _, _ = eq6_basis_planar(t_j, grid, mhz)
+        return m_re, m_im
+
+    return jax.vmap(one)(xs)
 
 
 def _reconstruct_batch(x_free, t_j, pk: PriorKnowledge, mhz: float):
@@ -971,31 +1058,9 @@ def _reconstruct_batch(x_free, t_j, pk: PriorKnowledge, mhz: float):
 
     Planar on device (no complex dtype); combined to complex on the host.
     """
-    import jax
-
-    from xmris_tpu.fitting.lm import eq6_basis_planar, expand_params
-
-    pmap = _as_jax_pmap(pk.pmap)
-
-    @jax.jit
-    def run(xs):
-        def one(x):
-            grid = expand_params(x, pmap)
-            m_re, m_im, _, _ = eq6_basis_planar(t_j, grid, mhz)
-            return m_re, m_im
-
-        return jax.vmap(one)(xs)
-
-    m_re, m_im = run(x_free)
+    m_re, m_im = _reconstruct_planar(
+        jnp.asarray(x_free), t_j, hashable_pmap(pk.pmap), float(mhz)
+    )
     return np.asarray(m_re) + 1j * np.asarray(m_im)
 
 
-def _as_jax_pmap(pmap):
-    from xmris_tpu.fitting.lm import ParamMap
-
-    return ParamMap(
-        idx=jnp.asarray(pmap.idx),
-        scale=jnp.asarray(pmap.scale),
-        offset=jnp.asarray(pmap.offset),
-        n_peaks=pmap.n_peaks,
-    )

@@ -213,14 +213,24 @@ def serve_main(argv: list[str] | None = None) -> int:
     cron-style deployments use; without it the server polls forever and
     exits cleanly on Ctrl-C.
 
-    Within a batch the three per-grid stages are pipelined (a loader
-    thread prefetches grid N+1 and a writer thread saves grid N-1 while
-    the device fits grid N): host I/O on ~134 MB archives rivals the
-    ~22 ms device program, so the overlap roughly doubles steady-state
-    throughput.  Record order, ledger semantics, and exit codes are
-    identical to the serial path (``--no-pipeline``); ``wall_s`` in each
-    record spans ingest-start to result-written, so overlapped grids can
-    report a larger wall than their device time.
+    Results are lean by default: parameter/CRLB/SNR maps plus the
+    convergence mask, WITHOUT the per-voxel time-domain curves.  The
+    curves triple the result footprint and their device reconstruction +
+    transfer dominated the measured per-grid wall on a remote accelerator
+    (``results/tpu_r14.jsonl``); pass ``--curves`` for the full
+    ``fit_amares`` dataset (``raw_data``/``fit_data``/``residuals``).
+
+    ``--pipeline`` overlaps the three per-grid stages (a loader thread
+    prefetches grid N+1 and a writer thread saves grid N-1 while the
+    device fits grid N).  Record order, ledger semantics, and exit codes
+    are identical to the serial default; ``wall_s`` in each record spans
+    ingest-start to result-written, so overlapped grids can report a
+    larger wall than their device time.  Measured on a single-CPU host at
+    production scale the overlap was NET-NEGATIVE (0.87×,
+    ``results/tpu_r14.jsonl`` — the loader/writer threads contend with
+    the fit stage's host-side work for the one core), hence opt-in:
+    enable it on multi-core hosts where the loader's ~134 MB reads are
+    genuinely concurrent.
     """
     parser = argparse.ArgumentParser(
         prog="xmris-tpu-serve",
@@ -258,9 +268,14 @@ def serve_main(argv: list[str] | None = None) -> int:
                         choices=("auto", "xla", "pallas"))
     parser.add_argument("--max-iter", type=int, default=60)
     parser.add_argument("--kernel-version", type=int, default=9)
-    parser.add_argument("--no-pipeline", action="store_true",
-                        help="disable the loader/writer threads (process "
-                             "each grid strictly serially)")
+    parser.add_argument("--pipeline", action="store_true",
+                        help="overlap load/fit/write across grids with "
+                             "loader+writer threads (helps on multi-core "
+                             "hosts; measured net-negative on 1-CPU hosts)")
+    parser.add_argument("--curves", action="store_true",
+                        help="include raw_data/fit_data/residuals curves "
+                             "in results (3 full-grid complex arrays; "
+                             "off by default for serving throughput)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -324,6 +339,7 @@ def serve_main(argv: list[str] | None = None) -> int:
                 da, prior, dim=args.dim, mhz=args.mhz, sw=args.sw,
                 engine=args.engine, max_iter=args.max_iter,
                 kernel_version=args.kernel_version,
+                return_curves=args.curves,
             ), None
         except Exception as e:  # noqa: BLE001 — keep serving
             return None, e
@@ -366,7 +382,7 @@ def serve_main(argv: list[str] | None = None) -> int:
     def _drain_batch(pending) -> None:
         """Run one batch through the three stages (threaded or serial)."""
         nonlocal n_done, any_bad
-        if args.no_pipeline:
+        if not args.pipeline:
             for p in pending:
                 t0 = time.perf_counter()
                 da, err = _load_stage(p)
