@@ -583,3 +583,25 @@ class TestLinearSeed:
         )
         ph_slot = int(pk.pmap.idx[3])  # PCr phase free slot
         np.testing.assert_allclose(x0[:, ph_slot], 270.0, atol=2.0)
+
+    def test_device_fid_planes_interleaved_matches_fallback(self):
+        """complex64 grids upload as ONE interleaved transfer; the split
+        planes must be bit-identical to the host-deinterleave fallback."""
+        from xmris_tpu.fitting.amares import _device_fid_planes
+
+        rng = np.random.default_rng(7)
+        fids = (
+            rng.standard_normal((5, 64)) + 1j * rng.standard_normal((5, 64))
+        ).astype(np.complex64)
+        re_i, im_i = _device_fid_planes(fids)
+        assert re_i.dtype == np.float32 and im_i.dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(re_i), fids.real)
+        np.testing.assert_array_equal(np.asarray(im_i), fids.imag)
+        # non-contiguous views take the same path safely
+        re_s, im_s = _device_fid_planes(fids[::2])
+        np.testing.assert_array_equal(np.asarray(re_s), fids[::2].real)
+        np.testing.assert_array_equal(np.asarray(im_s), fids[::2].imag)
+        # other dtypes fall back to host plane copies (preserving f64)
+        re_d, im_d = _device_fid_planes(fids.astype(np.complex128))
+        np.testing.assert_allclose(np.asarray(re_d), fids.real, atol=0)
+        np.testing.assert_allclose(np.asarray(im_d), fids.imag, atol=0)

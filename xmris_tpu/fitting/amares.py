@@ -159,6 +159,35 @@ def _linear_seed_scan_g(y_re, y_im, x_t, t, pmap_static, mhz, g_values):
     return amp, phase, g_best, best_cost
 
 
+@jax.jit
+def _split_interleaved(buf):
+    """(B, n, 2) interleaved buffer -> ((B, n) re, (B, n) im) on device."""
+    return buf[..., 0], buf[..., 1]
+
+
+def _device_fid_planes(fid_arrs: np.ndarray):
+    """Upload the grid's FID planes with ONE device transfer.
+
+    complex64 grids ship as the zero-copy interleaved float32 view of the
+    complex buffer — no host-side deinterleave copies, one ``device_put``
+    instead of two — and split into (re, im) planes in a single tiny
+    device program.  Other dtypes fall back to host plane copies (which
+    also preserve float64 planes under x64).  Measured on the remote-TPU
+    relay the upload dominates the whole seed stage (~0.3-0.9 s of host
+    deinterleave + the 134 MB transfer at the relay's session-dependent
+    20-90 MB/s; ``results/tpu_r15.jsonl``), so both the copies and the
+    second transfer round-trip are worth removing.
+    """
+    if fid_arrs.dtype == np.complex64:
+        inter = np.ascontiguousarray(fid_arrs).view(np.float32)
+        buf = jnp.asarray(inter.reshape(*fid_arrs.shape, 2))
+        return _split_interleaved(buf)
+    return (
+        jnp.asarray(np.ascontiguousarray(fid_arrs.real)),
+        jnp.asarray(np.ascontiguousarray(fid_arrs.imag)),
+    )
+
+
 def _seed_planes(fid_arrs, device_fids):
     """float32 device planes of the grid for the LS seed solves.
 
@@ -769,9 +798,9 @@ def fit_amares(
     # ONE device upload of the planar FID planes, shared by the seed and
     # fit stages: through the remote-TPU relay a production grid uploads
     # at ~100 MB/s (results/tpu_r14.jsonl), so every avoided re-upload is
-    # worth more than the entire device fit.
-    re_all = jnp.asarray(np.ascontiguousarray(fid_arrs.real))
-    im_all = jnp.asarray(np.ascontiguousarray(fid_arrs.imag))
+    # worth more than the entire device fit.  complex64 grids ship as a
+    # single zero-copy interleaved transfer (results/tpu_r15.jsonl).
+    re_all, im_all = _device_fid_planes(fid_arrs)
 
     # Per-voxel initial values: template fit + amplitude rescaling (the
     # shared implementation of pyAMARES.initialize_FID's scheme).  The
