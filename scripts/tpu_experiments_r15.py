@@ -96,6 +96,41 @@ def main() -> None:
     t_j = jnp.asarray(timeaxis)
 
     reps = int(os.environ.get("XMT_REPS", "3"))
+    group = os.environ.get("XMT_GROUP", "seedsplit")
+
+    if group == "uploadab":
+        # A/B the grid upload: (a) host deinterleave + two device_puts
+        # (the pre-r15 path) vs (b) one zero-copy interleaved transfer +
+        # on-device split (_device_fid_planes).  Both witnessed by a
+        # scalar readback so the async relay dispatch can't hide.
+        from xmris_tpu.fitting.amares import _device_fid_planes
+
+        assert fids.dtype == np.complex64
+        for rep in range(-1, reps):
+            tag = "warmup" if rep < 0 else f"rep{rep}"
+            t0 = time.perf_counter()
+            re_a = jnp.asarray(np.ascontiguousarray(fids.real))
+            im_a = jnp.asarray(np.ascontiguousarray(fids.imag))
+            float(jnp.sum(re_a[0, :8]) + jnp.sum(im_a[0, :8]))
+            t_two = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            re_b, im_b = _device_fid_planes(fids)
+            float(jnp.sum(re_b[0, :8]) + jnp.sum(im_b[0, :8]))
+            t_one = time.perf_counter() - t0
+
+            ok = bool(
+                np.array_equal(np.asarray(re_b[:2]), np.asarray(re_a[:2]))
+                and np.array_equal(np.asarray(im_b[:2]), np.asarray(im_a[:2]))
+            )
+            report(
+                f"uploadab/{tag}",
+                two_puts=round(t_two, 3),
+                interleaved=round(t_one, 3),
+                parity=ok,
+            )
+        report("done")
+        return
 
     # Warmup rep compiles everything once; then timed reps.
     for rep in range(-1, reps):
