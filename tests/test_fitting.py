@@ -230,6 +230,31 @@ class TestFitAmares:
         ds = da.xmr.fit_amares(p, scale_init_amplitudes=False)
         assert ds["fit_converged"].values.all()
         assert (np.abs(ds["amplitude"].values) > 1.0).all()
+    def test_prestaged_device_fids_bit_identical(self, pk_file):
+        """fit_amares(device_fids=stage_device_fids(da)) must match the
+        self-uploading path bit-for-bit — the serve prefetch thread relies
+        on the staged planes lining up with the fit's own flattening."""
+        from xmris_tpu.fitting.amares import stage_device_fids
+
+        da = make_phantom(n_voxels=3, n_points=512)
+        ds_ref = da.xmr.fit_amares(pk_file)
+        ds_pre = da.xmr.fit_amares(
+            pk_file, device_fids=stage_device_fids(da)
+        )
+        for key in ("amplitude", "chem_shift", "linewidth", "phase",
+                    "crlb", "fit_converged"):
+            np.testing.assert_array_equal(
+                ds_pre[key].values, ds_ref[key].values, err_msg=key
+            )
+
+    def test_prestaged_device_fids_shape_mismatch_raises(self, pk_file):
+        from xmris_tpu.fitting.amares import stage_device_fids
+
+        da = make_phantom(n_voxels=3, n_points=512)
+        wrong = stage_device_fids(make_phantom(n_voxels=2, n_points=512))
+        with pytest.raises(ValueError, match="stage_device_fids"):
+            da.xmr.fit_amares(pk_file, device_fids=wrong)
+
     def test_31p_phantom_amplitude_recovery(self, pk_file):
         """The reference docs' headline example: PCr gradient + constant ATP."""
         da = make_phantom()

@@ -188,6 +188,37 @@ def _device_fid_planes(fid_arrs: np.ndarray):
     )
 
 
+def _flatten_to_spectra(da: XmrArray, dim: str):
+    """Time-last transpose + row-major flatten to ``(n_spectra, n_time)``.
+
+    The single definition of the voxel ordering shared by ``fit_amares``
+    and ``stage_device_fids`` — pre-staged device planes line up with the
+    fit's flattening because both run through here.
+    """
+    other_dims = [d for d in da.dims if d != dim]
+    da_t = da.transpose(*(other_dims + [dim]))
+    n_time = da.sizes[dim]
+    fid_arrs = np.asarray(da_t.values).reshape(-1, n_time)
+    return fid_arrs, tuple(da_t.shape[:-1]), other_dims
+
+
+def stage_device_fids(da: XmrArray, dim: str = "time"):
+    """Pre-upload a grid's planar FID planes for ``fit_amares(device_fids=)``.
+
+    Returns the ``(re, im)`` device arrays, flattened exactly the way
+    ``fit_amares`` flattens the grid (time-last transpose, row-major voxel
+    order).  Through the remote-TPU relay the device upload IS the seed
+    wall (3.9-6.5 s for a production 134 MB grid at the relay's
+    session-dependent 20-90 MB/s; ``results/tpu_r15.jsonl``), so a serving
+    loop can stage grid N+1's planes from a prefetch thread while grid N
+    fits — ``xmris-tpu-serve --pipeline`` does exactly this.  The upload
+    is dispatched asynchronously; any transfer error surfaces when the
+    fit first consumes the planes.
+    """
+    fid_arrs, _, _ = _flatten_to_spectra(da, dim)
+    return _device_fid_planes(fid_arrs)
+
+
 def _seed_planes(fid_arrs, device_fids):
     """float32 device planes of the grid for the LS seed solves.
 
@@ -677,6 +708,7 @@ def fit_amares(
     kernel_version: int = 9,
     g_scan: tuple | str | None = "auto",
     return_curves: bool = True,
+    device_fids: tuple | None = None,
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -724,6 +756,13 @@ def fit_amares(
     deployment's per-grid wall (results/tpu_r14.jsonl), so streaming
     servers that only consume maps should turn them off
     (``xmris-tpu-serve --curves`` re-enables them there).
+
+    ``device_fids`` accepts the grid's pre-uploaded ``(re, im)`` device
+    planes from :func:`stage_device_fids` — a serving loop can start the
+    dominant device upload (results/tpu_r15.jsonl) for the NEXT grid from
+    a prefetch thread while the current grid fits.  The planes must match
+    this call's flattening, i.e. come from ``stage_device_fids(da, dim)``
+    on the same array.
     """
     if dim not in da.dims:
         raise ValueError(f"Dimension '{dim}' missing in DataArray.")
@@ -761,12 +800,8 @@ def fit_amares(
         deadtime = float(t_coords[0])
 
     # 2. Flatten N-D -> (n_spectra, n_time)
-    other_dims = [d for d in da.dims if d != dim]
-    order = other_dims + [dim]
-    da_t = da.transpose(*order)
-    n_time = da.sizes[dim]
-    voxel_shape = tuple(da_t.shape[:-1])
-    fid_arrs = np.asarray(da_t.values).reshape(-1, n_time)
+    fid_arrs, voxel_shape, other_dims = _flatten_to_spectra(da, dim)
+    n_time = fid_arrs.shape[1]
     n_spectra = fid_arrs.shape[0]
 
     # 3. Template FID selection (reference: amares.py:295-312).  Either the
@@ -800,7 +835,19 @@ def fit_amares(
     # at ~100 MB/s (results/tpu_r14.jsonl), so every avoided re-upload is
     # worth more than the entire device fit.  complex64 grids ship as a
     # single zero-copy interleaved transfer (results/tpu_r15.jsonl).
-    re_all, im_all = _device_fid_planes(fid_arrs)
+    # Callers that staged the planes ahead of time (serve's prefetch
+    # thread) hand them in and skip the upload entirely.
+    if device_fids is not None:
+        re_all, im_all = device_fids
+        expected = (n_spectra, n_time)
+        if tuple(re_all.shape) != expected or tuple(im_all.shape) != expected:
+            raise ValueError(
+                f"device_fids planes have shapes {tuple(re_all.shape)} / "
+                f"{tuple(im_all.shape)}, expected {expected}; stage them "
+                f"with stage_device_fids(da, dim={dim!r})."
+            )
+    else:
+        re_all, im_all = _device_fid_planes(fid_arrs)
 
     # Per-voxel initial values: template fit + amplitude rescaling (the
     # shared implementation of pyAMARES.initialize_FID's scheme).  The

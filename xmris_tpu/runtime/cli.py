@@ -280,7 +280,7 @@ def serve_main(argv: list[str] | None = None) -> int:
 
     import numpy as np
 
-    from xmris_tpu.fitting.amares import fit_amares
+    from xmris_tpu.fitting.amares import fit_amares, stage_device_fids
     from xmris_tpu.fitting.prior import load_prior_knowledge
     from xmris_tpu.interop.io import save_dataset_npz
 
@@ -326,13 +326,29 @@ def serve_main(argv: list[str] | None = None) -> int:
     # complete in scheduling order because every stage is FIFO.
 
     def _load_stage(p: Path):
-        """(da, None) or (None, error) — never raises."""
-        try:
-            return _load_input(p, args.variable), None
-        except Exception as e:  # noqa: BLE001 — keep serving
-            return None, e
+        """(da, device_fids, None) or (None, None, error) — never raises.
 
-    def _fit_stage(da):
+        With the pipeline enabled the loader thread also STARTS the grid's
+        device upload (`stage_device_fids`) — through a remote-TPU relay
+        that upload is the dominant per-grid cost (results/tpu_r15.jsonl),
+        and dispatching it here lets it ride the wire while the previous
+        grid fits.  A staging failure degrades to ``None``: the fit stage
+        then pays the upload itself and surfaces any real device error
+        through the normal per-grid error path.
+        """
+        try:
+            da = _load_input(p, args.variable)
+        except Exception as e:  # noqa: BLE001 — keep serving
+            return None, None, e
+        dev = None
+        if args.pipeline:
+            try:
+                dev = stage_device_fids(da, dim=args.dim)
+            except Exception:  # noqa: BLE001 — fit retries the upload
+                dev = None
+        return da, dev, None
+
+    def _fit_stage(da, dev=None):
         """(ds, None) or (None, error) — never raises."""
         try:
             return fit_amares(
@@ -340,6 +356,7 @@ def serve_main(argv: list[str] | None = None) -> int:
                 engine=args.engine, max_iter=args.max_iter,
                 kernel_version=args.kernel_version,
                 return_curves=args.curves,
+                device_fids=dev,
             ), None
         except Exception as e:  # noqa: BLE001 — keep serving
             return None, e
@@ -385,10 +402,10 @@ def serve_main(argv: list[str] | None = None) -> int:
         if not args.pipeline:
             for p in pending:
                 t0 = time.perf_counter()
-                da, err = _load_stage(p)
+                da, dev, err = _load_stage(p)
                 ds = None
                 if err is None:
-                    ds, err = _fit_stage(da)
+                    ds, err = _fit_stage(da, dev)
                 _, clean = _write_stage(p, ds, err, t0)
                 if not clean:
                     any_bad = True
@@ -405,8 +422,8 @@ def serve_main(argv: list[str] | None = None) -> int:
         def loader():
             for p in pending:
                 t0 = time.perf_counter()
-                da, err = _load_stage(p)
-                load_q.put((p, t0, da, err))
+                da, dev, err = _load_stage(p)
+                load_q.put((p, t0, da, dev, err))
             load_q.put(None)
 
         def writer():
@@ -426,10 +443,10 @@ def serve_main(argv: list[str] | None = None) -> int:
                 item = load_q.get()
                 if item is None:
                     break
-                p, t0, da, err = item
+                p, t0, da, dev, err = item
                 ds = None
                 if err is None:
-                    ds, err = _fit_stage(da)
+                    ds, err = _fit_stage(da, dev)
                 write_q.put((p, ds, err, t0))
         finally:
             write_q.put(None)
