@@ -98,6 +98,82 @@ def main() -> None:
     reps = int(os.environ.get("XMT_REPS", "3"))
     group = os.environ.get("XMT_GROUP", "seedsplit")
 
+    if group == "servepre":
+        # Serial-lean vs pipeline serve walls now that the pipeline's
+        # loader thread ALSO prefetches the next grid's device upload
+        # (stage_device_fids) — the r15 attribution says that upload is
+        # the per-grid wall, so overlapping it with the previous grid's
+        # fit is the one remaining serve lever.  r14 baseline: lean 6.0,
+        # pipeline 6.9 s/grid (pipeline net-negative pre-prefetch).
+        import contextlib
+        import io
+        import shutil
+
+        from xmris_tpu.core.array import XmrArray
+        from xmris_tpu.interop.io import save_npz
+        from xmris_tpu.runtime.cli import serve_main
+
+        n_files = int(os.environ.get("XMT_SERVE_FILES", "4"))
+        max_iter = int(os.environ.get("XMT_SERVE_MAX_ITER", "24"))
+        base = Path("/tmp/xmt_servepre")
+        if base.exists():
+            shutil.rmtree(base)
+        warm_dir = base / "warm"
+        batch_dir = base / "batch"
+        warm_dir.mkdir(parents=True)
+        batch_dir.mkdir()
+        pk_path = base / "pk.csv"
+        pk_path.write_text(bench.PK_CSV)
+
+        t_axis = np.arange(fids.shape[1]) / bench.SW
+        da = XmrArray(
+            fids, dims=("voxel", "time"),
+            coords={"voxel": np.arange(fids.shape[0]),
+                    "time": ("time", t_axis)},
+            attrs={"MHz": bench.MHZ, "sw": bench.SW}, name="fid",
+        )
+        for i in range(2):
+            save_npz(da, warm_dir / f"w{i}.npz")
+        for i in range(n_files):
+            save_npz(da, batch_dir / f"g{i}.npz")
+        report("servepre/inputs", n_files=n_files,
+               file_mb=round((batch_dir / "g0.npz").stat().st_size / 1e6, 1),
+               voxels=int(fids.shape[0]), n_time=int(fids.shape[1]),
+               max_iter=max_iter)
+
+        def run_serve(watch, out, extra):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = serve_main(
+                    [str(watch), str(pk_path), "-o", str(out), "--once",
+                     "--max-iter", str(max_iter),
+                     "--mhz", str(bench.MHZ), "--sw", str(bench.SW)] + extra
+                )
+            recs = [json.loads(ln)
+                    for ln in buf.getvalue().strip().splitlines()
+                    if ln.startswith("{")]
+            return rc, recs
+
+        t0 = time.perf_counter()
+        rc, recs = run_serve(warm_dir, base / "out_warm", [])
+        report("servepre/warmup", rc=rc,
+               wall_s=round(time.perf_counter() - t0, 2),
+               statuses=sorted({r.get("status") for r in recs}))
+
+        for rep in range(reps):
+            for tag, extra in (("lean", []), ("pipeline", ["--pipeline"])):
+                out = base / f"out_{tag}_{rep}"
+                t0 = time.perf_counter()
+                rc, recs = run_serve(batch_dir, out, extra)
+                wall = time.perf_counter() - t0
+                n_ok = sum(r.get("status") == "ok" for r in recs)
+                report(f"servepre/{tag}", rep=rep, rc=rc,
+                       wall_s=round(wall, 2),
+                       per_grid_s=round(wall / max(n_ok, 1), 2),
+                       n_ok=n_ok)
+        report("done")
+        return
+
     if group == "uploadab":
         # A/B the grid upload: (a) host deinterleave + two device_puts
         # (the pre-r15 path) vs (b) one zero-copy interleaved transfer +

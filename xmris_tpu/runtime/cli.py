@@ -221,16 +221,21 @@ def serve_main(argv: list[str] | None = None) -> int:
     ``fit_amares`` dataset (``raw_data``/``fit_data``/``residuals``).
 
     ``--pipeline`` overlaps the three per-grid stages (a loader thread
-    prefetches grid N+1 and a writer thread saves grid N-1 while the
-    device fits grid N).  Record order, ledger semantics, and exit codes
-    are identical to the serial default; ``wall_s`` in each record spans
-    ingest-start to result-written, so overlapped grids can report a
-    larger wall than their device time.  Measured on a single-CPU host at
-    production scale the overlap was NET-NEGATIVE (0.87×,
-    ``results/tpu_r14.jsonl`` — the loader/writer threads contend with
-    the fit stage's host-side work for the one core), hence opt-in:
-    enable it on multi-core hosts where the loader's ~134 MB reads are
-    genuinely concurrent.
+    prefetches grid N+1 — including STARTING its device upload via
+    :func:`~xmris_tpu.fitting.amares.stage_device_fids` — and a writer
+    thread saves grid N-1 while the device fits grid N).  Record order,
+    ledger semantics, and exit codes are identical to the serial default;
+    ``wall_s`` in each record spans ingest-start to result-written, so
+    overlapped grids can report a larger wall than their device time.
+    Measured on a single-CPU host through the remote-TPU relay the
+    overlap is NET-NEGATIVE to neutral at production scale
+    (``results/tpu_r14.jsonl``: 0.87× pre-prefetch;
+    ``results/tpu_r15.jsonl``: 8.9 vs 9.0-11.9 s/grid with the upload
+    prefetch — the relay serializes the prefetched transfer against the
+    in-flight fit's dispatches, and the threads contend for the one
+    core), hence opt-in: enable it on multi-core hosts with a locally
+    attached accelerator, where the ~134 MB reads, the device upload,
+    and the fit genuinely overlap.
     """
     parser = argparse.ArgumentParser(
         prog="xmris-tpu-serve",
