@@ -255,6 +255,18 @@ class TestFitAmares:
         with pytest.raises(ValueError, match="stage_device_fids"):
             da.xmr.fit_amares(pk_file, device_fids=wrong)
 
+    def test_prestaged_device_fids_wrong_dim_raises(self, pk_file):
+        """A square grid staged along the WRONG dim has planes whose
+        flattened shape coincides with the fit's — shape checks pass and
+        the fit would silently run on transposed data.  The StagedFids
+        layout tag must reject it."""
+        from xmris_tpu.fitting.amares import stage_device_fids
+
+        da = make_phantom(n_voxels=16, n_points=16)
+        transposed = stage_device_fids(da, dim="voxel")
+        with pytest.raises(ValueError, match="staged for layout"):
+            da.xmr.fit_amares(pk_file, device_fids=transposed)
+
     def test_31p_phantom_amplitude_recovery(self, pk_file):
         """The reference docs' headline example: PCr gradient + constant ATP."""
         da = make_phantom()

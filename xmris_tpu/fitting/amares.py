@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import time
+import typing
 import warnings
 from pathlib import Path
 
@@ -165,6 +166,23 @@ def _split_interleaved(buf):
     return buf[..., 0], buf[..., 1]
 
 
+class StagedFids(typing.NamedTuple):
+    """Pre-uploaded planar FID planes plus the layout they were staged in.
+
+    ``re``/``im`` sit at indices 0/1 so existing ``planes[0]``/``planes[1]``
+    consumers keep working; ``dims``/``shape`` record the time-last
+    transposed layout of the source array so :func:`fit_amares` can reject
+    planes staged with a different ``dim`` even when the flattened
+    ``(n_spectra, n_time)`` shapes coincide (e.g. a square grid staged
+    along the wrong axis would otherwise fit transposed data silently).
+    """
+
+    re: jax.Array
+    im: jax.Array
+    dims: tuple = ()
+    shape: tuple = ()
+
+
 def _device_fid_planes(fid_arrs: np.ndarray):
     """Upload the grid's FID planes with ONE device transfer.
 
@@ -181,7 +199,18 @@ def _device_fid_planes(fid_arrs: np.ndarray):
     if fid_arrs.dtype == np.complex64:
         inter = np.ascontiguousarray(fid_arrs).view(np.float32)
         buf = jnp.asarray(inter.reshape(*fid_arrs.shape, 2))
-        return _split_interleaved(buf)
+        re, im = _split_interleaved(buf)
+        # Free the interleaved staging buffer deterministically: the split
+        # transiently holds buf + both planes (2x one grid) in device
+        # memory, and leaving buf to the GC would let several grids'
+        # staging buffers stack up under a prefetching serve loop.  The
+        # block is immaterial next to the transfer this call just paid.
+        try:
+            jax.block_until_ready((re, im))
+            buf.delete()
+        except Exception:  # pragma: no cover — backend without delete()
+            pass
+        return re, im
     return (
         jnp.asarray(np.ascontiguousarray(fid_arrs.real)),
         jnp.asarray(np.ascontiguousarray(fid_arrs.imag)),
@@ -195,6 +224,8 @@ def _flatten_to_spectra(da: XmrArray, dim: str):
     and ``stage_device_fids`` — pre-staged device planes line up with the
     fit's flattening because both run through here.
     """
+    if dim not in da.dims:
+        raise ValueError(f"Dimension '{dim}' missing in DataArray.")
     other_dims = [d for d in da.dims if d != dim]
     da_t = da.transpose(*(other_dims + [dim]))
     n_time = da.sizes[dim]
@@ -214,9 +245,18 @@ def stage_device_fids(da: XmrArray, dim: str = "time"):
     fits — ``xmris-tpu-serve --pipeline`` does exactly this.  The upload
     is dispatched asynchronously; any transfer error surfaces when the
     fit first consumes the planes.
+
+    Returns a :class:`StagedFids` tagged with the staged layout so the
+    consuming ``fit_amares`` call can verify the planes really match its
+    own ``(da, dim)`` flattening, not just its flattened shape.
     """
-    fid_arrs, _, _ = _flatten_to_spectra(da, dim)
-    return _device_fid_planes(fid_arrs)
+    fid_arrs, voxel_shape, other_dims = _flatten_to_spectra(da, dim)
+    re, im = _device_fid_planes(fid_arrs)
+    return StagedFids(
+        re, im,
+        dims=tuple(other_dims) + (dim,),
+        shape=tuple(voxel_shape) + (fid_arrs.shape[1],),
+    )
 
 
 def _seed_planes(fid_arrs, device_fids):
@@ -838,13 +878,28 @@ def fit_amares(
     # Callers that staged the planes ahead of time (serve's prefetch
     # thread) hand them in and skip the upload entirely.
     if device_fids is not None:
-        re_all, im_all = device_fids
+        re_all, im_all = device_fids[0], device_fids[1]
         expected = (n_spectra, n_time)
         if tuple(re_all.shape) != expected or tuple(im_all.shape) != expected:
             raise ValueError(
                 f"device_fids planes have shapes {tuple(re_all.shape)} / "
                 f"{tuple(im_all.shape)}, expected {expected}; stage them "
                 f"with stage_device_fids(da, dim={dim!r})."
+            )
+        # Shape alone cannot catch planes staged along the WRONG dim of a
+        # grid whose sizes coincide (the fit would silently run on
+        # transposed data); StagedFids carries the staged layout, so
+        # verify it against this call's own flattening when present.
+        staged_dims = getattr(device_fids, "dims", ())
+        staged_shape = getattr(device_fids, "shape", ())
+        this_layout = (tuple(other_dims) + (dim,),
+                       tuple(voxel_shape) + (n_time,))
+        if staged_dims and (staged_dims, staged_shape) != this_layout:
+            raise ValueError(
+                f"device_fids were staged for layout dims={staged_dims} "
+                f"shape={staged_shape}, but this fit flattens to "
+                f"dims={this_layout[0]} shape={this_layout[1]}; stage them "
+                f"with stage_device_fids(da, dim={dim!r}) on the same array."
             )
     else:
         re_all, im_all = _device_fid_planes(fid_arrs)

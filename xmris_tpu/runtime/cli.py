@@ -223,7 +223,12 @@ def serve_main(argv: list[str] | None = None) -> int:
     ``--pipeline`` overlaps the three per-grid stages (a loader thread
     prefetches grid N+1 — including STARTING its device upload via
     :func:`~xmris_tpu.fitting.amares.stage_device_fids` — and a writer
-    thread saves grid N-1 while the device fits grid N).  Record order,
+    thread saves grid N-1 while the device fits grid N).  Device staging
+    is bounded to exactly ONE grid ahead of the one fitting (a token the
+    fit stage releases on dequeue), so device memory holds at most two
+    grids of FID planes regardless of queue depth; host-side prefetch
+    keeps the deeper queue.  Staging failures fall back to the in-fit
+    upload and emit a one-line JSON warning on stderr.  Record order,
     ledger semantics, and exit codes are identical to the serial default;
     ``wall_s`` in each record spans ingest-start to result-written, so
     overlapped grids can report a larger wall than their device time.
@@ -331,27 +336,11 @@ def serve_main(argv: list[str] | None = None) -> int:
     # complete in scheduling order because every stage is FIFO.
 
     def _load_stage(p: Path):
-        """(da, device_fids, None) or (None, None, error) — never raises.
-
-        With the pipeline enabled the loader thread also STARTS the grid's
-        device upload (`stage_device_fids`) — through a remote-TPU relay
-        that upload is the dominant per-grid cost (results/tpu_r15.jsonl),
-        and dispatching it here lets it ride the wire while the previous
-        grid fits.  A staging failure degrades to ``None``: the fit stage
-        then pays the upload itself and surfaces any real device error
-        through the normal per-grid error path.
-        """
+        """(da, None) or (None, error) — host load only, never raises."""
         try:
-            da = _load_input(p, args.variable)
+            return _load_input(p, args.variable), None
         except Exception as e:  # noqa: BLE001 — keep serving
-            return None, None, e
-        dev = None
-        if args.pipeline:
-            try:
-                dev = stage_device_fids(da, dim=args.dim)
-            except Exception:  # noqa: BLE001 — fit retries the upload
-                dev = None
-        return da, dev, None
+            return None, e
 
     def _fit_stage(da, dev=None):
         """(ds, None) or (None, error) — never raises."""
@@ -390,7 +379,12 @@ def serve_main(argv: list[str] | None = None) -> int:
             clean = bool(conv.all())
         except Exception as e:  # noqa: BLE001 — keep serving
             record.update(status="error", error=repr(e)[:300])
-        print(json.dumps(record), flush=True)
+        # One write call, not print(): the writer thread emits records
+        # while the main thread prints fit progress, and print()'s
+        # separate payload/newline writes let the other thread splice
+        # into the middle of a record line.
+        sys.stdout.write(json.dumps(record) + "\n")
+        sys.stdout.flush()
         # Only SUCCESSFUL grids enter the persistent ledger: a transient
         # failure (e.g. a wedged device backend) must be retried by a
         # restarted server, not permanently skipped.  Within one server
@@ -407,10 +401,10 @@ def serve_main(argv: list[str] | None = None) -> int:
         if not args.pipeline:
             for p in pending:
                 t0 = time.perf_counter()
-                da, dev, err = _load_stage(p)
+                da, err = _load_stage(p)
                 ds = None
                 if err is None:
-                    ds, err = _fit_stage(da, dev)
+                    ds, err = _fit_stage(da, None)
                 _, clean = _write_stage(p, ds, err, t0)
                 if not clean:
                     any_bad = True
@@ -423,12 +417,49 @@ def serve_main(argv: list[str] | None = None) -> int:
         load_q: queue.Queue = queue.Queue(maxsize=2)
         write_q: queue.Queue = queue.Queue(maxsize=2)
         results: list[bool] = []
+        # At most ONE grid's device planes may be staged ahead of the grid
+        # currently fitting (the token is released when the main stage
+        # dequeues the staged grid).  Without the bound, the queue depth
+        # plus the loader's in-hand item would pin up to 3 prefetched
+        # grids (~0.5 GB at production scale) in device memory for zero
+        # extra overlap beyond depth 1.  Host-side `da` prefetch keeps the
+        # full queue depth — that is host RAM, and the I/O overlap is the
+        # pipeline's measured win.
+        stage_sem = threading.Semaphore(1)
 
         def loader():
             for p in pending:
                 t0 = time.perf_counter()
-                da, dev, err = _load_stage(p)
-                load_q.put((p, t0, da, dev, err))
+                da, err = _load_stage(p)
+                dev = None
+                staged = False
+                if err is None:
+                    stage_sem.acquire()
+                    staged = True
+                    try:
+                        # Start the grid's device upload so it rides the
+                        # wire while the previous grid fits — through a
+                        # remote-TPU relay the upload is the dominant
+                        # per-grid cost (results/tpu_r15.jsonl).
+                        dev = stage_device_fids(da, dim=args.dim)
+                    except Exception as e:  # noqa: BLE001 — fit retries
+                        stage_sem.release()
+                        staged = False
+                        dev = None
+                        # A persistently failing prefetch silently turns
+                        # every grid into the slow self-upload path — make
+                        # the degradation visible (stderr keeps the stdout
+                        # record stream one-line-per-grid).
+                        print(
+                            json.dumps({
+                                "file": p.name, "status": "warn",
+                                "warning": "device prefetch failed; "
+                                           "falling back to in-fit upload",
+                                "error": repr(e)[:200],
+                            }),
+                            file=sys.stderr, flush=True,
+                        )
+                load_q.put((p, t0, da, dev, err, staged))
             load_q.put(None)
 
         def writer():
@@ -448,7 +479,11 @@ def serve_main(argv: list[str] | None = None) -> int:
                 item = load_q.get()
                 if item is None:
                     break
-                p, t0, da, dev, err = item
+                p, t0, da, dev, err, staged = item
+                if staged:
+                    # This grid's planes are now the IN-USE set, not a
+                    # prefetch — let the loader stage the next grid.
+                    stage_sem.release()
                 ds = None
                 if err is None:
                     ds, err = _fit_stage(da, dev)
