@@ -383,11 +383,17 @@ def supervise() -> None:
     falls back to a CPU measurement so the benchmark always reports.
 
     Before committing the full deadline to the accelerator attempt, a
-    ~90 s probe (one tiny jit + witnessed readback in a subprocess)
-    checks that the relay answers at all; a wedged relay then costs one
-    probe timeout instead of the whole attempt budget, and a second
-    probe after a backoff gives a transiently-wedged relay (it
-    self-recovers when left idle) a recovery window.
+    probe (one tiny jit + witnessed readback in a subprocess) checks
+    that the relay answers at all; a wedged relay then costs one probe
+    timeout instead of the whole attempt budget, and a second probe
+    after a backoff gives a transiently-wedged relay (it self-recovers
+    when left idle) a recovery window.
+
+    The probe timeout must cover a healthy-but-cold relay: the first
+    contact after a long idle period was measured at 122.8 s on a relay
+    that then ran normally (2026-08-19, results/tpu_r16.jsonl) — a 90 s
+    probe misreads that as wedged and records the degraded CPU fallback.
+    Default 240 s, env-overridable (XMT_BENCH_PROBE_TIMEOUT_S).
     """
     import os
     import subprocess
@@ -411,7 +417,9 @@ def supervise() -> None:
                 return line
         return None
 
-    def probe_ok(timeout_s=90):
+    def probe_ok(timeout_s=None):
+        if timeout_s is None:
+            timeout_s = int(os.environ.get("XMT_BENCH_PROBE_TIMEOUT_S", "240"))
         line = attempt({"XMT_BENCH_PROBE": "1"}, timeout_s=timeout_s)
         if line is None:
             return False
