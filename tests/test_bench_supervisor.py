@@ -88,6 +88,12 @@ class TestSupervisorLadder:
         assert calls[0]["timeout"] == 7
         capsys.readouterr()
 
+    def test_attempt_timeout_env_override(self, bench, monkeypatch, capsys):
+        monkeypatch.setenv("XMT_BENCH_ATTEMPT_TIMEOUT_S", "1234")
+        calls = _run_supervise(bench, monkeypatch, [_OK_PROBE, _RESULT])
+        assert calls[1]["timeout"] == 1234
+        capsys.readouterr()
+
     def test_wedged_relay_falls_back_to_cpu(self, bench, monkeypatch, capsys):
         monkeypatch.setenv("XMT_BENCH_PROBE_TIMEOUT_S", "7")
         calls = _run_supervise(
