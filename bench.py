@@ -424,9 +424,17 @@ def supervise() -> None:
         if line is None:
             return False
         try:
-            return json.loads(line).get("probe") == "ok"
+            rec = json.loads(line)
         except json.JSONDecodeError:
             return False
+        # The probe must come back on an ACCELERATOR backend: a fast
+        # axon-init failure falls through to the cpu platform
+        # (jax_platforms="axon,cpu") and would otherwise read as a live
+        # relay, committing the full attempt deadline to a CPU worker
+        # that cannot finish the full-grid fit.
+        return rec.get("probe") == "ok" and rec.get("backend") not in (
+            None, "cpu",
+        )
 
     line = None
     degraded_why = None

@@ -227,7 +227,12 @@ def pytest_runtest_protocol(item, nextitem):
     )
     duration = time.monotonic() - t0
     out = proc.stdout or ""
-    if proc.returncode == 0 and "passed" not in out and "skipped" in out:
+    if proc.returncode == 0 and "passed" not in out and (
+        "skipped" in out or "xfailed" in out
+    ):
+        # "xfailed" would otherwise fall through to the generic rc==0
+        # branch and report a known-broken test as passed.  ("xpassed"
+        # contains "passed" and correctly lands there.)
         outcome = "skipped"
         longrepr = (str(item.path), 0, "skipped inside isolated subprocess")
     elif proc.returncode == 0:

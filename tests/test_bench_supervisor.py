@@ -106,6 +106,25 @@ class TestSupervisorLadder:
         assert "unreachable at probe" in rec["degraded_reason"]
         assert "BENCH_r03.json" in rec["degraded_reason"]
 
+    def test_cpu_fallback_probe_counts_as_down(
+        self, bench, monkeypatch, capsys
+    ):
+        """A probe answered by the CPU platform is NOT a live accelerator.
+
+        A fast axon-init failure falls through to cpu
+        (jax_platforms="axon,cpu"); committing the 700 s attempt to a CPU
+        worker burns the deadline on a fit it cannot finish and then
+        mislabels the record "exceeded its deadline after a live probe".
+        """
+        cpu_probe = json.dumps({"probe": "ok", "backend": "cpu"})
+        calls = _run_supervise(
+            bench, monkeypatch, [cpu_probe, cpu_probe, _RESULT]
+        )
+        assert [c["probe"] for c in calls] == [True, True, False]
+        assert calls[2]["cpu"] and calls[2]["timeout"] == 420
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert "unreachable at probe" in rec["degraded_reason"]
+
     def test_live_probe_slow_attempt_is_annotated(
         self, bench, monkeypatch, capsys
     ):

@@ -93,6 +93,36 @@ def test_isolated_item_failure_is_reported(pytester, monkeypatch):
     result.stdout.fnmatch_lines(["*boom-in-child*"])
 
 
+def test_isolated_xfail_is_not_reported_as_passed(pytester, monkeypatch):
+    """An xfailed child run (rc 0, "1 xfailed") must not count as passed.
+
+    The outcome heuristic classifies the child's -q summary; "xfailed"
+    contains neither "passed" nor "skipped", so it previously fell
+    through to the generic rc==0 branch and a known-broken test showed
+    up as a pass."""
+    monkeypatch.setenv("XMT_ISOLATE_BIGCOMPILE", "1")
+    monkeypatch.delenv("XMT_ISOLATED_CHILD", raising=False)
+    pythonpath = str(_REPO_ROOT)
+    if os.environ.get("PYTHONPATH"):
+        pythonpath += os.pathsep + os.environ["PYTHONPATH"]
+    monkeypatch.setenv("PYTHONPATH", pythonpath)
+
+    pytester.makeconftest((Path(__file__).parent / "conftest.py").read_text())
+    pytester.makepyfile(
+        test_seq="""
+        import pytest
+
+
+        @pytest.mark.bigcompile
+        @pytest.mark.xfail(reason="known broken")
+        def test_isolated_xfail():
+            raise AssertionError("expected failure")
+        """
+    )
+    result = pytester.runpytest_subprocess("-q", "-p", "no:cacheprovider")
+    result.assert_outcomes(passed=0, failed=0, errors=0, skipped=1)
+
+
 def _chunk_env(monkeypatch):
     monkeypatch.setenv("XMT_CHUNK_SUITE", "1")
     monkeypatch.delenv("XMT_CHUNK_CHILD", raising=False)

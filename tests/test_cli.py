@@ -241,6 +241,64 @@ def test_serve_cli_pipeline_matches_serial(tmp_path, capsys):
     assert ds["fit_converged"].values.all()
 
 
+def test_serve_cli_pipeline_survives_write_stage_crash(
+    tmp_path, capsys, monkeypatch
+):
+    """An exception escaping the write stage must not deadlock --pipeline.
+
+    The ledger append sits outside _write_stage's record try/except; if it
+    raises (here: injected at the append open), an unguarded writer thread
+    dies, the bounded write_q fills, and the main loop blocks forever on
+    put() + the timeoutless join().  The guarded writer keeps draining,
+    marks the grids unclean (exit code 2), and surfaces the cause on
+    stderr."""
+    import builtins
+    import threading
+
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.interop.io import save_npz
+    from xmris_tpu.runtime.cli import serve_main
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed"))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    da = make_phantom(n_voxels=2, n_points=256)
+    for i in range(3):
+        save_npz(da, watch / f"g{i}.npz")
+    ledger = tmp_path / "serve.state"
+    ledger.touch()
+
+    real_open = builtins.open
+
+    def failing_append(file, mode="r", *a, **kw):
+        if str(file) == str(ledger) and "a" in mode:
+            raise OSError("simulated ledger write failure")
+        return real_open(file, mode, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", failing_append)
+    rc_box = {}
+
+    def run():
+        rc_box["rc"] = serve_main(
+            [str(watch), str(pk), "-o", str(tmp_path / "out"), "--once",
+             "--pipeline", "--engine", "xla", "--max-iter", "40",
+             "--state-file", str(ledger)]
+        )
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=300.0)
+    # A regression deadlocks here instead of failing an assertion below.
+    assert not t.is_alive(), "pipeline serve deadlocked on a writer crash"
+    assert rc_box["rc"] == 2
+    captured = capsys.readouterr()
+    assert "write stage failed" in captured.err
+    # The fits themselves succeeded; outputs exist even though the ledger
+    # append failed (a restarted server retries these grids).
+    assert len(list((tmp_path / "out").glob("*_fit.npz"))) == 3
+
+
 def test_serve_cli_pipeline_max_files(tmp_path, capsys):
     """--max-files stops after exactly N completed grids (pipeline on)."""
     from tests.test_fitting import PK_CSV, make_phantom

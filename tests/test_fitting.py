@@ -642,3 +642,19 @@ class TestLinearSeed:
         re_d, im_d = _device_fid_planes(fids.astype(np.complex128))
         np.testing.assert_allclose(np.asarray(re_d), fids.real, atol=0)
         np.testing.assert_allclose(np.asarray(im_d), fids.imag, atol=0)
+
+    def test_device_fid_planes_surfaces_transfer_errors(self, monkeypatch):
+        """An async transfer/split error must RAISE out of staging, not be
+        swallowed by the staging-buffer cleanup guard — the serve loader's
+        staging-failed fallback only fires on a raised exception."""
+        import jax
+
+        from xmris_tpu.fitting import amares
+
+        def boom(_):
+            raise RuntimeError("transfer failed")
+
+        monkeypatch.setattr(jax, "block_until_ready", boom)
+        fids = np.ones((2, 8), dtype=np.complex64)
+        with pytest.raises(RuntimeError, match="transfer failed"):
+            amares._device_fid_planes(fids)

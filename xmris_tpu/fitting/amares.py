@@ -205,8 +205,12 @@ def _device_fid_planes(fid_arrs: np.ndarray):
         # memory, and leaving buf to the GC would let several grids'
         # staging buffers stack up under a prefetching serve loop.  The
         # block is immaterial next to the transfer this call just paid.
+        # It must NOT be inside the delete() guard: an async transfer or
+        # execution error surfaces here, and swallowing it would hand a
+        # poisoned "success" to stage_device_fids — the serve loader's
+        # staging-failed fallback never fires on poisoned planes.
+        jax.block_until_ready((re, im))
         try:
-            jax.block_until_ready((re, im))
             buf.delete()
         except Exception:  # pragma: no cover — backend without delete()
             pass
@@ -242,9 +246,13 @@ def stage_device_fids(da: XmrArray, dim: str = "time"):
     wall (3.9-6.5 s for a production 134 MB grid at the relay's
     session-dependent 20-90 MB/s; ``results/tpu_r15.jsonl``), so a serving
     loop can stage grid N+1's planes from a prefetch thread while grid N
-    fits — ``xmris-tpu-serve --pipeline`` does exactly this.  The upload
-    is dispatched asynchronously; any transfer error surfaces when the
-    fit first consumes the planes.
+    fits — ``xmris-tpu-serve --pipeline`` does exactly this.  For
+    complex64 grids (the production path) the call BLOCKS until the
+    planes are device-resident (the staging buffer is freed
+    deterministically once the split lands), so any transfer error raises
+    here, in the staging thread — exactly where a prefetching caller's
+    fall-back-to-in-fit-upload handler lives; other dtypes dispatch
+    asynchronously and surface errors when the fit consumes the planes.
 
     Returns a :class:`StagedFids` tagged with the staged layout so the
     consuming ``fit_amares`` call can verify the planes really match its

@@ -467,7 +467,27 @@ def serve_main(argv: list[str] | None = None) -> int:
                 item = write_q.get()
                 if item is None:
                     return
-                _, clean = _write_stage(*item)
+                try:
+                    _, clean = _write_stage(*item)
+                except Exception as e:  # noqa: BLE001 — a dead writer
+                    # deadlocks the pipeline: the bounded write_q fills and
+                    # the main thread blocks forever on put() and the
+                    # timeoutless join().  Keep draining, record the grid
+                    # as failed, and surface the cause on stderr (serial
+                    # mode would have crashed visibly instead).
+                    clean = False
+                    try:
+                        print(
+                            json.dumps({
+                                "file": str(item[0].name),
+                                "status": "error",
+                                "error": "write stage failed: "
+                                         + repr(e)[:200],
+                            }),
+                            file=sys.stderr, flush=True,
+                        )
+                    except Exception:  # pragma: no cover — stderr gone too
+                        pass
                 results.append(clean)
 
         lt = threading.Thread(target=loader, daemon=True)
