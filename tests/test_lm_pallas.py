@@ -137,6 +137,17 @@ class TestPallasLMDriver:
         assert np.asarray(r_pal.converged).all()
 
 
+class TestKernelSelection:
+    def test_invalid_kernel_version_raises_value_error(self):
+        """Nonexistent versions (0, 4) get a descriptive ValueError, not a
+        bare KeyError from the legacy-version dict lookup."""
+        from xmris_tpu.fitting.lm import _select_pallas_kernel
+
+        for bad in (0, 4):
+            with pytest.raises(ValueError, match="1-3 and 5-10"):
+                _select_pallas_kernel(bad, None, 256)
+
+
 class TestActiveRowsKernel:
     """v5: fixed params' Jacobian rows are never computed — math identical."""
 
@@ -489,6 +500,35 @@ class TestFactoredBasisKernel:
                 interpret=True,
             )
 
+    def test_v7_tolerance_matches_driver(self):
+        """The eager v7 guard shares _t_is_uniform with the LM driver.
+
+        The old inline check (rtol 1e-4 on adjacent steps = ~4e-8 absolute
+        here) and the driver's eps-scaled predicate (16*eps(f32)*max|t| =
+        ~9.7e-8 here) disagreed in BOTH directions depending on n_t; an
+        axis with f32-quantization-scale wobble the driver accepts (and
+        fits with the factored basis) must not be rejected at the eager
+        boundary."""
+        from xmris_tpu.fitting.lm import _t_is_uniform
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v7,
+        )
+
+        b, n_t, k = 2, 256, 1
+        grids = sane_grids(b, k)
+        yre = np.zeros((b, n_t), np.float32)
+        t_w = (np.arange(n_t, dtype=np.float64) / 5000.0).astype(np.float32)
+        t_w[10] += np.float32(6e-8)  # below the driver tolerance,
+        #                              above the old inline one
+        assert _t_is_uniform(t_w)  # the driver treats this as uniform
+        c, g, h = eq6_normal_equations_pallas_v7(
+            jnp.asarray(grids), jnp.asarray(yre), jnp.asarray(yre),
+            jnp.asarray(t_w), n_peaks=k, mhz=MHZ,
+            active=tuple(range(5)), env_fast=(False,), v_tile=2,
+            interpret=True,
+        )
+        assert np.all(np.isfinite(np.asarray(c)))
+
     def test_v7_rejects_unaligned_length(self):
         from xmris_tpu.ops.kernels.lm_pallas import (
             eq6_normal_equations_pallas_v7,
@@ -578,6 +618,25 @@ class TestMomentKernel:
                 jnp.asarray(grids), jnp.asarray(y), jnp.asarray(y),
                 jnp.asarray(np.arange(128, dtype=np.float32)),
                 n_peaks=1, mhz=MHZ, active=tuple(range(5)),
+                v_tile=2, interpret=True,
+            )
+
+    def test_v8_rejects_fixed_nonzero_g(self):
+        """g fixed at a NONZERO value is just as non-Lorentzian as free g:
+        the kernel hardcodes exp(-pi*lw*t), so accepting it silently
+        corrupts cost/gradient/Hessian (verified 17% cost error)."""
+        from xmris_tpu.ops.kernels.lm_pallas import (
+            eq6_normal_equations_pallas_v8,
+        )
+
+        grids = sane_grids(2, 1)
+        grids[:, 4] = 0.5  # fixed (not in active), but nonzero
+        y = np.zeros((2, 128), np.float32)
+        with pytest.raises(ValueError, match="AT 0"):
+            eq6_normal_equations_pallas_v8(
+                jnp.asarray(grids), jnp.asarray(y), jnp.asarray(y),
+                jnp.asarray(np.arange(128, dtype=np.float32)),
+                n_peaks=1, mhz=MHZ, active=tuple(range(4)),
                 v_tile=2, interpret=True,
             )
 
@@ -802,6 +861,51 @@ class TestHessianReuse:
 
 
 class TestCRLBKernel:
+    def test_unidentifiable_rows_are_inf(self, tmp_path):
+        """A zero-amplitude peak's cs/lw/phase Fisher rows are
+        structurally zero: the standalone CRLB kernel must report inf —
+        the same contract as crlb_from_hessian — not the huge-but-finite
+        1/1e-12 ridge artifact."""
+        from xmris_tpu.fitting.lm import crlb_batched_pallas
+
+        csv = (
+            "Index,PCr\n"
+            "Initial Values,\n"
+            "amplitude,8.0\n"
+            "chemicalshift,0.0\n"
+            "linewidth,15.0\n"
+            "phase,10\n"
+            "g,0\n"
+            "Bounds,\n"
+            'amplitude,"(0, "\n'
+            'chemicalshift,"(-0.5, 0.5)"\n'
+            'linewidth,"(2, 40)"\n'
+            'phase,"(-180, 180)"\n'
+            "g,fixed\n"
+        )
+        p = tmp_path / "pk1.csv"
+        p.write_text(csv)
+        pk = load_prior_knowledge(p)
+        n_t = 128
+        rng = np.random.default_rng(3)
+        re = jnp.asarray(rng.normal(size=(2, n_t)).astype(np.float32))
+        im = jnp.asarray(rng.normal(size=(2, n_t)).astype(np.float32))
+        t = jnp.asarray((np.arange(n_t) / 5000.0).astype(np.float32))
+        x = np.tile(np.asarray(pk.init_free, np.float32), (2, 1))
+        amp_slot = int(pk.pmap.idx[0])
+        x[0, amp_slot] = 0.0  # voxel 0: zero-amplitude peak
+        sds, _ = crlb_batched_pallas(
+            re, im, t, jnp.asarray(x), hashable_pmap(pk.pmap), 120.0,
+            v_tile=1, interpret=True,
+        )
+        sds = np.asarray(sds)
+        # At amp=0 every row of the peak's Fisher block is structurally
+        # zero in the v9 moment formulation (all J rows carry the
+        # amplitude factor; amp=0 also sits ON its lower bound, where the
+        # LM driver's carried-Hessian path reports inf too).
+        assert np.all(np.isinf(sds[0]))
+        assert np.all(np.isfinite(sds[1]))
+
     def test_matches_xla_crlb(self, tmp_path):
         from tests.test_fitting import PK_CSV, make_phantom
         from xmris_tpu.fitting.lm import (

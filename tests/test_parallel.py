@@ -290,6 +290,36 @@ class TestShardedPallasFit:
             np.asarray(sds_s), np.asarray(sds_1), rtol=1e-5
         )
 
+    def test_sharded_rejects_slab_hessian(self, tmp_path):
+        """return_hessian="slab" must be rejected: shard_map concatenation
+        of per-shard (n_tiles, f_pad^2, v_tile) slabs puts each shard's
+        lane padding mid-batch, silently misattributing voxels in
+        slab_to_bff / crlb_from_hessian_slab."""
+        import jax.numpy as jnp
+
+        from tests.test_fitting import PK_CSV
+        from xmris_tpu.fitting.lm import external_to_internal, hashable_pmap
+        from xmris_tpu.fitting.prior import load_prior_knowledge
+        from xmris_tpu.parallel import lm_fit_batched_pallas_sharded, make_mesh
+
+        p = tmp_path / "pk.csv"
+        p.write_text(PK_CSV)
+        pk = load_prior_knowledge(p)
+        u0 = jnp.asarray(
+            external_to_internal(pk.init_free, pk.lower, pk.upper, pk.kind)
+        )
+        u0 = jnp.broadcast_to(u0[None, :], (8, pk.n_free))
+        z = jnp.zeros((8, 256), jnp.float32)
+        t = jnp.asarray((np.arange(256) / 10000.0).astype(np.float32))
+        with pytest.raises(ValueError, match="slab"):
+            lm_fit_batched_pallas_sharded(
+                z, z, t, u0,
+                jnp.asarray(pk.lower), jnp.asarray(pk.upper),
+                jnp.asarray(pk.kind), hashable_pmap(pk.pmap), 120.0,
+                mesh=make_mesh(8), max_iter=2, v_tile=1, interpret=True,
+                return_hessian="slab",
+            )
+
     def test_batch_must_divide_mesh(self, tmp_path):
         import jax.numpy as jnp
 

@@ -794,15 +794,17 @@ def _select_pallas_kernel(
         )
 
     if kernel_version not in (5, 6, 7):
-        return (
-            {
-                1: eq6_normal_equations_pallas,
-                2: eq6_normal_equations_pallas_v2,
-                3: eq6_normal_equations_pallas_v3,
-            }[kernel_version],
-            None,
-            8,
-        )
+        legacy = {
+            1: eq6_normal_equations_pallas,
+            2: eq6_normal_equations_pallas_v2,
+            3: eq6_normal_equations_pallas_v3,
+        }
+        if kernel_version not in legacy:
+            raise ValueError(
+                f"kernel_version={kernel_version!r} does not exist; "
+                "valid versions are 1-3 and 5-10 (9 is the default)"
+            )
+        return (legacy[kernel_version], None, 8)
 
     active = active_param_rows(pmap_static)
     if kernel_version == 7 and n_t % 128 == 0:
@@ -1409,6 +1411,12 @@ def crlb_batched_pallas(
     information (identity prior); folding to free space and taking
     ``sqrt(diag(sigma^2 * H^-1))`` via the unrolled Cholesky avoids the XLA
     Jacobian materialization of :func:`crlb_batched_planar` entirely.
+
+    A zero Fisher diagonal (e.g. every row of a zero-amplitude peak's
+    block — all of its Jacobian rows carry the amplitude factor) is
+    reported as ``inf``, matching :func:`crlb_from_hessian`'s contract
+    for unidentifiable/bound-pinned parameters rather than surfacing the
+    huge-but-finite 1/1e-12 ridge artifact.
     """
     from xmris_tpu.ops.kernels.spd import spd_inverse_diag_pallas
 
@@ -1448,10 +1456,16 @@ def crlb_batched_pallas(
             interpret=interpret,
         )
         h = jnp.einsum("pf,bpq,qh->bfh", smat, h_phys, smat)
+    # A zero Fisher diagonal marks an unidentifiable parameter (e.g. a
+    # zero-amplitude peak's phase/cs/lw rows): report inf, not the
+    # huge-but-finite 1/1e-12 ridge artifact — same contract as
+    # crlb_from_hessian / crlb_from_hessian_slab.
+    unident = jnp.diagonal(h, axis1=1, axis2=2) <= 0.0
     h = h + 1e-12 * jnp.eye(n_free, dtype=real_dtype)[None, :, :]
 
     dof = jnp.maximum(2.0 * t.shape[0] - n_free, 1.0)
     sigma2 = cost / dof
     diag_inv = spd_inverse_diag_pallas(h, interpret=interpret)
     sds = jnp.sqrt(jnp.maximum(sigma2[:, None] * diag_inv, 0.0))
+    sds = jnp.where(unident, jnp.inf, sds)
     return sds, sigma2

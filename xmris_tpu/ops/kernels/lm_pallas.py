@@ -1115,11 +1115,13 @@ def eq6_normal_equations_pallas_v7(
     construction, so the guard protects direct eager use.
     """
     if not isinstance(t, jax.core.Tracer):
-        t_host = np.asarray(t)
-        steps = np.diff(t_host)
-        if steps.size and not np.allclose(
-            steps, steps[0], rtol=1e-4, atol=abs(float(steps[0])) * 1e-4
-        ):
+        # Single source of truth for the uniformity tolerance: the LM
+        # driver's _t_is_uniform (16*eps*max|t|).  A looser local check
+        # here once accepted ~1e-5 relative jitter the driver rejects —
+        # silently degraded Jacobians under a violated factorization.
+        from xmris_tpu.fitting.lm import _t_is_uniform
+
+        if not _t_is_uniform(t):
             raise ValueError(
                 "kernel_version=7 requires a uniformly sampled time axis "
                 "(the block factorization t[q*128+r] = t[r] + t_q fails "
@@ -1361,10 +1363,6 @@ def _normal_eq_kernel_v8(
                 h_ref[0, s * a_pad + r, :] = zero
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_peaks", "mhz", "active", "v_tile", "interpret"),
-)
 def eq6_normal_equations_pallas_v8(
     params,  # (B, K*5) physical parameter grid, float32
     y_re,
@@ -1381,13 +1379,51 @@ def eq6_normal_equations_pallas_v8(
 
     Same contract as :func:`eq6_normal_equations_pallas_v5` (+ the v6
     ``voxel_mask`` tile skipping).  The caller must guarantee the prior is
-    purely Lorentzian — the driver's kernel selection checks it.
+    purely Lorentzian — the driver's kernel selection checks BOTH halves
+    (no free g AND every fixed g equal to 0, ``lm.lorentzian_env_flags``);
+    this eager boundary enforces the same two halves for direct use: free
+    g slots statically, fixed nonzero g values on concrete ``params``
+    (the kernel hardcodes the Lorentzian envelope ``exp(-pi*lw*t)``, so a
+    fixed g of e.g. 0.5 would silently corrupt cost/gradient/Hessian).
+    Traced ``params`` (the jitted LM driver) cannot be inspected — the
+    library paths that select v8 guarantee the prior by construction.
     """
     if any(j % 5 == 4 for j in active):
         raise ValueError(
             "v8 requires every g fixed (purely Lorentzian prior); "
             "use kernel_version=6"
         )
+    if not isinstance(params, jax.core.Tracer):
+        g_cols = np.asarray(params)[..., 4::5]
+        if g_cols.size and float(np.abs(g_cols).max()) != 0.0:
+            raise ValueError(
+                "v8 requires every g fixed AT 0 (purely Lorentzian "
+                "prior); this prior fixes g at a nonzero value — use "
+                "kernel_version=6 or 9"
+            )
+    return _eq6_normal_equations_pallas_v8_jit(
+        params, y_re, y_im, t, n_peaks=n_peaks, mhz=mhz,
+        active=tuple(active), voxel_mask=voxel_mask, v_tile=v_tile,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_peaks", "mhz", "active", "v_tile", "interpret"),
+)
+def _eq6_normal_equations_pallas_v8_jit(
+    params,
+    y_re,
+    y_im,
+    t,
+    n_peaks: int,
+    mhz: float,
+    active: tuple[int, ...],
+    voxel_mask=None,
+    v_tile: int = 8,
+    interpret: bool = False,
+):
     n_t = y_re.shape[-1]
     a = len(active)
     a_pad = _round_up(a, 8)

@@ -61,6 +61,17 @@ def lm_fit_batched_pallas_sharded(
     Gauss-Newton Hessian sharded like the batch (zero-cost CRLBs via
     :func:`~xmris_tpu.fitting.lm.crlb_from_hessian`).
     """
+    if not isinstance(return_hessian, bool):
+        # "slab" would shard-concatenate (n_tiles, f_pad^2, v_tile) slabs
+        # whose per-shard lane padding lands mid-batch: slab_to_bff /
+        # crlb_from_hessian_slab would then attribute shard-0 pad lanes to
+        # real voxels and drop the final shard's tail — silently wrong.
+        raise ValueError(
+            "lm_fit_batched_pallas_sharded supports return_hessian="
+            "True/False only (the slab layout does not concatenate "
+            "across shards); use crlb_from_hessian on the (B, F, F) "
+            "Hessian instead"
+        )
     n_dev = mesh.shape[axis_name]
     b = fids_re.shape[0]
     if b % n_dev:
