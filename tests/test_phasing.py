@@ -76,6 +76,23 @@ class TestPhase:
         with pytest.warns(UserWarning, match="previous phase operations"):
             renamed.xmr.phase(dim=DIMS.chemical_shift, p0=3.0)
 
+    def test_zero_coordinate_range(self):
+        """A single-point (or constant-coord) axis has zero range: the p1
+        term vanishes and the scalar p0 factor broadcasts (the reference
+        handles this by scalar broadcast; we previously crashed wrapping
+        the 0-d factor as a 1-dim XmrArray)."""
+        from xmris_tpu import XmrArray
+        from xmris_tpu.ops.phasing import phase
+
+        da = XmrArray(
+            np.asarray([1.0 + 0.0j]), dims=(DIMS.frequency,),
+            coords={DIMS.frequency: np.asarray([0.0])},
+        )
+        out = phase(da, p0=90.0)
+        np.testing.assert_allclose(
+            out.values, [np.exp(1j * np.pi / 2)], rtol=1e-12
+        )
+
     def test_nd_broadcast(self, multi_dim_da):
         spec = multi_dim_da.xmr.to_spectrum()
         out = spec.xmr.phase(p0=45.0, pivot=0.0)

@@ -377,6 +377,21 @@ class TestNativeIO:
             da.coords["Metabolite"].values,
         )
 
+    def test_npz_roundtrip_object_data(self, tmp_path):
+        """Object-dtype DATA (not just coords) must round-trip: np.savez
+        would silently pickle it on save and load_npz's allow_pickle=False
+        then rejects the file."""
+        from xmris_tpu.core.array import XmrArray
+
+        da = XmrArray(
+            np.array([["a", "b"], ["c", "d"]], dtype=object), dims=("r", "c")
+        )
+        p = tmp_path / "objdata.npz"
+        save_npz(da, p)
+        back = load_npz(p)
+        assert back.values.dtype == object
+        np.testing.assert_array_equal(back.values, da.values)
+
     def test_load_dataarray_rejects_hdf5(self, tmp_path):
         p = tmp_path / "fake.nc"
         p.write_bytes(b"\x89HDF\r\n")
@@ -406,3 +421,21 @@ class TestDatasetIO:
             ds["amplitude"].coords["Metabolite"].values,
         )
         assert back.attrs["fit_method"] == ds.attrs["fit_method"]
+
+    def test_dataset_npz_rejects_conflicting_coords(self, tmp_path):
+        """Two variables with same-named coords holding DIFFERENT values
+        must refuse to save (one array is stored per coordinate name; the
+        old setdefault silently round-tripped the second variable with the
+        first's coordinate values)."""
+        from xmris_tpu.core.array import Coord, XmrArray, XmrDataset
+        from xmris_tpu.interop.io import save_dataset_npz
+
+        ds = XmrDataset()
+        a = XmrArray(np.zeros(4), dims=("frequency",))
+        a.coords["frequency"] = Coord("frequency", np.arange(4.0))
+        b = XmrArray(np.zeros(4), dims=("frequency",))
+        b.coords["frequency"] = Coord("frequency", np.arange(4.0) + 10.0)
+        ds["a"] = a
+        ds["b"] = b
+        with pytest.raises(ValueError, match="disagree on coordinate"):
+            save_dataset_npz(ds, tmp_path / "conflict.npz")

@@ -118,6 +118,20 @@ class TestWaterfall:
         assert len(ax.collections) == 0  # no fills
         plt.close("all")
 
+    def test_renders_without_x_coordinate(self, series_da):
+        """A coordinate-less x dim falls back to sample indices, like the
+        stack axis already did, instead of a bare KeyError."""
+        bare = XmrArray(
+            np.asarray(series_da.values),
+            dims=("repetitions", DIMS.chemical_shift),
+        )
+        ax = plot_waterfall(bare)
+        assert len(ax.lines) >= 10
+        plt.close("all")
+        ax = plot_carpet(bare)
+        assert len(ax.collections) >= 1
+        plt.close("all")
+
 
 class TestCarpet:
     def test_renders(self, series_da):

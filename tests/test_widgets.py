@@ -99,6 +99,15 @@ class TestScrollWidget:
         assert len(w.spectra) == 3
         assert len(w.spectra[0]) == 8
 
+    def test_rejects_spectral_scroll_axis(self):
+        """scroll_axis naming the spectral dim would render a silently
+        transposed widget (frames labeled with spectral coords) — raise."""
+        data = np.zeros((2, 8)) + 0j
+        da = XmrArray(data, dims=("repetitions", DIMS.frequency),
+                      coords={DIMS.frequency: np.arange(8.0)})
+        with pytest.raises(ValueError, match="spectral dimension"):
+            scroll_spectra(da, scroll_axis=DIMS.frequency)
+
 
 class TestApodizerWidget:
     def test_factory_pads_to_pow2(self, fid_1d):

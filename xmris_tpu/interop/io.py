@@ -34,7 +34,8 @@ def load_dataarray(path: str | Path, variable: str | None = None) -> XmrArray:
     and raise a clear error when absent.
     """
     path = Path(path)
-    magic = path.open("rb").read(4)
+    with path.open("rb") as fh:
+        magic = fh.read(4)
     if magic[:3] != b"CDF":
         raise ValueError(
             f"{path} is not a classic netCDF-3 file (magic {magic!r}). "
@@ -133,13 +134,18 @@ def save_npz(da: XmrArray, path: str | Path) -> None:
     arrays = {f"coord::{cname}": _storable(c.values) for cname, c in da.coords.items()}
     np.savez(
         path,
-        data=da.values,
+        # _storable on the payload too: an object-dtype data array would be
+        # silently pickled here and then rejected by load_npz's
+        # allow_pickle=False — the exact save/load asymmetry this module
+        # exists to prevent.
+        data=_storable(da.values),
         __meta__=np.frombuffer(
             json.dumps(
                 {
                     "dims": list(da.dims),
                     "attrs": _jsonable(da.attrs),
                     "name": da.name,
+                    "object": np.asarray(da.values).dtype == object,
                     "coords": coord_meta,
                 }
             ).encode(),
@@ -154,7 +160,8 @@ def load_npz(path: str | Path) -> XmrArray:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
         out = XmrArray(
-            z["data"], dims=tuple(meta["dims"]), attrs=meta["attrs"], name=meta["name"]
+            _restore(z["data"], meta.get("object", False)),
+            dims=tuple(meta["dims"]), attrs=meta["attrs"], name=meta["name"]
         )
         coords = {}
         for cname, cm in meta["coords"].items():
@@ -198,7 +205,31 @@ def save_dataset_npz(ds, path: str | Path) -> None:
             },
         }
         for cname, c in var.coords.items():
-            arrays.setdefault(f"coord::{cname}", _storable(c.values))
+            key = f"coord::{cname}"
+            cvals = _storable(c.values)
+            if key in arrays:
+                # One array is stored per coordinate NAME: a second
+                # variable whose same-named coord holds different values
+                # would silently round-trip with the first variable's
+                # values — refuse instead.
+                prev = arrays[key]
+                try:
+                    same = prev.shape == cvals.shape and np.array_equal(
+                        prev, cvals, equal_nan=True
+                    )
+                except TypeError:  # non-float dtypes reject equal_nan
+                    same = prev.shape == cvals.shape and np.array_equal(
+                        prev, cvals
+                    )
+                if not same:
+                    raise ValueError(
+                        f"Dataset variables disagree on coordinate "
+                        f"'{cname}' values; rename one of the coordinates "
+                        "before saving (save_dataset_npz stores one array "
+                        "per coordinate name)."
+                    )
+            else:
+                arrays[key] = cvals
     payload = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, __meta__=payload, **arrays)
 

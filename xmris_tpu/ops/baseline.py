@@ -138,7 +138,8 @@ def baseline_als(
     """
     _check_dims(da, dim, "baseline_als")
 
-    working = da.real if np.iscomplexobj(da.values) else da
+    # dtype test without the full device->host readback da.values costs
+    working = da.real if np.issubdtype(da.dtype, np.complexfloating) else da
 
     order = [d for d in da.dims if d != dim] + [dim]
     wt = working.transpose(*order)

@@ -204,10 +204,13 @@ def phase(
     """
     _check_dims(da, dim, "phase")
 
-    values = da.values
     coords = da.coords[dim].values.astype(np.float64)
 
     if pivot is None:
+        # The max-magnitude pivot search is the only consumer of the data
+        # on host — with an explicit pivot (autophase always passes one,
+        # as does the phase widget's snippet) no device readback happens.
+        values = da.values
         flat_idx = int(np.argmax(np.abs(values)))
         dim_axis = da.get_axis_num(dim)
         target_idx = np.unravel_index(flat_idx, da.shape)[dim_axis]
@@ -220,6 +223,11 @@ def phase(
     factor = phase_factor_raw(coords, float(p0), float(p1), float(pivot), x_range)
     _, cplx = matching_dtypes(da.dtype)
     factor = np.asarray(factor, dtype=cplx)
+    if factor.ndim == 0:
+        # Zero coordinate range (single-point or constant-coord axis):
+        # the p1 term vanishes and the scalar p0 factor broadcasts, as in
+        # the reference (phasing.py:65-72).
+        factor = np.full(coords.shape, factor, dtype=cplx)
 
     w = XmrArray(factor, (dim,))
     da_phased = (da * w).transpose(*da.dims)
@@ -877,10 +885,19 @@ def _autophase_all(
     p1s = jnp.zeros_like(p0s) if p0_only else solutions[:, 1]
 
     # Apply per-voxel phase to the *original* data (not the lb-smoothed copy):
-    # planar rotation on device, complex combine on the host.
-    orig_np = np.asarray(da.transpose(*order).values).reshape(-1, n_points)
-    orig_re = jnp.asarray(np.ascontiguousarray(orig_np.real), dtype=real_dtype)
-    orig_im = jnp.asarray(np.ascontiguousarray(orig_np.imag), dtype=real_dtype)
+    # planar rotation on device, complex combine on the host.  With lb == 0
+    # the search input IS the original data — reuse its staged planes
+    # instead of re-transposing and re-uploading the whole grid.
+    if work is da:
+        orig_re, orig_im = rows_re, rows_im
+    else:
+        orig_np = np.asarray(da.transpose(*order).values).reshape(-1, n_points)
+        orig_re = jnp.asarray(
+            np.ascontiguousarray(orig_np.real), dtype=real_dtype
+        )
+        orig_im = jnp.asarray(
+            np.ascontiguousarray(orig_np.imag), dtype=real_dtype
+        )
 
     @jax.jit
     def apply_all(orig_re, orig_im, p0s, p1s, pivots):
@@ -891,7 +908,7 @@ def _autophase_all(
         return orig_re * c - orig_im * s, orig_re * s + orig_im * c
 
     out_re, out_im = apply_all(orig_re, orig_im, p0s, p1s, pivots)
-    _, cplx = matching_dtypes(orig_np.dtype)
+    _, cplx = matching_dtypes(rows_np.dtype if work is da else orig_np.dtype)
     phased = np.asarray(out_re).astype(cplx)
     phased += 1j * np.asarray(out_im)
 

@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from xmris_tpu.core.array import XmrArray
+from xmris_tpu.core.array import XmrArray, get_namespace
 from xmris_tpu.core.config import DIMS
 from xmris_tpu.core.utils import _check_dims
 from xmris_tpu.ops.fourier import ifftc
@@ -78,7 +78,7 @@ def kspace_to_image(
 def rss_combine(da: XmrArray, dim: str = DIMS.coil) -> XmrArray:
     """Root-sum-of-squares magnitude combination over the coil dimension."""
     _check_dims(da, dim, "rss_combine")
-    xp = jnp if isinstance(da.data, jax.Array) else __import__("numpy")
+    xp = get_namespace(da.data)
     ax = da.get_axis_num(dim)
     mag2 = xp.real(da.data * xp.conj(da.data))
     out_data = xp.sqrt(xp.sum(mag2, axis=ax))

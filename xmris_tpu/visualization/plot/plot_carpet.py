@@ -97,7 +97,11 @@ def plot_carpet(
 
     x_name, stack_name = parse_input_dims_timeseries(da, x_dim, stack_dim)
     view = da.transpose(stack_name, x_name)
-    x_vals = view.coords[x_name].values
+    x_vals = (
+        view.coords[x_name].values
+        if x_name in view.coords
+        else np.arange(view.sizes[x_name])
+    )
     stack_vals = (
         view.coords[stack_name].values
         if stack_name in view.coords

@@ -71,6 +71,14 @@ def scroll_spectra(
                 f"Requested scroll_axis '{scroll_axis}' not found in dimensions: "
                 f"{da.dims}"
             )
+        if scroll_axis == spec_dim:
+            # Scrolling ALONG the spectral axis would render a silently
+            # transposed widget (frames labeled with spectral coords).
+            raise ValueError(
+                f"scroll_axis '{scroll_axis}' is the spectral dimension; "
+                "scroll along the other dimension "
+                f"({[str(d) for d in da.dims if str(d) != spec_dim]})."
+            )
         scroll_dim = scroll_axis
     else:
         remaining = [str(d) for d in da.dims if str(d) != spec_dim]
