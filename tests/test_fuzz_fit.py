@@ -162,6 +162,46 @@ class TestFitFuzz:
         np.testing.assert_allclose(amp[:, 1], factor * amp[:, 0], rtol=1e-9)
         np.testing.assert_allclose(amp[:, 0], truth["amplitude"][0], rtol=0.03)
 
+    def test_nd_grid_layout_matches_flat(self, tmp_path):
+        """Fitting an (x, y, time) grid == fitting the same voxels flat:
+        the N-D packing/unpacking around the batched engine is layout-
+        transparent, and the output dims mirror the input voxel dims."""
+        rng = np.random.default_rng(23_000)
+        truth = _truth(rng, 2)
+        da_flat = _make_data(rng, truth)  # (voxel=3, time)
+        names, csv = _prior_from_truth(rng, truth)
+        pk = tmp_path / "pk.csv"
+        pk.write_text(csv)
+
+        nx, ny = 3, 1
+        vals = np.asarray(da_flat.values).reshape(nx, ny, -1)
+        from xmris_tpu import DIMS as _D
+
+        da_grid = XmrArray(
+            vals,
+            dims=(_D.x, _D.y, DIMS.time),
+            coords={
+                _D.x: np.arange(nx),
+                _D.y: np.arange(ny),
+                DIMS.time: da_flat.coords[DIMS.time].values,
+            },
+            attrs=dict(da_flat.attrs),
+        )
+        ds_flat = da_flat.xmr.fit_amares(pk, engine="xla", max_iter=80)
+        ds_grid = da_grid.xmr.fit_amares(pk, engine="xla", max_iter=80)
+        amp_grid = ds_grid["amplitude"]
+        assert amp_grid.dims[:-1] == (_D.x, _D.y)
+        np.testing.assert_allclose(
+            np.asarray(amp_grid.values).reshape(nx * ny, -1),
+            np.asarray(ds_flat["amplitude"].values),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ds_grid["crlb"].values).reshape(nx * ny, -1),
+            np.asarray(ds_flat["crlb"].values),
+            rtol=1e-5,
+        )
+
     def test_fixed_voigt_g_recovery(self, tmp_path):
         rng = np.random.default_rng(22_000)
         g = round(float(rng.uniform(0.2, 0.6)), 2)
