@@ -201,6 +201,27 @@ class TestReconFuzz:
         np.testing.assert_allclose(out.values, obj, atol=1e-9)
 
 
+class TestSenseReconstructFuzz:
+    @pytest.mark.parametrize("trial", range(3))
+    def test_full_sense_chain_recovers_object(self, trial):
+        """estimate maps -> iFFT -> matched-filter combine at random
+        geometry: the combined magnitude tracks the phantom inside the
+        object support (coefficient > 0.99)."""
+        from xmris_tpu.recon.sense import sense_reconstruct
+
+        rng = _rng(trial, salt=6)
+        n = int(rng.choice([24, 32]))
+        n_coils = int(rng.integers(3, 6))
+        da, imgs, rss_truth = _random_multicoil(rng, n, n_coils)
+        out = sense_reconstruct(da)
+        assert out.dims == (DIMS.y, DIMS.x)
+        mask = rss_truth > 0.25 * rss_truth.max()
+        a = np.abs(np.asarray(out.values))[mask]
+        b = rss_truth[mask]
+        corr = float(np.corrcoef(a, b)[0, 1]) if a.size > 2 else 1.0
+        assert corr > 0.99
+
+
 def _absorptive_spectrum(rng, n=512, sw=4000.0):
     """Multi-peak all-absorptive spectrum + its randomly dephased copy."""
     t = np.arange(n) / sw
