@@ -278,3 +278,30 @@ class TestAutophaseFuzz:
         truth_score = float(acme_score_raw(np.asarray(pristine.values).real))
         got_score = float(acme_score_raw(np.asarray(out.values).real))
         assert got_score <= truth_score * (1 + 1e-6) + 1e-12
+
+    @pytest.mark.bigcompile
+    @pytest.mark.parametrize("trial", range(2))
+    def test_grid_mode_all_per_voxel_random_phases(self, trial):
+        """mode='all' grid+polish: every voxel gets an INDEPENDENT random
+        dephase; per-voxel scores must land within the documented 0.2 %
+        tail of the ground-truth phasing (r5 quality bound)."""
+        rng = _rng(trial, salt=7)
+        n_vox = 6
+        pristines, specs, freq = [], [], None
+        for _ in range(n_vox):
+            p, s = _absorptive_spectrum(rng, n=256)
+            pristines.append(np.asarray(p.values))
+            specs.append(np.asarray(s.values))
+            freq = p.coords[DIMS.frequency].values  # sw/n fixed: identical
+        stacked = XmrArray(
+            np.stack(specs),
+            dims=("voxel", DIMS.frequency),
+            coords={"voxel": np.arange(n_vox), DIMS.frequency: freq},
+        )
+        out = xmt.autophase(
+            stacked, mode="all", p0_only=True, optimizer="grid"
+        )
+        for v in range(n_vox):
+            truth = float(acme_score_raw(pristines[v].real))
+            got = float(acme_score_raw(np.asarray(out.values)[v].real))
+            assert got <= truth * 1.002 + 1e-12, f"voxel {v}"
