@@ -420,36 +420,59 @@ def supervise() -> None:
     def probe_ok(timeout_s=None):
         if timeout_s is None:
             timeout_s = int(os.environ.get("XMT_BENCH_PROBE_TIMEOUT_S", "240"))
+        t0 = time.perf_counter()
         line = attempt({"XMT_BENCH_PROBE": "1"}, timeout_s=timeout_s)
+        probe_s = round(time.perf_counter() - t0, 1)
         if line is None:
-            return False
+            return False, probe_s
         try:
             rec = json.loads(line)
         except json.JSONDecodeError:
-            return False
+            return False, probe_s
         # The probe must come back on an ACCELERATOR backend: a fast
         # axon-init failure falls through to the cpu platform
         # (jax_platforms="axon,cpu") and would otherwise read as a live
         # relay, committing the full attempt deadline to a CPU worker
         # that cannot finish the full-grid fit.
-        return rec.get("probe") == "ok" and rec.get("backend") not in (
+        ok = rec.get("probe") == "ok" and rec.get("backend") not in (
             None, "cpu",
         )
+        return ok, probe_s
+
+    def cache_mb():
+        """Persistent-compile-cache size: cold machines need a longer
+        accelerator deadline (remote Mosaic compiles of the bench shapes
+        take minutes each when none are cached)."""
+        total = 0
+        try:
+            cache_dir = "/root/.cache/jax_xmt"
+            for root, _, files in os.walk(cache_dir):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+        except Exception:
+            pass
+        return round(total / 1e6, 1)
 
     line = None
     degraded_why = None
-    backend_up = probe_ok()
+    cache_before_mb = cache_mb()
+    backend_up, probe_s = probe_ok()
     if not backend_up:
         time.sleep(int(os.environ.get("XMT_BENCH_PROBE_BACKOFF_S", "180")))
-        backend_up = probe_ok()
+        backend_up, probe_s2 = probe_ok()
+        probe_s += probe_s2
     if backend_up:
         # With the persistent compile cache warm, the TPU run takes
         # ~3-4 min; a wedged relay would otherwise eat the whole deadline.
-        # Cold remote Mosaic compiles can take much longer — raise via env
-        # when benching on a machine without /root/.cache/jax_xmt.
+        # Cold-cache machines (no /root/.cache/jax_xmt) get a longer
+        # default because every bench shape is a fresh remote compile.
+        default_deadline = "700" if cache_before_mb >= 1.0 else "1500"
         line = attempt(
             {}, timeout_s=int(os.environ.get("XMT_BENCH_ATTEMPT_TIMEOUT_S",
-                                             "700")))
+                                             default_deadline)))
         if line is None:
             degraded_why = (
                 "accelerator attempt exceeded its deadline after a live probe"
@@ -483,15 +506,17 @@ def supervise() -> None:
                 "fallback": True,
             }
         )
-    if degraded_why is not None:
-        # Annotate the degraded record with why the accelerator path was
-        # skipped and where the committed TPU evidence lives.
-        try:
-            rec = json.loads(line)
+    # Annotate the record with run provenance: relay-probe latency, compile-
+    # cache state, and (degraded runs) why the accelerator path was skipped.
+    try:
+        rec = json.loads(line)
+        rec["probe_s"] = probe_s
+        rec["cache_mb"] = cache_before_mb
+        if degraded_why is not None:
             rec["degraded_reason"] = degraded_why
-            line = json.dumps(rec)
-        except json.JSONDecodeError:
-            pass
+        line = json.dumps(rec)
+    except json.JSONDecodeError:
+        pass
     print(line)
 
 
@@ -547,6 +572,29 @@ def main() -> None:
             "XMT_AP_OPTIMIZER", "grid" if backend == "tpu" else "de"
         ),
     )
+    n_voxels = int(np.prod(GRID))
+    fallback = os.environ.get("XMT_BENCH_SCOPE") == "spectral"
+    stages: dict = {}
+
+    # Fused per-grid program FIRST, while the relay is freshest: measuring
+    # it after the staged compiles subjects it to the documented
+    # post-compile-session timing unreliability (results/tpu_r5.jsonl:
+    # identical program read 34.9 ms after heavy compiles vs 29.7 fresh) —
+    # the most plausible cause of BENCH_r04 silently grading the staged sum.
+    e2e_s = None
+    e2e_error = None
+    if (
+        not fallback
+        and backend != "cpu"
+        and os.environ.get("XMT_BENCH_E2E", "1") != "0"
+    ):
+        t0 = time.perf_counter()
+        try:
+            e2e_s = run_e2e_fused(fids, weight, freqs, cfg)
+        except Exception as e:  # recorded, never silent (VERDICT r4 item 1)
+            e2e_error = f"{type(e).__name__}: {e}"[:500]
+        stages["e2e_attempt_s"] = round(time.perf_counter() - t0, 1)
+
     if backend == "cpu":
         spectral_s = run_complex(fids, weight, freqs, cfg)
         engine = "complex"
@@ -557,28 +605,23 @@ def main() -> None:
         except Exception:
             spectral_s = run_complex(fids, weight, freqs, cfg)
             engine = "complex"
+    stages["spectral_ms"] = round(spectral_s * 1e3, 2)
 
-    n_voxels = int(np.prod(GRID))
-    fallback = os.environ.get("XMT_BENCH_SCOPE") == "spectral"
     if fallback:
         vox_per_s = n_voxels / spectral_s
         metric = (
             "MRSI voxels/sec (32x32x16x2048 spectral pipeline only — "
             f"degraded fallback; {engine} engine on {backend})"
         )
+        path = "spectral-only"
     else:
         fit_s = run_fit_planar(fids)
-        e2e_s = None
-        if backend != "cpu" and os.environ.get("XMT_BENCH_E2E", "1") != "0":
-            # Fused per-grid program (spectral + seeding + fit + CRLB in ONE
-            # dispatch): the production-stream execution shape.  Falls back
-            # to the staged sum if the fused compile/run fails.
-            try:
-                e2e_s = run_e2e_fused(fids, weight, freqs, cfg)
-            except Exception:
-                e2e_s = None
+        stages["fit_ms"] = round(fit_s * 1e3, 2)
+        if e2e_s is not None:
+            stages["e2e_ms"] = round(e2e_s * 1e3, 2)
         if e2e_s is not None and e2e_s < spectral_s + fit_s:
             elapsed = e2e_s
+            path = "fused"
             detail = (
                 f"ONE fused dispatch/grid {e2e_s * 1e3:.1f} ms "
                 f"[stages apart: spectral {spectral_s * 1e3:.1f} + fit "
@@ -586,6 +629,7 @@ def main() -> None:
             )
         else:
             elapsed = spectral_s + fit_s
+            path = "staged"
             detail = (
                 f"spectral {spectral_s * 1e3:.1f} ms + fit "
                 f"{fit_s * 1e3:.1f} ms"
@@ -598,21 +642,24 @@ def main() -> None:
             f"{engine} engine on {backend}; {detail})"
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(vox_per_s, 1),
-                "unit": "voxels/s",
-                "vs_baseline": round(vox_per_s / TARGET_VOXELS_PER_S, 3),
-                # Self-describing engine/fallback flags: a wedged-relay
-                # CPU-fallback run must never be mistaken for a TPU number.
-                "engine": engine,
-                "backend": backend,
-                "fallback": fallback,
-            }
-        )
-    )
+    rec = {
+        "metric": metric,
+        "value": round(vox_per_s, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(vox_per_s / TARGET_VOXELS_PER_S, 3),
+        # Self-describing engine/fallback flags: a wedged-relay
+        # CPU-fallback run must never be mistaken for a TPU number.
+        "engine": engine,
+        "backend": backend,
+        "fallback": fallback,
+        # Machine-comparable provenance (VERDICT r4 item 7): which path was
+        # graded, each stage's time, and the fused-path failure if any.
+        "path": path,
+        "stages": stages,
+    }
+    if e2e_error is not None:
+        rec["e2e_error"] = e2e_error
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
