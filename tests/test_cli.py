@@ -39,6 +39,33 @@ def test_fit_cli_end_to_end(tmp_path, capsys):
     assert ds["fit_converged"].values.all()
 
 
+def test_fit_cli_mesh_flag(tmp_path, capsys):
+    """--mesh N routes the CLI fit over a device mesh (same results)."""
+    from tests.test_fitting import PK_CSV, make_phantom
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV)
+    da = make_phantom(n_voxels=3, n_points=256)
+    inp = tmp_path / "fids.npz"
+    save_npz(da, inp)
+    out = tmp_path / "fit_mesh.npz"
+
+    rc = fit_main(
+        [str(inp), str(pk), "-o", str(out), "--engine", "xla",
+         "--max-iter", "40", "--mesh", "2"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["voxels"] == 3 and summary["converged_frac"] == 1.0
+
+    ds = load_dataset_npz(out)
+    amp = ds["amplitude"]
+    mets = [str(m) for m in amp.coords["Metabolite"].values]
+    pcr = amp.values[..., mets.index("PCr")]
+    np.testing.assert_allclose(np.sort(pcr.ravel()), [10.0, 20.0, 30.0],
+                               rtol=0.1)
+
+
 def test_recon_cli_end_to_end(tmp_path, capsys):
     """k-space npz -> RSS image npz through the console entry point."""
     from tests.test_recon import make_kspace

@@ -757,6 +757,7 @@ def fit_amares(
     g_scan: tuple | str | None = "auto",
     return_curves: bool = True,
     device_fids: tuple | None = None,
+    mesh=None,
 ) -> XmrDataset:
     """Fit the AMARES Eq.6 model to every voxel of an N-D FID array.
 
@@ -811,6 +812,19 @@ def fit_amares(
     a prefetch thread while the current grid fits.  The planes must match
     this call's flattening, i.e. come from ``stage_device_fids(da, dim)``
     on the same array.
+
+    ``mesh`` scales the fit over multiple devices — the user-facing analog
+    of the reference's ``num_workers`` process pool (reference
+    ``amares.py:118-204``), realized as SPMD over a
+    :class:`jax.sharding.Mesh` voxel axis instead of host processes.
+    Accepts a 1-D ``Mesh``, a device count (``make_mesh(n)`` is built for
+    you), or ``"auto"`` (all visible devices when more than one, else
+    single-device).  The voxel batch shards over the mesh axis (padded by
+    edge-repetition when not divisible, results trimmed — per-voxel
+    solutions are unaffected); the pallas engine runs the fused LM under
+    ``shard_map`` (:func:`xmris_tpu.parallel.fit.lm_fit_batched_pallas_sharded`),
+    the XLA engine auto-shards under GSPMD from the sharded inputs.
+    Results are bit-identical to ``mesh=None``.
     """
     if dim not in da.dims:
         raise ValueError(f"Dimension '{dim}' missing in DataArray.")
@@ -941,6 +955,24 @@ def fit_amares(
         import jax as _jax
 
         engine = "pallas" if _jax.default_backend() == "tpu" else "xla"
+
+    # Multi-device routing (the public analog of the reference's
+    # ``num_workers`` pool): normalize ``mesh`` to a jax.sharding.Mesh.
+    if isinstance(mesh, str):
+        if mesh != "auto":
+            raise ValueError(
+                f"mesh={mesh!r}: expected a jax.sharding.Mesh, a device "
+                "count, 'auto', or None."
+            )
+        import jax as _jax
+
+        mesh = len(_jax.devices()) if len(_jax.devices()) > 1 else None
+    if isinstance(mesh, int):
+        from xmris_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(mesh)
+    mesh_axis = mesh.axis_names[0] if mesh is not None else None
+
     if chunk_size is None:
         # One launch for the whole grid on the fused-kernel path (VMEM per
         # tile is fixed; every extra dispatch through a remote relay costs
@@ -948,15 +980,49 @@ def fit_amares(
         # Jacobian workspace scales with the batch.
         chunk_size = n_spectra if engine == "pallas" else 4096
 
+    def _pad_rows(a, n_pad):
+        """Edge-repeat a (B, ...) array to n_pad rows (shard divisibility)."""
+        if a.shape[0] == n_pad:
+            return a
+        reps = jnp.repeat(a[-1:], n_pad - a.shape[0], axis=0)
+        return jnp.concatenate([a, reps], axis=0)
+
     def run_lm(re_c, im_c, u_init, iters):
         """Returns (LMResult, h_ext-or-None): the pallas driver hands back
         the Gauss-Newton Hessian at the optimum for free (the CRLB pass
-        then needs zero extra kernel evaluations)."""
-        if engine == "pallas":
-            import jax as _jax
+        then needs zero extra kernel evaluations).
 
+        With ``mesh`` set, the chunk is edge-padded to a multiple of the
+        mesh size, fitted sharded over the voxel axis, and trimmed back —
+        pad voxels are copies whose solutions are discarded, so results
+        are identical to the single-device launch.
+        """
+        import jax as _jax
+
+        b = re_c.shape[0]
+        if mesh is not None:
+            from xmris_tpu.parallel.mesh import pad_to_multiple, voxel_sharding
+
+            n_pad = pad_to_multiple(b, mesh.shape[mesh_axis])
+            re_c = _pad_rows(re_c, n_pad)
+            im_c = _pad_rows(im_c, n_pad)
+            u_init = _pad_rows(u_init, n_pad)
+
+        if engine == "pallas":
             from xmris_tpu.fitting.lm import lm_fit_batched_pallas
 
+            if mesh is not None:
+                from xmris_tpu.parallel.fit import lm_fit_batched_pallas_sharded
+
+                res, h = lm_fit_batched_pallas_sharded(
+                    re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
+                    pmap_static, mhz, mesh=mesh, axis_name=mesh_axis,
+                    max_iter=iters,
+                    interpret=_jax.default_backend() != "tpu",
+                    kernel_version=kernel_version,
+                    return_hessian=True,
+                )
+                return type(res)(*(f[:b] for f in res)), h[:b]
             return lm_fit_batched_pallas(
                 re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
                 pmap_static, mhz, max_iter=iters,
@@ -966,13 +1032,19 @@ def fit_amares(
             )
         from xmris_tpu.fitting.lm import lm_fit_batched_planar
 
-        return (
-            lm_fit_batched_planar(
-                re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
-                pmap_static, mhz, max_iter=iters,
-            ),
-            None,
+        if mesh is not None:
+            # GSPMD path: sharded inputs partition the vmapped program.
+            sh = voxel_sharding(mesh, 2, mesh_axis)
+            re_c = _jax.device_put(re_c, sh)
+            im_c = _jax.device_put(im_c, sh)
+            u_init = _jax.device_put(u_init, sh)
+        res = lm_fit_batched_planar(
+            re_c, im_c, t_j, u_init, lower_j, upper_j, kind_j,
+            pmap_static, mhz, max_iter=iters,
         )
+        if mesh is not None and res.x_free.shape[0] != b:
+            res = type(res)(*(f[:b] for f in res))
+        return res, None
 
     t_before = time.perf_counter()
     x_parts, conv_parts, h_parts, cost_parts = [], [], [], []

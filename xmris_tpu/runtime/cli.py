@@ -42,6 +42,15 @@ def _load_input(path: Path, variable: str | None):
     return da
 
 
+def _parse_mesh(value):
+    """CLI --mesh value -> fit_amares mesh argument (int | 'auto' | None)."""
+    if value is None:
+        return None
+    if value == "auto":
+        return "auto"
+    return int(value)
+
+
 def fit_main(argv: list[str] | None = None) -> int:
     """Entry point of the ``xmris-tpu-fit`` console script."""
     parser = argparse.ArgumentParser(
@@ -67,6 +76,10 @@ def fit_main(argv: list[str] | None = None) -> int:
     parser.add_argument("--max-iter", type=int, default=60)
     parser.add_argument("--kernel-version", type=int, default=9)
     parser.add_argument("--chunk-size", type=int, default=None)
+    parser.add_argument("--mesh", default=None,
+                        help="shard the fit over devices: a device count, "
+                             "'auto' (all visible devices), or omit for "
+                             "single-device")
     parser.add_argument("--no-init-lm", action="store_true",
                         help="skip the template-fit initialization pass")
     parser.add_argument("--verbose", action="store_true")
@@ -92,6 +105,7 @@ def fit_main(argv: list[str] | None = None) -> int:
         chunk_size=args.chunk_size,
         initialize_with_lm=not args.no_init_lm,
         verbose=args.verbose,
+        mesh=_parse_mesh(args.mesh),
     )
     t_fit = time.perf_counter() - t0
 
@@ -278,6 +292,10 @@ def serve_main(argv: list[str] | None = None) -> int:
                         choices=("auto", "xla", "pallas"))
     parser.add_argument("--max-iter", type=int, default=60)
     parser.add_argument("--kernel-version", type=int, default=9)
+    parser.add_argument("--mesh", default=None,
+                        help="shard the fit over devices: a device count, "
+                             "'auto' (all visible devices), or omit for "
+                             "single-device")
     parser.add_argument("--pipeline", action="store_true",
                         help="overlap load/fit/write across grids with "
                              "loader+writer threads (helps on multi-core "
@@ -351,6 +369,7 @@ def serve_main(argv: list[str] | None = None) -> int:
                 kernel_version=args.kernel_version,
                 return_curves=args.curves,
                 device_fids=dev,
+                mesh=_parse_mesh(args.mesh),
             ), None
         except Exception as e:  # noqa: BLE001 — keep serving
             return None, e
