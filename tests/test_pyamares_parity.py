@@ -20,40 +20,9 @@ pyAMARES = pytest.importorskip("pyAMARES")
 import xmris_tpu as xmt  # noqa: E402
 from xmris_tpu.core.array import Coord  # noqa: E402
 
-PRIOR = """Index,PCr,ATP
-Initial Values,,
-amplitude,20.0,5.0
-chemicalshift,0.0,-7.5
-linewidth,10.0,15.0
-phase,0,0
-g,0,0
-Bounds,,
-amplitude,"(0, ","(0, "
-chemicalshift,"(-0.5, 0.5)","(-8.0, -7.0)"
-linewidth,"(2, 40)","(5, 40)"
-phase,"(-180, 180)","(-180, 180)"
-g,fixed,fixed
-"""
-
-MHZ, SW, N = 51.7, 5000.0, 1024
-TRUE_PCR = np.array([10.0, 20.0, 30.0, 40.0, 50.0])
-TRUE_ATP = 5.0
-
-
-def make_phantom():
-    t = np.arange(N) / SW
-    rng = np.random.default_rng(42)
-    fids = np.stack(
-        [
-            a * np.exp((-np.pi * 9.0 + 1j * 2 * np.pi * (0.0 * MHZ)) * t)
-            + TRUE_ATP
-            * np.exp((-np.pi * 14.0 + 1j * 2 * np.pi * (-7.5 * MHZ)) * t)
-            + rng.normal(0, 0.05, N)
-            + 1j * rng.normal(0, 0.05, N)
-            for a in TRUE_PCR
-        ]
-    )
-    return fids, t
+from tests._phantom31p import (  # noqa: E402
+    MHZ, N, PRIOR, SW, TRUE_ATP, TRUE_PCR, make_phantom,
+)
 
 
 def fit_with_pyamares(fids, pk_path):
