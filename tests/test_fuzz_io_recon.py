@@ -65,7 +65,15 @@ def _random_array(rng, *, max_ndim=3):
             "tag": f"trial-{rng.integers(0, 1000)}",
             "nested": {"list": [1, 2.5, "x"], "flag": bool(rng.integers(0, 2))},
         },
-        name=str(rng.choice(["fid", "spec", None])) if rng.integers(0, 2) else None,
+        # Draw first, keep None unstringified: str(None) would name the
+        # array the literal "None" instead of exercising the unnamed case.
+        name=(
+            (lambda pick: None if pick is None else str(pick))(
+                rng.choice(["fid", "spec", None])
+            )
+            if rng.integers(0, 2)
+            else None
+        ),
     )
     coords = {}
     for d, n in zip(dims, shape):

@@ -70,8 +70,6 @@ class TestAnalyticJacobianFuzz:
         )
         j_re, j_im = np.asarray(j_re), np.asarray(j_im)
 
-        scale_re = max(1.0, float(np.max(np.abs(j_re))))
-        scale_im = max(1.0, float(np.max(np.abs(j_im))))
         for ki in range(k):
             for p in range(5):
                 h = max(1e-6 * abs(grid[ki, p]), 1e-7)
@@ -82,12 +80,18 @@ class TestAnalyticJacobianFuzz:
                 rm, im_ = _model(t, gm)
                 fd_re = (rp - rm) / (2 * h)
                 fd_im = (ip - im_) / (2 * h)
+                # Per-(peak, param)-column tolerance: chemical-shift columns
+                # are ~2 orders larger than amplitude/g columns, so one
+                # global scale would loosen the small columns to ~1e-3
+                # relative and mask subtle per-column derivative errors.
                 np.testing.assert_allclose(
-                    j_re[:, ki, p], fd_re, atol=5e-6 * scale_re,
+                    j_re[:, ki, p], fd_re,
+                    atol=5e-6 * max(1.0, float(np.max(np.abs(fd_re)))),
                     err_msg=f"d(re)/d(param {p}) of peak {ki}",
                 )
                 np.testing.assert_allclose(
-                    j_im[:, ki, p], fd_im, atol=5e-6 * scale_im,
+                    j_im[:, ki, p], fd_im,
+                    atol=5e-6 * max(1.0, float(np.max(np.abs(fd_im)))),
                     err_msg=f"d(im)/d(param {p}) of peak {ki}",
                 )
 

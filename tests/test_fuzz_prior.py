@@ -207,11 +207,14 @@ class TestPriorParsingFuzz:
                 ), (m, p)
 
     def test_tie_to_fixed_target_raises(self, tmp_path):
-        rng = _rng(999)
-        names, spec = _random_spec(rng)
-        if len(names) < 2:
-            names = ["MetA", "MetB"]
-            _, spec = _random_spec(_rng(998, salt=3))
+        # Draw until the spec actually has >= 2 metabolites: a hand-picked
+        # fallback seed could silently drift to k=1 (spec would then lack
+        # MetB keys and _write_csv would KeyError).
+        for salt in range(100):
+            names, spec = _random_spec(_rng(999, salt=salt))
+            if len(names) >= 2:
+                break
+        assert len(names) >= 2
         # force: child ties to a FIXED parent -> documented error
         spec[(names[0], "amplitude")] = {
             "init": 5.0,
