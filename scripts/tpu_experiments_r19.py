@@ -1,0 +1,160 @@
+"""Round-5 (continuation session r19) TPU measurement batch.
+
+Groups (XMT_GROUP):
+  asls     — AsLS baseline at grid scale (VERDICT r4 item 5): 16384x2048,
+             n_iter sweep, chained timing with witnessed readback.
+  appolish — fused ACME polish kernel vs the XLA gd polish at grid scale
+             (VERDICT r4 item 4), plus trace attribution of the gd polish.
+
+One careful batch per session (the remote backend wedges under hammering);
+every experiment prints a JSON line immediately and appends to
+``results/tpu_r19.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS = Path(__file__).resolve().parent.parent / "results" / "tpu_r19.jsonl"
+RESULTS.parent.mkdir(exist_ok=True)
+
+
+def report(name: str, **kw) -> None:
+    rec = {"name": name, **kw}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    for k, v in (
+        ("jax_compilation_cache_dir", "/root/.cache/jax_xmt"),
+        ("jax_persistent_cache_min_entry_size_bytes", -1),
+        ("jax_persistent_cache_min_compile_time_secs", 1.0),
+    ):
+        try:
+            jax.config.update(k, v)
+        except Exception:
+            pass
+
+    report("session", backend=jax.default_backend(), devices=len(jax.devices()))
+
+    reps = int(os.environ.get("XMT_REPS", "3"))
+    group = os.environ.get("XMT_GROUP", "asls")
+
+    B = int(os.environ.get("XMT_B", "16384"))
+    NF = int(os.environ.get("XMT_NF", "2048"))
+
+    def chained(fn, witness, chain=4, iters=None):
+        """Steady-state per-call seconds: `chain` calls + ONE witnessing
+        scalar readback per timed pass (dispatch-floor methodology)."""
+        if iters is None:
+            iters = reps
+        witness(fn())  # compile + execution witness
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            for _ in range(chain):
+                out = fn()
+            witness(out)
+            times.append((time.perf_counter() - t0) / chain)
+        return float(np.median(times))
+
+    if group == "asls":
+        from xmris_tpu.ops.baseline import als_baseline_batched
+
+        rng = np.random.default_rng(0)
+        # Realistic absorption spectra: peaks + smooth broad baseline + noise
+        f = np.linspace(-1.0, 1.0, NF, dtype=np.float32)
+        rows = (
+            40.0 * np.exp(-((f[None, :] - rng.uniform(-0.5, 0.5, (B, 1))) ** 2) / 1e-4)
+            + 20.0 * np.exp(-((f[None, :] + 0.3) ** 2) / 0.3)  # broad baseline
+            + rng.normal(0, 0.5, (B, NF))
+        ).astype(np.float32)
+        rows_j = jnp.asarray(rows)
+
+        for n_iter in (1, 10):
+            def run(n_iter=n_iter):
+                return als_baseline_batched(rows_j, 1e5, 0.001, n_iter)
+
+            def wit(z):
+                return float(jnp.sum(z[:, ::256]))
+
+            t0 = time.perf_counter()
+            s = chained(run, wit, chain=2)
+            report(
+                "asls_grid", B=B, NF=NF, n_iter=n_iter,
+                chained_ms=round(s * 1e3, 2),
+                total_first_s=round(time.perf_counter() - t0, 1),
+            )
+
+    if group == "appolish":
+        _run_appolish(report, B, NF, reps)
+
+
+def _run_appolish(report, B, NF, reps):
+    """Grid-autophase p0p1: XLA gd polish vs the fused Pallas polish."""
+    import jax
+    import jax.numpy as jnp
+
+    from xmris_tpu.ops.phasing import _grid_phase_search
+
+    rng = np.random.default_rng(1)
+    f = np.linspace(-2500.0, 2500.0, NF).astype(np.float32)
+    # Synthetic dispersive spectra needing (p0, p1) correction
+    re = np.zeros((B, NF), np.float32)
+    im = np.zeros((B, NF), np.float32)
+    for _ in range(3):
+        center = rng.uniform(-2000, 2000, (B, 1)).astype(np.float32)
+        lw = rng.uniform(20, 80, (B, 1)).astype(np.float32)
+        amp = rng.uniform(5, 30, (B, 1)).astype(np.float32)
+        lor = amp / (1.0 + ((f[None, :] - center) / lw) ** 2)
+        re += lor
+    p0 = rng.uniform(-120, 120, (B, 1)).astype(np.float32)
+    p1 = rng.uniform(-600, 600, (B, 1)).astype(np.float32)
+    u = (f[None, :] - 0.0) / (f[-1] - f[0])
+    phi = np.deg2rad(p0 + p1 * u)
+    re_r = (re * np.cos(phi)).astype(np.float32)
+    im_r = (-re * np.sin(phi)).astype(np.float32)
+    re_r += rng.normal(0, 0.2, (B, NF)).astype(np.float32)
+    im_r += rng.normal(0, 0.2, (B, NF)).astype(np.float32)
+
+    pivots = np.zeros((B,), np.float32)
+
+    for variant in ("gd", "fused"):
+        t0 = time.perf_counter()
+        out = _grid_phase_search(
+            jnp.asarray(re_r), jnp.asarray(im_r), jnp.asarray(f),
+            jnp.asarray(pivots), method="acme", p0_only=False,
+            polish=variant,
+        )
+        jax.block_until_ready(out)
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = _grid_phase_search(
+            jnp.asarray(re_r), jnp.asarray(im_r), jnp.asarray(f),
+            jnp.asarray(pivots), method="acme", p0_only=False,
+            polish=variant,
+        )
+        jax.block_until_ready(out)
+        report(
+            "appolish", variant=variant, B=B, NF=NF,
+            warm_ms=round((time.perf_counter() - t0) * 1e3, 1),
+            first_s=round(first, 1),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -750,6 +750,36 @@ def _grid_phase_search(
         p1f = jnp.zeros_like(p0f) if p0_only else u_fin[:, 1] * sp[1]
         return jnp.stack([p0f, p1f], axis=1)
 
+    if polish_optimizer == "fused":
+        # Whole-loop Pallas polish: the spectrum rows stay VMEM-resident
+        # across every gradient iteration (one HBM read total) instead of
+        # ~2*polish_iters full-plane passes — the ACME analytic gradient
+        # and the exact gd step rule live in ops/kernels/acme_pallas.py.
+        if method != "acme":
+            raise ValueError(
+                "polish_optimizer='fused' implements the ACME objective "
+                "only; use 'gd'/'newton'/'bfgs' for the ROI methods."
+            )
+        from xmris_tpu.ops.kernels.acme_pallas import acme_polish_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        half_cell = 0.5 / max(n_p0, 2)
+        if p0_only and grid_decimate > 1:
+            fine_iters = max(polish_iters // 3, 8)
+            best_p, _ = acme_polish_pallas(
+                rows_re_d, rows_im_d, coords_d, pivots, best_p, x_range,
+                n_iter=polish_iters - fine_iters, p0_only=True,
+                half_cell=half_cell, interpret=interpret,
+            )
+        else:
+            fine_iters = polish_iters
+        best_p, _ = acme_polish_pallas(
+            rows_re, rows_im, coords_j, pivots, best_p, x_range,
+            n_iter=fine_iters, p0_only=p0_only, half_cell=half_cell,
+            interpret=interpret,
+        )
+        return best_p
+
     if polish_optimizer in ("newton", "bfgs"):
         # Few superlinearly-converging iterations from within half a mesh
         # cell: runs entirely on the exact objective (no decimated phase).
@@ -763,7 +793,8 @@ def _grid_phase_search(
         )
     if polish_optimizer != "gd":
         raise ValueError(
-            f"polish_optimizer must be 'gd', 'newton', or 'bfgs', got "
+            f"polish_optimizer must be 'gd', 'newton', 'bfgs', or "
+            f"'fused', got "
             f"{polish_optimizer!r}."
         )
 

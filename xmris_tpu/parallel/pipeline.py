@@ -98,9 +98,10 @@ class PipelineConfig:
                 f"ap_optimizer must be 'de' or 'grid', got "
                 f"{self.ap_optimizer!r}."
             )
-        if self.ap_polish not in ("gd", "newton", "bfgs"):
+        if self.ap_polish not in ("gd", "newton", "bfgs", "fused"):
             raise ValueError(
-                f"ap_polish must be 'gd', 'newton', or 'bfgs', got "
+                f"ap_polish must be 'gd', 'newton', 'bfgs', or "
+                f"'fused', got "
                 f"{self.ap_polish!r}."
             )
         if self.spec_layout not in ("flat", "stacked"):
