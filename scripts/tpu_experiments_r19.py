@@ -105,55 +105,108 @@ def main() -> None:
 
 
 def _run_appolish(report, B, NF, reps):
-    """Grid-autophase p0p1: XLA gd polish vs the fused Pallas polish."""
+    """Grid-autophase: XLA gd polish vs the fused whole-loop Pallas polish.
+
+    Times the full _grid_phase_search (scan + polish) AND the isolated
+    polish stages, plus achieved-score quality comparison per voxel.
+    """
     import jax
     import jax.numpy as jnp
 
-    from xmris_tpu.ops.phasing import _grid_phase_search
+    from xmris_tpu.ops.kernels.acme_pallas import acme_polish_pallas
+    from xmris_tpu.ops.phasing import (
+        _grid_phase_search,
+        _phased_real_planar,
+        acme_score_raw,
+    )
 
     rng = np.random.default_rng(1)
     f = np.linspace(-2500.0, 2500.0, NF).astype(np.float32)
-    # Synthetic dispersive spectra needing (p0, p1) correction
+    xr = float(f[-1] - f[0])
     re = np.zeros((B, NF), np.float32)
-    im = np.zeros((B, NF), np.float32)
     for _ in range(3):
         center = rng.uniform(-2000, 2000, (B, 1)).astype(np.float32)
         lw = rng.uniform(20, 80, (B, 1)).astype(np.float32)
         amp = rng.uniform(5, 30, (B, 1)).astype(np.float32)
-        lor = amp / (1.0 + ((f[None, :] - center) / lw) ** 2)
-        re += lor
+        re += amp / (1.0 + ((f[None, :] - center) / lw) ** 2)
     p0 = rng.uniform(-120, 120, (B, 1)).astype(np.float32)
     p1 = rng.uniform(-600, 600, (B, 1)).astype(np.float32)
-    u = (f[None, :] - 0.0) / (f[-1] - f[0])
+    u = (f[None, :] - 0.0) / xr
     phi = np.deg2rad(p0 + p1 * u)
-    re_r = (re * np.cos(phi)).astype(np.float32)
-    im_r = (-re * np.sin(phi)).astype(np.float32)
-    re_r += rng.normal(0, 0.2, (B, NF)).astype(np.float32)
-    im_r += rng.normal(0, 0.2, (B, NF)).astype(np.float32)
+    re_r = (re * np.cos(phi) + rng.normal(0, 0.2, (B, NF))).astype(np.float32)
+    im_r = (-re * np.sin(phi) + rng.normal(0, 0.2, (B, NF))).astype(np.float32)
 
-    pivots = np.zeros((B,), np.float32)
+    re_j = jnp.asarray(re_r)
+    im_j = jnp.asarray(im_r)
+    f_j = jnp.asarray(f)
+    piv_idx = np.argmax(re_r**2 + im_r**2, axis=1)
+    pivots = jnp.asarray(f[piv_idx])
+    t_idx = jnp.asarray(piv_idx)
 
-    for variant in ("gd", "fused"):
-        t0 = time.perf_counter()
-        out = _grid_phase_search(
-            jnp.asarray(re_r), jnp.asarray(im_r), jnp.asarray(f),
-            jnp.asarray(pivots), method="acme", p0_only=False,
-            polish=variant,
+    def scores(p):
+        def one(pv, rr, ri, pivot):
+            d = _phased_real_planar(rr, ri, f_j, pv[0], pv[1], pivot, xr)
+            return acme_score_raw(d)
+
+        return np.asarray(jax.vmap(one)(p, re_j, im_j, pivots))
+
+    for p0_only in (False, True):
+        results = {}
+        for variant in ("gd", "fused"):
+            run = jax.jit(
+                lambda po=p0_only, va=variant: _grid_phase_search(
+                    re_j, im_j, f_j, xr, pivots, t_idx, 8, "acme", po,
+                    polish_optimizer=va,
+                )
+            )
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run())
+            first = time.perf_counter() - t0
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(run())
+                times.append(time.perf_counter() - t0)
+            sc = scores(out)
+            results[variant] = sc
+            report(
+                "appolish", variant=variant, B=B, NF=NF, p0_only=p0_only,
+                warm_ms=round(float(np.median(times)) * 1e3, 1),
+                first_s=round(first, 1),
+                score_p50=float(np.median(sc)),
+            )
+        gd, fu = results["gd"], results["fused"]
+        ok = np.isfinite(gd) & np.isfinite(fu)
+        frac_le = float(np.mean(fu[ok] <= gd[ok] + 1e-9))
+        rel_p99 = float(
+            np.percentile((fu[ok] - gd[ok]) / np.maximum(np.abs(gd[ok]), 1e-12), 99)
         )
-        jax.block_until_ready(out)
-        first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = _grid_phase_search(
-            jnp.asarray(re_r), jnp.asarray(im_r), jnp.asarray(f),
-            jnp.asarray(pivots), method="acme", p0_only=False,
-            polish=variant,
-        )
-        jax.block_until_ready(out)
         report(
-            "appolish", variant=variant, B=B, NF=NF,
-            warm_ms=round((time.perf_counter() - t0) * 1e3, 1),
-            first_s=round(first, 1),
+            "appolish_quality", p0_only=p0_only, frac_fused_le_gd=round(frac_le, 4),
+            rel_excess_p99=rel_p99,
         )
+
+    # Isolated polish-stage timing at a shared seed (kernel-only cost).
+    p_seed = jnp.zeros((B, 2), jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    kern = jax.jit(
+        lambda: acme_polish_pallas(
+            re_j, im_j, f_j, pivots, p_seed, xr, n_iter=40, p0_only=False,
+            interpret=interp,
+        )[0]
+    )
+    t0 = time.perf_counter()
+    jax.block_until_ready(kern())
+    first = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(kern())
+        times.append(time.perf_counter() - t0)
+    report(
+        "appolish_kernel_only", B=B, NF=NF, n_iter=40,
+        warm_ms=round(float(np.median(times)) * 1e3, 1), first_s=round(first, 1),
+    )
 
 
 if __name__ == "__main__":
