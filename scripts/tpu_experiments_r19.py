@@ -92,13 +92,19 @@ def main() -> None:
             def wit(z):
                 return float(jnp.sum(z[:, ::256]))
 
-            t0 = time.perf_counter()
-            s = chained(run, wit, chain=2)
-            report(
-                "asls_grid", B=B, NF=NF, n_iter=n_iter,
-                chained_ms=round(s * 1e3, 2),
-                total_first_s=round(time.perf_counter() - t0, 1),
-            )
+            try:
+                t0 = time.perf_counter()
+                s = chained(run, wit, chain=2)
+                report(
+                    "asls_grid", B=B, NF=NF, n_iter=n_iter,
+                    chained_ms=round(s * 1e3, 2),
+                    total_first_s=round(time.perf_counter() - t0, 1),
+                )
+            except Exception as e:
+                report(
+                    "asls_grid", B=B, NF=NF, n_iter=n_iter,
+                    error=f"{type(e).__name__}: {e}"[:300],
+                )
 
     if group == "appolish":
         _run_appolish(report, B, NF, reps)
@@ -159,14 +165,21 @@ def _run_appolish(report, B, NF, reps):
                     polish_optimizer=va,
                 )
             )
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(run())
-            first = time.perf_counter() - t0
-            times = []
-            for _ in range(reps):
+            try:
                 t0 = time.perf_counter()
                 out = jax.block_until_ready(run())
-                times.append(time.perf_counter() - t0)
+                first = time.perf_counter() - t0
+                times = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    out = jax.block_until_ready(run())
+                    times.append(time.perf_counter() - t0)
+            except Exception as e:
+                report(
+                    "appolish", variant=variant, B=B, NF=NF, p0_only=p0_only,
+                    error=f"{type(e).__name__}: {e}"[:300],
+                )
+                continue
             sc = scores(out)
             results[variant] = sc
             report(
@@ -175,6 +188,9 @@ def _run_appolish(report, B, NF, reps):
                 first_s=round(first, 1),
                 score_p50=float(np.median(sc)),
             )
+            time.sleep(5)  # space remote Mosaic compiles
+        if "gd" not in results or "fused" not in results:
+            continue
         gd, fu = results["gd"], results["fused"]
         ok = np.isfinite(gd) & np.isfinite(fu)
         frac_le = float(np.mean(fu[ok] <= gd[ok] + 1e-9))
@@ -189,24 +205,34 @@ def _run_appolish(report, B, NF, reps):
     # Isolated polish-stage timing at a shared seed (kernel-only cost).
     p_seed = jnp.zeros((B, 2), jnp.float32)
     interp = jax.default_backend() != "tpu"
-    kern = jax.jit(
-        lambda: acme_polish_pallas(
-            re_j, im_j, f_j, pivots, p_seed, xr, n_iter=40, p0_only=False,
-            interpret=interp,
-        )[0]
-    )
-    t0 = time.perf_counter()
-    jax.block_until_ready(kern())
-    first = time.perf_counter() - t0
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(kern())
-        times.append(time.perf_counter() - t0)
-    report(
-        "appolish_kernel_only", B=B, NF=NF, n_iter=40,
-        warm_ms=round(float(np.median(times)) * 1e3, 1), first_s=round(first, 1),
-    )
+    vts = (8, 16, 32) if not interp else (8,)
+    for vt in vts:
+        kern = jax.jit(
+            lambda vt=vt: acme_polish_pallas(
+                re_j, im_j, f_j, pivots, p_seed, xr, n_iter=40,
+                p0_only=False, v_tile=vt, interpret=interp,
+            )[0]
+        )
+        try:
+            t0 = time.perf_counter()
+            jax.block_until_ready(kern())
+            first = time.perf_counter() - t0
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(kern())
+                times.append(time.perf_counter() - t0)
+            report(
+                "appolish_kernel_only", B=B, NF=NF, n_iter=40, v_tile=vt,
+                warm_ms=round(float(np.median(times)) * 1e3, 1),
+                first_s=round(first, 1),
+            )
+        except Exception as e:
+            report(
+                "appolish_kernel_only", B=B, NF=NF, n_iter=40, v_tile=vt,
+                error=f"{type(e).__name__}: {e}"[:300],
+            )
+        time.sleep(5)  # space remote Mosaic compiles (r7: back-to-back 500s)
 
 
 if __name__ == "__main__":
