@@ -205,7 +205,14 @@ def acme_polish_pallas(
     are per-voxel pivot COORDINATE VALUES; ``p_init`` is (B, 2) degrees.
     Returns ``(p_final (B, 2), score_final (B,))``.
     """
+    rows_re = jnp.asarray(rows_re)
+    rows_im = jnp.asarray(rows_im)
+    coords = jnp.asarray(coords)
+    pivots = jnp.asarray(pivots)
+    p_init = jnp.asarray(p_init)
     b, n_f = rows_re.shape
+    # Canonicalized dtype (host f64 inputs truncate to f32 when x64 is
+    # off; the out_shape must match what the kernel actually computes).
     dtype = rows_re.dtype
     if b % v_tile:
         pad = v_tile - b % v_tile
