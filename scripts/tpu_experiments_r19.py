@@ -85,26 +85,33 @@ def main() -> None:
         ).astype(np.float32)
         rows_j = jnp.asarray(rows)
 
-        for n_iter in (1, 10):
-            def run(n_iter=n_iter):
-                return als_baseline_batched(rows_j, 1e5, 0.001, n_iter)
+        solvers = tuple(
+            s for s in os.environ.get("XMT_ASLS_SOLVERS", "scan,cr").split(",")
+            if s
+        )
+        for solver in solvers:
+            for n_iter in (1, 10):
+                def run(n_iter=n_iter, solver=solver):
+                    return als_baseline_batched(
+                        rows_j, 1e5, 0.001, n_iter, solver=solver
+                    )
 
-            def wit(z):
-                return float(jnp.sum(z[:, ::256]))
+                def wit(z):
+                    return float(jnp.sum(z[:, ::256]))
 
-            try:
-                t0 = time.perf_counter()
-                s = chained(run, wit, chain=2)
-                report(
-                    "asls_grid", B=B, NF=NF, n_iter=n_iter,
-                    chained_ms=round(s * 1e3, 2),
-                    total_first_s=round(time.perf_counter() - t0, 1),
-                )
-            except Exception as e:
-                report(
-                    "asls_grid", B=B, NF=NF, n_iter=n_iter,
-                    error=f"{type(e).__name__}: {e}"[:300],
-                )
+                try:
+                    t0 = time.perf_counter()
+                    s = chained(run, wit, chain=2)
+                    report(
+                        "asls_grid", B=B, NF=NF, n_iter=n_iter, solver=solver,
+                        chained_ms=round(s * 1e3, 2),
+                        total_first_s=round(time.perf_counter() - t0, 1),
+                    )
+                except Exception as e:
+                    report(
+                        "asls_grid", B=B, NF=NF, n_iter=n_iter, solver=solver,
+                        error=f"{type(e).__name__}: {e}"[:300],
+                    )
 
     if group == "appolish":
         _run_appolish(report, B, NF, reps)
@@ -159,20 +166,27 @@ def _run_appolish(report, B, NF, reps):
     for p0_only in (False, True):
         results = {}
         for variant in ("gd", "fused"):
+            # Arrays must be jit ARGUMENTS: a no-arg closure embeds the
+            # 134 MB planes as HLO constants and the remote compile
+            # endpoint rejects the request body (HTTP 413).
             run = jax.jit(
-                lambda po=p0_only, va=variant: _grid_phase_search(
-                    re_j, im_j, f_j, xr, pivots, t_idx, 8, "acme", po,
-                    polish_optimizer=va,
+                lambda rj, ij, pv, ti, po=p0_only, va=variant: (
+                    _grid_phase_search(
+                        rj, ij, f_j, xr, pv, ti, 8, "acme", po,
+                        polish_optimizer=va,
+                    )
                 )
             )
             try:
                 t0 = time.perf_counter()
-                out = jax.block_until_ready(run())
+                out = jax.block_until_ready(run(re_j, im_j, pivots, t_idx))
                 first = time.perf_counter() - t0
                 times = []
                 for _ in range(reps):
                     t0 = time.perf_counter()
-                    out = jax.block_until_ready(run())
+                    out = jax.block_until_ready(
+                        run(re_j, im_j, pivots, t_idx)
+                    )
                     times.append(time.perf_counter() - t0)
             except Exception as e:
                 report(
@@ -208,19 +222,19 @@ def _run_appolish(report, B, NF, reps):
     vts = (8, 16, 32) if not interp else (8,)
     for vt in vts:
         kern = jax.jit(
-            lambda vt=vt: acme_polish_pallas(
-                re_j, im_j, f_j, pivots, p_seed, xr, n_iter=40,
+            lambda rj, ij, pv, ps, vt=vt: acme_polish_pallas(
+                rj, ij, f_j, pv, ps, xr, n_iter=40,
                 p0_only=False, v_tile=vt, interpret=interp,
             )[0]
         )
         try:
             t0 = time.perf_counter()
-            jax.block_until_ready(kern())
+            jax.block_until_ready(kern(re_j, im_j, pivots, p_seed))
             first = time.perf_counter() - t0
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(kern())
+                jax.block_until_ready(kern(re_j, im_j, pivots, p_seed))
                 times.append(time.perf_counter() - t0)
             report(
                 "appolish_kernel_only", B=B, NF=NF, n_iter=40, v_tile=vt,

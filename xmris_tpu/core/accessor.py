@@ -253,9 +253,11 @@ class XmrisProcessingMixin:
         lam: float = 1e5,
         p: float = 0.001,
         n_iter: int = 10,
+        solver: str = "auto",
     ):
         """AsLS baseline correction (real component only)."""
-        return baseline_als(self._obj, dim=dim, lam=lam, p=p, n_iter=n_iter)
+        return baseline_als(self._obj, dim=dim, lam=lam, p=p, n_iter=n_iter,
+                            solver=solver)
 
 
 class XmrisPhasingMixin:

@@ -159,26 +159,33 @@ def _polish_kernel(
     )
 
     # Gradient-normalized initial rate: first trial step ~ half a mesh cell.
-    f0, g0 = vg(p, want_grad=True)
-    g0 = scale_span(jnp.where(jnp.isfinite(g0), g0, 0.0))
+    f0, g0_raw = vg(p, want_grad=True)
+    g0 = scale_span(jnp.where(jnp.isfinite(g0_raw), g0_raw, 0.0))
     gmax = jnp.max(jnp.abs(g0), axis=1, keepdims=True)
     lr0 = half_cell / jnp.maximum(gmax, tiny)
     lr0 = jnp.where(gmax > 0.0, lr0, 1e-2)
 
+    # One value_and_grad eval PER ITERATION at the trial point, carrying
+    # the accepted gradient: exactly the gd trajectory (after a rejection
+    # the gradient at the unchanged point is the carried one; after an
+    # accept the trial's own gradient is it) at half the objective passes
+    # of the grad-at-current + value-at-trial formulation.
     def body(_, carry):
-        p_c, f_c, lr = carry
-        _, g = vg(p_c, want_grad=True)
-        g = scale_span(jnp.where(jnp.isfinite(g), g, 0.0))
+        p_c, f_c, g_c, lr = carry
+        g = scale_span(jnp.where(jnp.isfinite(g_c), g_c, 0.0))
         p_new = _wrap_params(p_c - scale_span(lr * g), p0_only=p0_only)
-        f_new, _ = vg(p_new, want_grad=False)
+        f_new, g_new = vg(p_new, want_grad=True)
         better = f_new < f_c
         return (
             jnp.where(better, p_new, p_c),
             jnp.where(better, f_new, f_c),
+            jnp.where(better, g_new, g_c),
             jnp.where(better, lr * 1.2, lr * 0.5),
         )
 
-    p_fin, f_fin, _ = jax.lax.fori_loop(0, n_iter, body, (p, f0, lr0))
+    p_fin, f_fin, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (p, f0, g0_raw, lr0)
+    )
     pout_ref[...] = p_fin
     fout_ref[...] = f_fin
 
@@ -195,7 +202,7 @@ def acme_polish_pallas(
     p0_only: bool = False,
     half_cell: float = 0.5 / 36.0,
     span=(360.0, 8000.0),
-    v_tile: int = 8,
+    v_tile: int = 32,
     interpret: bool = False,
 ):
     """Fused backtracking-GD ACME polish over a (B, n_f) spectrum batch.

@@ -557,18 +557,8 @@ def _grid_phase_search(
         return jnp.stack([p0, p1], axis=1)
 
     def polish(best_p, re_, im_, crd, ti, iw, iters):
-        def batch_obj(p):  # p: (v, 2) -> (v,)
-            def one(pv, row_re, row_im, pivot, ti_):
-                p1 = jnp.asarray(0.0, dtype) if p0_only else pv[1]
-                d = _phased_real_planar(
-                    row_re, row_im, crd, pv[0], p1, pivot, x_range
-                )
-                return score(d, ti_, iw)
-
-            return jax.vmap(one)(p, re_, im_, pivots, ti)
-
-        grad_obj = jax.vmap(
-            jax.grad(
+        vg_obj = jax.vmap(
+            jax.value_and_grad(
                 lambda pv, row_re, row_im, pivot, ti_: (
                     lambda p1: score(
                         _phased_real_planar(
@@ -581,34 +571,38 @@ def _grid_phase_search(
             )
         )
 
+        # One value_and_grad per iteration at the trial point, carrying the
+        # accepted point's gradient — the EXACT same trajectory as the
+        # grad-at-current + value-at-trial form (a rejected trial leaves
+        # the current point, whose gradient is the carried one) at half
+        # the objective passes over the (voxels, points) planes.
         def polish_body(_, carry):
-            p, f, lr = carry
-            g = grad_obj(p, re_, im_, pivots, ti) * span[None, :]
+            p, f, g_raw, lr = carry
             # Guard non-finite gradients (inf-scored degenerate
             # candidates): a zero step simply halves the rate and retries.
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            g = jnp.where(jnp.isfinite(g_raw), g_raw, 0.0) * span[None, :]
             p_new = wrap_params(p - (lr[:, None] * g) * span[None, :])
-            f_new = batch_obj(p_new)
+            f_new, g_new = vg_obj(p_new, re_, im_, pivots, ti)
             better = f_new < f
             return (
                 jnp.where(better[:, None], p_new, p),
                 jnp.where(better, f_new, f),
+                jnp.where(better[:, None], g_new, g_raw),
                 jnp.where(better, lr * 1.2, lr * 0.5),
             )
 
-        f0 = batch_obj(best_p)
+        f0, g0_raw = vg_obj(best_p, re_, im_, pivots, ti)
         # Normalize the initial per-voxel rate so the FIRST trial step
         # spans about half a mesh cell (the winner is within half a cell
         # of the true basin): a fixed rate would burn ~20 growth
         # iterations warming up on flat objectives before making progress.
-        g0 = grad_obj(best_p, re_, im_, pivots, ti) * span[None, :]
-        g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+        g0 = jnp.where(jnp.isfinite(g0_raw), g0_raw, 0.0) * span[None, :]
         half_cell = 0.5 / max(n_p0, 2)  # unit-space half mesh spacing
         gmax = jnp.max(jnp.abs(g0), axis=1)
         lr0 = half_cell / jnp.maximum(gmax, jnp.finfo(dtype).tiny)
         lr0 = jnp.where(gmax > 0, lr0, 1e-2)
-        best_p, _, _ = jax.lax.fori_loop(
-            0, iters, polish_body, (best_p, f0, lr0)
+        best_p, _, _, _ = jax.lax.fori_loop(
+            0, iters, polish_body, (best_p, f0, g0_raw, lr0)
         )
         return best_p
 
