@@ -112,79 +112,115 @@ def _penta_ldlt_solve(a0, a1, a2, b):
 # voxels at once — zero sequential scans, pure VPU work.
 
 
+# 2x2 blocks travel as FOUR SEPARATE (..., m) planes (tuples
+# (m00, m01, m10, m11)) with the block index on the minor axis — a
+# (..., m, 2, 2) layout puts a 2x2 tail into every (8, 128) vector
+# register (256x padding) and measured 23.7 s for the full grid on the
+# v5e; the planar form is pure well-tiled elementwise work.
+
+
 def _inv2(m):
-    """Batched 2x2 inverse; ``m``: (..., 2, 2)."""
-    a, b = m[..., 0, 0], m[..., 0, 1]
-    c, d = m[..., 1, 0], m[..., 1, 1]
-    det = a * d - b * c
-    inv = jnp.stack(
-        [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
-    )
-    return inv / det[..., None, None]
+    """2x2 inverse on component planes."""
+    m00, m01, m10, m11 = m
+    det = m00 * m11 - m01 * m10
+    return (m11 / det, -m01 / det, -m10 / det, m00 / det)
 
 
 def _mul2(x, y):
-    """Batched 2x2 matmul (einsum keeps it fused and layout-free)."""
-    return jnp.einsum("...ij,...jk->...ik", x, y)
+    """2x2 matmul on component planes."""
+    x00, x01, x10, x11 = x
+    y00, y01, y10, y11 = y
+    return (
+        x00 * y00 + x01 * y10,
+        x00 * y01 + x01 * y11,
+        x10 * y00 + x11 * y10,
+        x10 * y01 + x11 * y11,
+    )
 
 
 def _mv2(m, v):
-    return jnp.einsum("...ij,...j->...i", m, v)
+    """2x2 matrix-vector on component planes; ``v`` = (v0, v1)."""
+    m00, m01, m10, m11 = m
+    v0, v1 = v
+    return (m00 * v0 + m01 * v1, m10 * v0 + m11 * v1)
+
+
+def _sub2(x, y):
+    return tuple(a - b for a, b in zip(x, y))
+
+
+def _neg2(x):
+    return tuple(-a for a in x)
+
+
+def _shift(x, k):
+    """Shift planes along the block axis: k=+1 -> value from index i-1
+    (zero-fill), k=-1 -> value from index i+1 (zero-fill)."""
+    pad = [(0, 0)] * (x.ndim - 1)
+    if k > 0:
+        return jnp.pad(x[..., :-k], pad + [(k, 0)])
+    return jnp.pad(x[..., -k:], pad + [(0, -k)])
+
+
+def _down(x):
+    return tuple(_shift(a, 1) for a in x)
+
+
+def _up(x):
+    return tuple(_shift(a, -1) for a in x)
 
 
 def _cr_solve_blocks(bm, am, cm, rhs):
     """Solve the block-tridiagonal system by cyclic reduction.
 
-    ``bm``: (m, 2, 2) diagonal blocks, ``am``: coupling to block i-1
-    (``am[0]`` ignored/zero), ``cm``: coupling to block i+1 (``cm[-1]``
-    zero), ``rhs``: (m, 2).  ``m`` must be a power of two.  Leading batch
-    axes broadcast through every step (vmap-free batching).
+    All arguments are component-plane tuples over (..., m): ``bm`` the
+    diagonal blocks, ``am`` coupling to block i-1 (``am[...,0]`` zero),
+    ``cm`` coupling to block i+1 (``cm[...,-1]`` zero), ``rhs`` the
+    2-vector planes.  ``m`` must be a power of two; leading batch axes
+    broadcast through every step.
     """
-    m = bm.shape[-3]
+    m = bm[0].shape[-1]
     if m == 1:
         return _mv2(_inv2(bm), rhs)
 
-    binv_o = _inv2(bm[..., 1::2, :, :])
-    a_o = am[..., 1::2, :, :]
-    c_o = cm[..., 1::2, :, :]
-    b_o = rhs[..., 1::2, :]
+    def ev(x):
+        return tuple(a[..., 0::2] for a in x)
 
-    def down(x):  # odd-neighbor terms for even j come from odd index j-1
-        pad = [(0, 0)] * (x.ndim - 3) + [(1, 0), (0, 0), (0, 0)]
-        return jnp.pad(x[..., :-1, :, :], pad)
+    def od(x):
+        return tuple(a[..., 1::2] for a in x)
 
-    def down_v(x):
-        pad = [(0, 0)] * (x.ndim - 2) + [(1, 0), (0, 0)]
-        return jnp.pad(x[..., :-1, :], pad)
+    binv_o = _inv2(od(bm))
+    a_o = od(am)
+    c_o = od(cm)
+    b_o = od(rhs)
 
-    gl = _mul2(am[..., 0::2, :, :], down(binv_o))
-    gr = _mul2(cm[..., 0::2, :, :], binv_o)
-    b_new = (
-        bm[..., 0::2, :, :] - _mul2(gl, down(c_o)) - _mul2(gr, a_o)
-    )
-    a_new = -_mul2(gl, down(a_o))
-    c_new = -_mul2(gr, c_o)
-    r_new = rhs[..., 0::2, :] - _mv2(gl, down_v(b_o)) - _mv2(gr, b_o)
+    gl = _mul2(ev(am), _down(binv_o))
+    gr = _mul2(ev(cm), binv_o)
+    b_new = _sub2(_sub2(ev(bm), _mul2(gl, _down(c_o))), _mul2(gr, a_o))
+    a_new = _neg2(_mul2(gl, _down(a_o)))
+    c_new = _neg2(_mul2(gr, c_o))
+    r_new = _sub2(_sub2(ev(rhs), _mv2(gl, _down(b_o))), _mv2(gr, b_o))
 
     x_even = _cr_solve_blocks(b_new, a_new, c_new, r_new)
 
-    # Back-substitute the odd blocks: x_{2j+1} = B^{-1}(b - A x_{2j} - C x_{2j+2})
-    def up_v(x):  # x_{2j+2} = x_even[j+1], zero past the end (c_o[-1]=0)
-        pad = [(0, 0)] * (x.ndim - 2) + [(0, 1), (0, 0)]
-        return jnp.pad(x[..., 1:, :], pad)
+    # Back-substitute: x_{2j+1} = B^{-1}(b - A x_{2j} - C x_{2j+2})
+    x_odd = _mv2(
+        binv_o, _sub2(_sub2(b_o, _mv2(a_o, x_even)), _mv2(c_o, _up(x_even)))
+    )
 
-    x_odd = _mv2(binv_o, b_o - _mv2(a_o, x_even) - _mv2(c_o, up_v(x_even)))
-    out = jnp.stack([x_even, x_odd], axis=-2)  # (..., m/2, 2, 2[comps])
-    return out.reshape(*out.shape[:-3], m, 2)
+    def interleave(e, o):
+        out = jnp.stack([e, o], axis=-1)  # (..., m/2, 2)
+        return out.reshape(*out.shape[:-2], m)
+
+    return (interleave(x_even[0], x_odd[0]), interleave(x_even[1], x_odd[1]))
 
 
 def _penta_to_blocks(a0, a1, a2):
-    """Pentadiagonal bands -> block-tridiagonal (B, A, C) 2x2 blocks.
+    """Pentadiagonal bands -> block-tridiagonal (B, A, C) component planes.
 
     ``a0``: (..., n) main, ``a1``: (..., n-1), ``a2``: (..., n-2); ``n``
     must be even.  Scalar rows (2i, 2i+1) pair into block row i.
     """
-    n = a0.shape[-1]
     pad1 = [(0, 0)] * (a1.ndim - 1) + [(0, 1)]
     pad2 = [(0, 0)] * (a2.ndim - 1) + [(0, 2)]
     a1p = jnp.pad(a1, pad1)  # a1p[i] = A[i, i+1], zero at n-1
@@ -192,18 +228,10 @@ def _penta_to_blocks(a0, a1, a2):
     e0, e1 = a0[..., 0::2], a0[..., 1::2]
     s0, s1 = a1p[..., 0::2], a1p[..., 1::2]
     d0, d1 = a2p[..., 0::2], a2p[..., 1::2]
-    bm = jnp.stack(
-        [jnp.stack([e0, s0], -1), jnp.stack([s0, e1], -1)], -2
-    )
-    cm = jnp.stack(
-        [jnp.stack([d0, jnp.zeros_like(d0)], -1), jnp.stack([s1, d1], -1)],
-        -2,
-    )
-    # A_i = C_{i-1}^T (symmetric system)
-    pad_blk = [(0, 0)] * (cm.ndim - 3) + [(1, 0), (0, 0), (0, 0)]
-    am = jnp.pad(
-        jnp.swapaxes(cm, -1, -2)[..., :-1, :, :], pad_blk
-    )
+    bm = (e0, s0, s0, e1)
+    cm = (d0, jnp.zeros_like(d0), s1, d1)
+    # A_i = C_{i-1}^T (symmetric system): transpose components, shift down
+    am = tuple(_shift(a, 1) for a in (cm[0], cm[2], cm[1], cm[3]))
     return bm, am, cm
 
 
@@ -230,8 +258,9 @@ def penta_solve_cr(a0, a1, a2, b):
         a1 = a1.at[..., n - 1 :].set(0.0)
         a2 = a2.at[..., n - 2 :].set(0.0)
     bm, am, cm = _penta_to_blocks(a0, a1, a2)
-    x = _cr_solve_blocks(bm, am, cm, b.reshape(*b.shape[:-1], n_pad // 2, 2))
-    return x.reshape(*x.shape[:-2], n_pad)[..., :n]
+    x0, x1 = _cr_solve_blocks(bm, am, cm, (b[..., 0::2], b[..., 1::2]))
+    x = jnp.stack([x0, x1], axis=-1).reshape(*x0.shape[:-1], n_pad)
+    return x[..., :n]
 
 
 def als_baseline_raw(y: jax.Array, lam: float, p: float, n_iter: int) -> jax.Array:
@@ -273,39 +302,83 @@ def _penta_matvec(a0, a1, a2, x):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("lam", "p", "n_iter", "solver", "refine")
-)
 def als_baseline_batched(
     rows: jax.Array,
     lam: float,
     p: float,
     n_iter: int,
     solver: str = "auto",
-    refine: int = 2,
+    refine: int = 0,
 ):
-    """AsLS baselines for a (n_voxels, n_points) batch in one launch.
+    """AsLS baselines for a (n_voxels, n_points) batch.
 
     ``solver`` selects the pentadiagonal solve:
 
-    * ``"scan"`` — the sequential banded LDL^T (exact direct solve); on
-      TPU its ~3n dependent scan steps per solve dominate (503 ms for
-      16384x2048, n_iter=10 — results/tpu_r19.jsonl).
+    * ``"scan"`` — the sequential banded LDL^T in the input dtype (exact
+      direct solve in f64); on TPU its ~3n dependent scan steps per solve
+      dominate (f32: 503 ms for 16384x2048/n_iter=10; f64: 1.07 s —
+      results/tpu_r19.jsonl).  CAUTION: the system's conditioning
+      (~lam*16/w_min ~ 1e9) exceeds 1/eps_f32, and the f32 scan measured
+      NaN outputs on realistic spectra on the v5e — use f64 inputs, or
+      the cr solver.
     * ``"cr"`` — block cyclic reduction (:func:`penta_solve_cr`):
-      log-depth parallel, the TPU formulation.  ``refine`` iterative-
-      refinement steps (residual re-solves) recover direct-solve accuracy
-      in float32 (the AsLS system's conditioning ~ lam/w_min).
+      log-depth parallel, the TPU formulation.  Computes INTERNALLY IN
+      FLOAT64 regardless of the input dtype (upcast under
+      ``jax.experimental.enable_x64`` when x64 is globally off) — every
+      f32 variant tried (safeguarded structured refinement included) is
+      numerically unusable at this conditioning on TPU arithmetic, while
+      the emulated-f64 CR is both exact (~1e-7) and the fastest correct
+      option measured: **0.46 s** full grid vs 1.07 s f64 scan.  Batches
+      beyond 2048 voxels run as 2048-voxel chunks through ONE compiled
+      program (the monolithic formulation crashes the remote XLA compile
+      helper above ~2048x2048; ~8 extra dispatch floors are noise here).
+      ``refine`` extra safeguarded refinement re-solves default to 0 —
+      f64 needs none.
     * ``"auto"`` (default) — ``"cr"`` on TPU, ``"scan"`` elsewhere.
     """
     if solver == "auto":
         solver = "cr" if jax.default_backend() == "tpu" else "scan"
     if solver == "scan":
-        return jax.vmap(lambda y: als_baseline_raw(y, lam, p, n_iter))(rows)
+        return _als_scan_jit(rows, lam, p, n_iter)
     if solver != "cr":
         raise ValueError(
             f"solver must be 'scan', 'cr', or 'auto', got {solver!r}."
         )
 
+    def run_cr(rows64):
+        chunk = 2048
+        b = rows64.shape[0] if rows64.ndim > 1 else None
+        if b is not None and b > chunk:
+            outs = [
+                _als_cr_jit(rows64[s : s + chunk], lam, p, n_iter, refine)
+                for s in range(0, b, chunk)
+            ]
+            return jnp.concatenate(outs, axis=0)
+        return _als_cr_jit(rows64, lam, p, n_iter, refine)
+
+    in_dtype = rows.dtype
+    if in_dtype == jnp.float64:
+        return run_cr(rows)
+    if jax.config.jax_enable_x64:
+        return run_cr(rows.astype(jnp.float64)).astype(in_dtype)
+    with jax.enable_x64():
+        # Downcast ON DEVICE inside the context: returning the f64 array
+        # and converting outside would round-trip ~270 MB through the
+        # host (tens of seconds through a remote-TPU relay).
+        z = run_cr(jnp.asarray(rows).astype(jnp.float64)).astype(in_dtype)
+    return z
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "p", "n_iter"))
+def _als_scan_jit(rows, lam, p, n_iter):
+    return jax.vmap(lambda y: als_baseline_raw(y, lam, p, n_iter))(rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lam", "p", "n_iter", "refine")
+)
+def _als_cr_jit(rows, lam, p, n_iter, refine):
+    """The CR-solver AsLS iteration for one (batch, n) chunk (traceable)."""
     n = rows.shape[-1]
     m0, m1, m2 = _dtd_bands(n, rows.dtype)
     batch = rows.shape[:-1]
