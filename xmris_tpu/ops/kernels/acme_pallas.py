@@ -202,7 +202,7 @@ def acme_polish_pallas(
     p0_only: bool = False,
     half_cell: float = 0.5 / 36.0,
     span=(360.0, 8000.0),
-    v_tile: int = 32,
+    v_tile: int = 64,
     interpret: bool = False,
 ):
     """Fused backtracking-GD ACME polish over a (B, n_f) spectrum batch.

@@ -262,7 +262,7 @@ def autophase(
     temp_time_dim: str = DIMS.time,
     optimizer: str = "de",
     seed: int = 42,
-    polish_optimizer: str = "gd",
+    polish_optimizer: str = "auto",
     **kwargs,
 ) -> XmrArray:
     """Automatically find and apply phase correction.
@@ -284,11 +284,13 @@ def autophase(
       scores a deterministic candidate mesh on decimated spectra and
       polishes the per-voxel winner at full resolution — several
       times cheaper at grid scale (see :func:`_grid_phase_search`).
-    * ``polish_optimizer`` (grid mode only): ``"gd"`` (backtracking
-      gradient descent, the measured r5 default), ``"newton"`` (damped
-      per-voxel Newton), or ``"bfgs"`` (one exact Hessian + rank-2
-      updates — second-order steps at gradient-descent per-iteration
-      cost; fewest full-resolution objective passes).
+    * ``polish_optimizer`` (grid mode only): ``"auto"`` (default —
+      the fused whole-loop Pallas polish for the ACME objective on TPU,
+      exact gd score parity at ~1.7x the speed; gd elsewhere),
+      ``"fused"`` (force the Pallas kernel), ``"gd"`` (backtracking
+      gradient descent), ``"newton"`` (damped per-voxel Newton), or
+      ``"bfgs"`` (one exact Hessian + rank-2 updates — second-order
+      steps at gradient-descent per-iteration cost).
 
     Bounds: p0 in [-180, 180] degrees; p1 in [-4000, 4000] degrees unless
     ``p0_only`` locks p1 = 0.
@@ -423,7 +425,7 @@ def _grid_phase_search(
     grid_decimate: int | None = None,
     polish_iters: int = 40,
     cand_chunk: int = 4,
-    polish_optimizer: str = "gd",
+    polish_optimizer: str = "auto",
     newton_iters: int | None = None,
 ):
     """Per-voxel phase search: coarse candidate scan + gradient polish.
@@ -451,6 +453,17 @@ def _grid_phase_search(
     ``n_p0`` (p0-only) or ``n_p0 + n_p1 + 7`` (p0 + p1) decimated
     evaluations plus ``polish_iters`` full ones.
     """
+    if polish_optimizer == "auto":
+        # Measured on the v5e (results/tpu_r19.jsonl appolish): the fused
+        # whole-loop Pallas polish at exact gd score parity runs p0p1
+        # 120.5 vs 210.6 ms and p0-only 80.3 vs 128.4 ms at 16384x2048 —
+        # default for the ACME objective on TPU; the ROI objectives and
+        # other backends keep the XLA gd polish.
+        polish_optimizer = (
+            "fused"
+            if method == "acme" and jax.default_backend() == "tpu"
+            else "gd"
+        )
     score = _SCORES[method]
     dtype = rows_re.dtype
     v = rows_re.shape[0]
@@ -825,7 +838,7 @@ def _autophase_all(
     lb: float,
     temp_time_dim: str,
     optimizer: str = "de",
-    polish_optimizer: str = "gd",
+    polish_optimizer: str = "auto",
 ) -> XmrArray:
     """Per-voxel autophase: one DE search per 1-D spectrum, vmapped.
 

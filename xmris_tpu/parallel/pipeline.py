@@ -62,7 +62,7 @@ class PipelineConfig:
     # descent), "newton" (damped per-voxel Newton), or "bfgs" (one exact
     # Hessian + rank-2 updates; fewest full-resolution objective passes —
     # see ops.phasing._grid_phase_search).
-    ap_polish: str = "gd"
+    ap_polish: str = "auto"
     # Planar-engine DFT formulation (None -> ops.kernels.dft.DEFAULT_VARIANT);
     # see dft_planar for the menu.  Only the planar pipeline consumes this.
     dft_variant: str | None = None
@@ -98,10 +98,10 @@ class PipelineConfig:
                 f"ap_optimizer must be 'de' or 'grid', got "
                 f"{self.ap_optimizer!r}."
             )
-        if self.ap_polish not in ("gd", "newton", "bfgs", "fused"):
+        if self.ap_polish not in ("auto", "gd", "newton", "bfgs", "fused"):
             raise ValueError(
-                f"ap_polish must be 'gd', 'newton', 'bfgs', or "
-                f"'fused', got "
+                f"ap_polish must be 'auto', 'gd', 'newton', 'bfgs', "
+                f"or 'fused', got "
                 f"{self.ap_polish!r}."
             )
         if self.spec_layout not in ("flat", "stacked"):
