@@ -456,12 +456,16 @@ def _grid_phase_search(
     if polish_optimizer == "auto":
         # Measured on the v5e (results/tpu_r19.jsonl appolish): the fused
         # whole-loop Pallas polish at exact gd score parity runs p0p1
-        # 120.5 vs 210.6 ms and p0-only 80.3 vs 128.4 ms at 16384x2048 —
-        # default for the ACME objective on TPU; the ROI objectives and
-        # other backends keep the XLA gd polish.
+        # 120.8 vs 211 ms and p0-only 72 vs 128 ms at 16384x2048 —
+        # default for the ACME objective on TPU at GRID scale.  The
+        # single-pivot search (1 row) keeps gd: its polish is ~2 ms of a
+        # 22 ms fused flagship program, and swapping a Mosaic kernel into
+        # that proven program for a ~1 ms delta is pure compile risk.
         polish_optimizer = (
             "fused"
-            if method == "acme" and jax.default_backend() == "tpu"
+            if method == "acme"
+            and jax.default_backend() == "tpu"
+            and rows_re.shape[0] > 1
             else "gd"
         )
     score = _SCORES[method]
