@@ -111,6 +111,35 @@ class TestFitAmaresMesh:
         with pytest.raises(ValueError, match="mesh"):
             fit_amares(da, pk_file, engine="xla", mesh="everything")
 
+    def test_mesh_bad_object_raises_descriptively(self, pk_file):
+        """A non-Mesh object must fail fast with the documented error, not
+        an AttributeError deep in the fit."""
+        da = make_phantom(4)
+        with pytest.raises(ValueError, match="jax.sharding.Mesh"):
+            fit_amares(da, pk_file, engine="xla", mesh=2.0)
+
+    def test_multi_axis_mesh_rejected(self, pk_file):
+        import jax
+        import numpy as np_
+        from jax.sharding import Mesh
+
+        devs = np_.array(jax.devices()[:4]).reshape(2, 2)
+        da = make_phantom(4)
+        with pytest.raises(ValueError, match="1-D mesh"):
+            fit_amares(
+                da, pk_file, engine="xla", mesh=Mesh(devs, ("a", "b"))
+            )
+
+    def test_cli_mesh_bad_value_is_usage_error(self, tmp_path, capsys):
+        """--mesh garbage must be an argparse usage error (exit 2), not a
+        raw ValueError traceback."""
+        from xmris_tpu.runtime.cli import fit_main
+
+        with pytest.raises(SystemExit) as exc:
+            fit_main(["in.npz", "pk.csv", "-o", "out.npz", "--mesh", "all"])
+        assert exc.value.code == 2
+        assert "device count or 'auto'" in capsys.readouterr().err
+
     @pytest.mark.bigcompile
     def test_pallas_engine_sharded_parity(self, pk_file):
         """The fused-kernel engine routes through shard_map

@@ -971,6 +971,20 @@ def fit_amares(
         from xmris_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(mesh)
+    if mesh is not None:
+        from jax.sharding import Mesh as _Mesh
+
+        if not isinstance(mesh, _Mesh):
+            raise ValueError(
+                f"mesh={mesh!r}: expected a jax.sharding.Mesh, a device "
+                "count, 'auto', or None."
+            )
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"mesh has axes {mesh.axis_names}; fit_amares shards the "
+                "voxel batch over a 1-D mesh — pass make_mesh(n) or a "
+                "single-axis Mesh."
+            )
     mesh_axis = mesh.axis_names[0] if mesh is not None else None
 
     if chunk_size is None:
@@ -979,13 +993,6 @@ def fit_amares(
         # ~40 ms of pure latency); bounded chunks on the XLA path, whose
         # Jacobian workspace scales with the batch.
         chunk_size = n_spectra if engine == "pallas" else 4096
-
-    def _pad_rows(a, n_pad):
-        """Edge-repeat a (B, ...) array to n_pad rows (shard divisibility)."""
-        if a.shape[0] == n_pad:
-            return a
-        reps = jnp.repeat(a[-1:], n_pad - a.shape[0], axis=0)
-        return jnp.concatenate([a, reps], axis=0)
 
     def run_lm(re_c, im_c, u_init, iters):
         """Returns (LMResult, h_ext-or-None): the pallas driver hands back
@@ -1001,12 +1008,16 @@ def fit_amares(
 
         b = re_c.shape[0]
         if mesh is not None:
-            from xmris_tpu.parallel.mesh import pad_to_multiple, voxel_sharding
+            from xmris_tpu.parallel.mesh import (
+                edge_pad_rows,
+                pad_to_multiple,
+                voxel_sharding,
+            )
 
             n_pad = pad_to_multiple(b, mesh.shape[mesh_axis])
-            re_c = _pad_rows(re_c, n_pad)
-            im_c = _pad_rows(im_c, n_pad)
-            u_init = _pad_rows(u_init, n_pad)
+            re_c = edge_pad_rows(re_c, n_pad)
+            im_c = edge_pad_rows(im_c, n_pad)
+            u_init = edge_pad_rows(u_init, n_pad)
 
         if engine == "pallas":
             from xmris_tpu.fitting.lm import lm_fit_batched_pallas

@@ -312,60 +312,64 @@ def als_baseline_batched(
 ):
     """AsLS baselines for a (n_voxels, n_points) batch.
 
-    ``solver`` selects the pentadiagonal solve:
+    ``solver`` selects the pentadiagonal solve; BOTH compute internally
+    in float64 regardless of the input dtype (upcast under
+    ``jax.enable_x64`` when x64 is globally off, downcast on device):
+    the system's conditioning (~lam*16/w_min ~ 1e9) exceeds 1/eps_f32,
+    and f32 solves of ANY formulation are numerically unusable — the
+    f32 scan measured NaN outputs on the v5e and ~18 % baseline errors
+    on CPU; the safeguarded f32 CR 43-84 % self-inconsistency
+    (results/tpu_r19.jsonl).
 
-    * ``"scan"`` — the sequential banded LDL^T in the input dtype (exact
-      direct solve in f64); on TPU its ~3n dependent scan steps per solve
-      dominate (f32: 503 ms for 16384x2048/n_iter=10; f64: 1.07 s —
-      results/tpu_r19.jsonl).  CAUTION: the system's conditioning
-      (~lam*16/w_min ~ 1e9) exceeds 1/eps_f32, and the f32 scan measured
-      NaN outputs on realistic spectra on the v5e — use f64 inputs, or
-      the cr solver.
+    * ``"scan"`` — the sequential banded LDL^T; on TPU its ~3n dependent
+      scan steps per solve dominate (f64: 1.07 s for 16384x2048,
+      n_iter=10).
     * ``"cr"`` — block cyclic reduction (:func:`penta_solve_cr`):
-      log-depth parallel, the TPU formulation.  Computes INTERNALLY IN
-      FLOAT64 regardless of the input dtype (upcast under
-      ``jax.experimental.enable_x64`` when x64 is globally off) — every
-      f32 variant tried (safeguarded structured refinement included) is
-      numerically unusable at this conditioning on TPU arithmetic, while
-      the emulated-f64 CR is both exact (~1e-7) and the fastest correct
-      option measured: **0.46 s** full grid vs 1.07 s f64 scan.  Batches
+      log-depth parallel, the TPU formulation — exact (~1e-7) and the
+      fastest correct option measured: **0.46 s** full grid.  Batches
       beyond 2048 voxels run as 2048-voxel chunks through ONE compiled
       program (the monolithic formulation crashes the remote XLA compile
-      helper above ~2048x2048; ~8 extra dispatch floors are noise here).
-      ``refine`` extra safeguarded refinement re-solves default to 0 —
-      f64 needs none.
+      helper above ~2048x2048; tail chunks are edge-padded to the chunk
+      size so every chunk reuses the same executable).  ``refine`` extra
+      safeguarded refinement re-solves default to 0 — f64 needs none.
     * ``"auto"`` (default) — ``"cr"`` on TPU, ``"scan"`` elsewhere.
     """
     if solver == "auto":
         solver = "cr" if jax.default_backend() == "tpu" else "scan"
     if solver == "scan":
-        return _als_scan_jit(rows, lam, p, n_iter)
-    if solver != "cr":
+        run = lambda r64: _als_scan_jit(r64, lam, p, n_iter)  # noqa: E731
+    elif solver == "cr":
+        def run(rows64):
+            chunk = 2048
+            b = rows64.shape[0] if rows64.ndim > 1 else None
+            if b is not None and b > chunk:
+                outs = []
+                from xmris_tpu.parallel.mesh import edge_pad_rows
+
+                for s in range(0, b, chunk):
+                    part = rows64[s : s + chunk]
+                    short = chunk - part.shape[0]
+                    if short:  # edge-pad the tail: one executable total
+                        part = edge_pad_rows(part, chunk)
+                    out = _als_cr_jit(part, lam, p, n_iter, refine)
+                    outs.append(out[: chunk - short] if short else out)
+                return jnp.concatenate(outs, axis=0)
+            return _als_cr_jit(rows64, lam, p, n_iter, refine)
+    else:
         raise ValueError(
             f"solver must be 'scan', 'cr', or 'auto', got {solver!r}."
         )
 
-    def run_cr(rows64):
-        chunk = 2048
-        b = rows64.shape[0] if rows64.ndim > 1 else None
-        if b is not None and b > chunk:
-            outs = [
-                _als_cr_jit(rows64[s : s + chunk], lam, p, n_iter, refine)
-                for s in range(0, b, chunk)
-            ]
-            return jnp.concatenate(outs, axis=0)
-        return _als_cr_jit(rows64, lam, p, n_iter, refine)
-
     in_dtype = rows.dtype
     if in_dtype == jnp.float64:
-        return run_cr(rows)
+        return run(rows)
     if jax.config.jax_enable_x64:
-        return run_cr(rows.astype(jnp.float64)).astype(in_dtype)
+        return run(rows.astype(jnp.float64)).astype(in_dtype)
     with jax.enable_x64():
         # Downcast ON DEVICE inside the context: returning the f64 array
         # and converting outside would round-trip ~270 MB through the
         # host (tens of seconds through a remote-TPU relay).
-        z = run_cr(jnp.asarray(rows).astype(jnp.float64)).astype(in_dtype)
+        z = run(jnp.asarray(rows).astype(jnp.float64)).astype(in_dtype)
     return z
 
 

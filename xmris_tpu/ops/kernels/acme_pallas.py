@@ -221,13 +221,13 @@ def acme_polish_pallas(
     # Canonicalized dtype (host f64 inputs truncate to f32 when x64 is
     # off; the out_shape must match what the kernel actually computes).
     dtype = rows_re.dtype
-    if b % v_tile:
-        pad = v_tile - b % v_tile
-        rows_re = jnp.concatenate([rows_re, rows_re[-1:].repeat(pad, 0)], 0)
-        rows_im = jnp.concatenate([rows_im, rows_im[-1:].repeat(pad, 0)], 0)
-        pivots = jnp.concatenate([pivots, pivots[-1:].repeat(pad, 0)], 0)
-        p_init = jnp.concatenate([p_init, p_init[-1:].repeat(pad, 0)], 0)
-    bp = rows_re.shape[0]
+    from xmris_tpu.parallel.mesh import edge_pad_rows, pad_to_multiple
+
+    bp = pad_to_multiple(b, v_tile)
+    rows_re = edge_pad_rows(rows_re, bp)
+    rows_im = edge_pad_rows(rows_im, bp)
+    pivots = edge_pad_rows(pivots, bp)
+    p_init = edge_pad_rows(p_init, bp)
 
     kern = functools.partial(
         _polish_kernel,

@@ -51,3 +51,20 @@ def shard_voxels(array, mesh: Mesh, axis_name: str = GRID_AXIS):
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of ``m`` that is >= ``n``."""
     return ((n + m - 1) // m) * m
+
+
+def edge_pad_rows(array, n_rows: int):
+    """Edge-repeat a (B, ...) array's leading axis up to ``n_rows``.
+
+    The shared shard/tile divisibility padding: pad voxels are copies of
+    the last row, so downstream per-voxel computation on them is valid
+    (their results are trimmed by the caller).  No-op when already sized.
+    """
+    import jax.numpy as jnp
+
+    short = n_rows - array.shape[0]
+    if short <= 0:
+        return array
+    return jnp.concatenate(
+        [array, jnp.repeat(array[-1:], short, axis=0)], axis=0
+    )

@@ -43,12 +43,17 @@ def _load_input(path: Path, variable: str | None):
 
 
 def _parse_mesh(value):
-    """CLI --mesh value -> fit_amares mesh argument (int | 'auto' | None)."""
+    """argparse type= for --mesh: a device count or 'auto'."""
     if value is None:
         return None
     if value == "auto":
         return "auto"
-    return int(value)
+    try:
+        return int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected a device count or 'auto', got {value!r}"
+        ) from None
 
 
 def fit_main(argv: list[str] | None = None) -> int:
@@ -76,7 +81,7 @@ def fit_main(argv: list[str] | None = None) -> int:
     parser.add_argument("--max-iter", type=int, default=60)
     parser.add_argument("--kernel-version", type=int, default=9)
     parser.add_argument("--chunk-size", type=int, default=None)
-    parser.add_argument("--mesh", default=None,
+    parser.add_argument("--mesh", default=None, type=_parse_mesh,
                         help="shard the fit over devices: a device count, "
                              "'auto' (all visible devices), or omit for "
                              "single-device")
@@ -105,7 +110,7 @@ def fit_main(argv: list[str] | None = None) -> int:
         chunk_size=args.chunk_size,
         initialize_with_lm=not args.no_init_lm,
         verbose=args.verbose,
-        mesh=_parse_mesh(args.mesh),
+        mesh=args.mesh,
     )
     t_fit = time.perf_counter() - t0
 
@@ -292,7 +297,7 @@ def serve_main(argv: list[str] | None = None) -> int:
                         choices=("auto", "xla", "pallas"))
     parser.add_argument("--max-iter", type=int, default=60)
     parser.add_argument("--kernel-version", type=int, default=9)
-    parser.add_argument("--mesh", default=None,
+    parser.add_argument("--mesh", default=None, type=_parse_mesh,
                         help="shard the fit over devices: a device count, "
                              "'auto' (all visible devices), or omit for "
                              "single-device")
@@ -369,7 +374,7 @@ def serve_main(argv: list[str] | None = None) -> int:
                 kernel_version=args.kernel_version,
                 return_curves=args.curves,
                 device_fids=dev,
-                mesh=_parse_mesh(args.mesh),
+                mesh=args.mesh,
             ), None
         except Exception as e:  # noqa: BLE001 — keep serving
             return None, e
