@@ -465,11 +465,20 @@ def supervise() -> None:
         backend_up, probe_s2 = probe_ok()
         probe_s += probe_s2
     if backend_up:
-        # With the persistent compile cache warm, the TPU run takes
-        # ~3-4 min; a wedged relay would otherwise eat the whole deadline.
-        # Cold-cache machines (no /root/.cache/jax_xmt) get a longer
-        # default because every bench shape is a fresh remote compile.
-        default_deadline = "700" if cache_before_mb >= 1.0 else "1500"
+        # With the persistent compile cache warm and the relay responsive,
+        # the TPU run takes ~3-4 min; a wedged relay would otherwise eat
+        # the whole deadline.  Cold-cache machines (no /root/.cache/
+        # jax_xmt) get a longer default because every bench shape is a
+        # fresh remote compile, and a SLOW relay session (first-contact
+        # probe > 30 s — session bandwidth is 20-90 MB/s dependent) gets
+        # one too: a warm-cache run was observed exceeding 700 s purely on
+        # relay latency after a 131 s probe (results/tpu_r19.jsonl).
+        if cache_before_mb < 1.0:
+            default_deadline = "1500"
+        elif probe_s > 30.0:
+            default_deadline = "1200"
+        else:
+            default_deadline = "700"
         line = attempt(
             {}, timeout_s=int(os.environ.get("XMT_BENCH_ATTEMPT_TIMEOUT_S",
                                              default_deadline)))
