@@ -155,6 +155,40 @@ def test_serve_cli_drains_directory(tmp_path, capsys):
         assert ds["fit_converged"].values.all()
 
 
+def test_serve_cli_mesh_flag(tmp_path, capsys):
+    """--mesh N on the streaming server shards each grid's fit (results
+    identical to single-device serving)."""
+    from tests.test_fitting import PK_CSV, make_phantom
+    from xmris_tpu.runtime.cli import serve_main
+
+    pk = tmp_path / "pk.csv"
+    pk.write_text(PK_CSV.replace('"(0, 1)","(0, 1)"', "fixed,fixed"))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    da = make_phantom(n_voxels=3, n_points=256)
+    save_npz(da, watch / "grid0.npz")
+
+    rc = serve_main(
+        [str(watch), str(pk), "-o", str(tmp_path / "out_mesh"), "--once",
+         "--engine", "xla", "--max-iter", "40", "--mesh", "2"]
+    )
+    assert rc == 0
+    line = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ][-1]
+    assert line["status"] == "ok" and line["converged_frac"] == 1.0
+
+    ds = load_dataset_npz(tmp_path / "out_mesh" / "grid0_fit.npz")
+    ref = da.xmr.fit_amares(pk, engine="xla", max_iter=40,
+                            return_curves=False)
+    np.testing.assert_allclose(
+        np.asarray(ds["amplitude"].values),
+        np.asarray(ref["amplitude"].values), rtol=2e-6,
+    )
+
+
 def test_serve_cli_error_keeps_serving(tmp_path, capsys):
     """A corrupt grid reports status=error and the server continues to
     the next file; exit code 2 flags the failure."""
